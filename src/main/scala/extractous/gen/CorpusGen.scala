@@ -1,0 +1,168 @@
+package extractous.gen
+
+import extractous.config._
+import extractous.model.{ExtractStatus, WebPage}
+import extractous.ocr.{Bmp, GlyphFont, Png}
+import extractous.sniff.MimeSniffer
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.sql.Timestamp
+
+/** Deterministic Common-Crawl-style corpus generator (FIXTURES.md). Payload
+  * bytes are a pure function of `(doc_id, text, lang)` drawn from the driver's
+  * `documents.parquet`, so:
+  *   - the same seed table ⇒ byte-identical corpus at any parallelism;
+  *   - the EXPECTED extracted text per url is a closed-form function of
+  *     `(doc_id, text, lang)` that is also expressible in ANSI SQL — which makes
+  *     the flagship extraction queries DuckDB-oracle-checkable end-to-end.
+  *
+  * Format mix (by `doc_id % 100`): 0-54 HTML, 55-69 plain text, 70-81 digital
+  * PDF, 82-89 DOCX, 90-95 scanned image (BMP/PNG), 96-97 scanned PDF, 98 empty,
+  * 99 corrupt — mirroring FIXTURES.md §2.
+  */
+object CorpusGen {
+
+  /** Language-marker stopword line injected into HTML pages; the language-ID
+    * query recovers `lang` from these (ground truth = the documents.lang col).
+    */
+  def stopLine(lang: String): String = lang match {
+    case "en" => "the and of to in"
+    case "de" => "der die und nicht das"
+    case "es" => "el la los y no"
+    case "fr" => "le la les et ne"
+    case "zh" => "的 了 是 在 不"
+    case _    => "the and of to in"
+  }
+
+  def kindOf(id: Long): String = {
+    val m = (id % 100).toInt
+    if (m < 55) "html"
+    else if (m < 70) "plain"
+    else if (m < 82) "pdf"
+    else if (m < 90) "docx"
+    else if (m < 96) "image"
+    else if (m < 98) "scanned_pdf"
+    else if (m == 98) "empty"
+    else "corrupt"
+  }
+
+  /** Host-skewed url: host-0 carries ~50% of pages (Zipf-ish head), the rest
+    * spread over host-1..host-9 — exercises the salted-repartition path.
+    */
+  def urlOf(id: Long): String = {
+    val h = if (id % 2 == 0) 0L else 1L + id % 9
+    s"https://host-$h.example/doc-$id"
+  }
+
+  /** UTC timestamps spread over a 30-day window (partition column). */
+  def tsOf(id: Long): Timestamp = {
+    val epoch = 1704067200L // 2024-01-01T00:00:00Z
+    new Timestamp((epoch + (id % 30) * 86400L + (id * 7) % 86400) * 1000L)
+  }
+
+  def titleOf(id: Long, lang: String): String = s"Document $id ($lang)"
+
+  private def htmlEsc(s: String): String = DocxWriter.xmlEsc(s)
+
+  def htmlPayload(id: Long, text: String, lang: String): Array[Byte] = {
+    val page =
+      s"""<!DOCTYPE html>
+<html lang="$lang"><head><title>${htmlEsc(titleOf(id, lang))}</title>
+<meta name="description" content="Synthetic page $id">
+<meta charset="utf-8">
+</head><body>
+<header class="masthead"><a href="/">Home</a> <a href="/about">About</a></header>
+<nav><ul><li><a href="/section-a">Section A</a></li><li><a href="/section-b">Section B</a></li></ul></nav>
+<div class="sidebar"><a href="/promo">Subscribe now</a> limited offer click here</div>
+<article>
+<h1>Document $id</h1>
+<p>${stopLine(lang)}</p>
+<p>${htmlEsc(text)}</p>
+</article>
+<footer>Copyright 2024 Example Corp <a href="/tos">Terms of Service</a> <a href="/privacy">Privacy</a></footer>
+</body></html>
+"""
+    page.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def payload(id: Long, text: String, lang: String): Array[Byte] = kindOf(id) match {
+    case "html"  => htmlPayload(id, text, lang)
+    case "plain" => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case "pdf" =>
+      PdfWriter.textPdf(
+        lines = Seq(s"Document $id", text),
+        title = titleOf(id, lang),
+        annot = if (id % 3 == 0) Some(s"Note $id") else None,
+        compress = id % 2 == 0,
+        markedContent = id % 5 == 0)
+    case "docx" =>
+      DocxWriter.docx(
+        paragraphs = Seq(s"Document $id", text),
+        title = titleOf(id, lang),
+        deleted = s"DELETED $id", moved = s"MOVED $id", shape = s"SHAPE $id")
+    case "image" =>
+      val g = GlyphFont.render(Seq(s"DOC $id", text.take(40)), noiseSeed = if (id % 5 == 0) id else 0L)
+      if (id % 2 == 0) Bmp.encode(g) else Png.encode(g)
+    case "scanned_pdf" =>
+      val g = GlyphFont.render(Seq(s"SCAN $id", text.take(20)))
+      PdfWriter.scannedPdf(Bmp.encode(g))
+    case "empty" => Array.emptyByteArray
+    case "corrupt" =>
+      (id % 3) match {
+        case 0 => "%PDF-1.4\nthis is not a real pdf body".getBytes("US-ASCII")
+        case 1 => Array[Byte]('P', 'K', 3, 4) ++ Array.tabulate[Byte](64)(i => ((i * 37 + 11) % 251).toByte)
+        case _ => ("corrupt text document " * 4).getBytes("US-ASCII") ++ Array[Byte](0xff.toByte, 0xfe.toByte)
+      }
+  }
+
+  /** The flagship pipeline config: boilerplate-stripped HTML + OCR-Auto PDFs. */
+  val flagshipConfig: ExtractorConfig = ExtractorConfig(
+    pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.Auto))
+
+  /** Engine-independent expected extraction under [[flagshipConfig]] — the
+    * Scala twin of the DuckDB oracle SQL in graft.SparkEntry.
+    */
+  def expectedText(id: Long, text: String, lang: String): String = kindOf(id) match {
+    case "html"        => s"Document $id\n${stopLine(lang)}\n$text"
+    case "plain"       => text
+    case "pdf"         => s"Document $id\n$text" + (if (id % 3 == 0) s"\nNote $id" else "")
+    case "docx"        => s"Document $id\n$text\nSHAPE $id"
+    case "image"       => s"DOC $id\n${text.take(40).reverse.dropWhile(_ == ' ').reverse}"
+    case "scanned_pdf" => s"SCAN $id\n${text.take(20).reverse.dropWhile(_ == ' ').reverse}"
+    case _             => ""
+  }
+
+  def expectedStatus(id: Long): Int = kindOf(id) match {
+    case "corrupt" => if (id % 3 == 2) ExtractStatus.InvalidUtf8 else ExtractStatus.ExtractionFailed
+    case _         => ExtractStatus.Ok
+  }
+
+  def expectedContentType(id: Long): String = kindOf(id) match {
+    case "html"        => MimeSniffer.Html
+    case "plain"       => MimeSniffer.Plain
+    case "pdf"         => MimeSniffer.Pdf
+    case "docx"        => MimeSniffer.Docx
+    case "image"       => if (id % 2 == 0) MimeSniffer.Bmp else MimeSniffer.Png
+    case "scanned_pdf" => MimeSniffer.Pdf
+    case "empty"       => MimeSniffer.Empty
+    case "corrupt" =>
+      (id % 3) match {
+        case 0 => MimeSniffer.Pdf
+        case 1 => MimeSniffer.Zip
+        case _ => MimeSniffer.Plain
+      }
+  }
+
+  def webPage(id: Long, text: String, lang: String): WebPage =
+    WebPage(urlOf(id), tsOf(id), payload(id, text, lang), "", lang)
+
+  /** Distributed corpus build: a narrow per-row map over the seed table — no
+    * shuffle, deterministic under any partitioning.
+    */
+  def corpus(spark: SparkSession, sfDir: String): Dataset[WebPage] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) => webPage(id, text, lang) }
+  }
+}

@@ -1,0 +1,164 @@
+package extractous.gen
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream, Deflater, CRC32}
+
+/** Deterministic minimal-format writers used by the corpus generator. These are
+  * engine-independent (they never call the parsers), so round-trip tests are a
+  * genuine oracle: generator knows what text it embedded, parsers must recover
+  * it byte-identically.
+  */
+object PdfWriter {
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '('  => sb.append("\\(")
+      case ')'  => sb.append("\\)")
+      case '\\' => sb.append("\\\\")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
+  /** Assemble objects (1-based bodies, ASCII or binary) into a PDF file with a
+    * classic xref table and trailer.
+    */
+  private def assemble(objects: Seq[Array[Byte]], trailerExtra: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objects.length + 1)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i + 1) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      out.write(body)
+      w("\nendobj\n")
+    }
+    val xrefPos = out.size()
+    w(s"xref\n0 ${objects.length + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objects.length).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objects.length + 1} $trailerExtra >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def streamObj(dict: String, data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"<< $dict /Length ${data.length} >>\nstream\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(data)
+    out.write("\nendstream".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Digital PDF: one page, lines of text top-down at 14pt leading; optional
+    * annotation; optional Flate-compressed content; optional marked content.
+    */
+  def textPdf(lines: Seq[String], title: String, annot: Option[String],
+      compress: Boolean, markedContent: Boolean): Array[Byte] = {
+    val content = {
+      val sb = new StringBuilder
+      sb.append("BT /F1 12 Tf 72 720 Td\n")
+      if (markedContent) sb.append("/P << /MCID 0 >> BDC\n")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append("(").append(esc(l)).append(") Tj\n")
+      }
+      if (markedContent) sb.append("EMC\n")
+      sb.append("ET")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val (filter, data) = if (compress) (" /Filter /FlateDecode", deflate(content)) else ("", content)
+    val annotRef = if (annot.isDefined) " /Annots [6 0 R]" else ""
+    val objs = Seq.newBuilder[Array[Byte]]
+    objs += "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII")
+    objs += "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII")
+    objs += s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R$annotRef >>".getBytes("US-ASCII")
+    objs += streamObj(filter.trim match { case "" => ""; case f => f }, data)
+    objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>".getBytes("US-ASCII")
+    annot.foreach(a => objs += s"<< /Type /Annot /Subtype /Text /Rect [100 100 200 120] /Contents (${esc(a)}) >>".getBytes("US-ASCII"))
+    val infoNum = if (annot.isDefined) 7 else 6
+    objs += s"<< /Title (${esc(title)}) /Producer (extractous-spark-gen) >>".getBytes("US-ASCII")
+    assemble(objs.result(), s"/Root 1 0 R /Info $infoNum 0 R")
+  }
+
+  /** Scanned PDF: one page whose content is a single image XObject `Do` with no
+    * text operators — forces the OCR branch under PdfOcrStrategy.Auto.
+    */
+  def scannedPdf(imageBytes: Array[Byte]): Array[Byte] = {
+    val content = "q 468 0 0 648 72 72 cm /Im0 Do Q".getBytes("US-ASCII")
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII"),
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>".getBytes("US-ASCII"),
+      streamObj("", content),
+      streamObj("/Subtype /Image /Width 100 /Height 100 /BitsPerComponent 8 /ColorSpace /DeviceRGB", imageBytes))
+    assemble(objs, "/Root 1 0 R")
+  }
+}
+
+object DocxWriter {
+  /** Fixed entry mtime so the same inputs yield byte-identical zips. */
+  private val FixedTime = 1704067200000L // 2024-01-01T00:00:00Z
+
+  def xmlEsc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c   => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.setLevel(Deflater.BEST_SPEED)
+    entries.foreach { case (name, data) =>
+      val e = new ZipEntry(name)
+      e.setTime(FixedTime)
+      zos.putNextEntry(e)
+      zos.write(data)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** DOCX with: heading + body paragraphs, a tracked-change deletion, a
+    * move-from run, and a text-box paragraph — one probe per Office config
+    * toggle (/root/reference/config.go:244-415).
+    */
+  def docx(paragraphs: Seq[String], title: String, deleted: String, moved: String, shape: String): Array[Byte] = {
+    val body = new StringBuilder
+    paragraphs.foreach(p => body.append(s"<w:p><w:r><w:t>${xmlEsc(p)}</w:t></w:r></w:p>"))
+    body.append(s"<w:p><w:del><w:r><w:delText>${xmlEsc(deleted)}</w:delText></w:r></w:del></w:p>")
+    body.append(s"<w:p><w:moveFrom><w:r><w:t>${xmlEsc(moved)}</w:t></w:r></w:moveFrom></w:p>")
+    body.append(s"<w:p><w:r><w:pict><w:txbxContent><w:p><w:r><w:t>${xmlEsc(shape)}</w:t></w:r></w:p></w:txbxContent></w:pict></w:r></w:p>")
+    val document =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>${body.toString}</w:body></w:document>"""
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>"""
+    val core =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/"><dc:title>${xmlEsc(title)}</dc:title><dc:creator>extractous-spark-gen</dc:creator></cp:coreProperties>"""
+    zip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes("UTF-8"),
+      "word/document.xml" -> document.getBytes("UTF-8"),
+      "docProps/core.xml" -> core.getBytes("UTF-8")))
+  }
+}

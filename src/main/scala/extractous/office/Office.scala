@@ -1,0 +1,202 @@
+package extractous.office
+
+import extractous.config.ExtractorConfig
+import extractous.html.{HElem, HNode, HText, HtmlDom}
+import extractous.model.{ExtractResult, ExtractStatus}
+import extractous.sniff.MimeSniffer
+import extractous.text.{TextEmitter, XmlEmitter}
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+/** OOXML (DOCX/XLSX/PPTX) extraction: `java.util.zip` unzip + lightweight XML
+  * walk. Reproduces the reference's Office toggles
+  * (/root/reference/config.go:244-415): tracked-change deletions (`w:del`),
+  * move-from content (`w:moveFrom`), shape/text-box content (`w:txbxContent`),
+  * and the VBA-macro flag (presence marker — we do not decode vbaProject.bin).
+  */
+object ZipUtil {
+  /** Read all entries (name → bytes). Throws on malformed zip data. */
+  def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
+    var entry = zis.getNextEntry
+    var seen = 0
+    while (entry != null) {
+      if (!entry.isDirectory) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = zis.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+        out += (entry.getName -> bos.toByteArray)
+      }
+      seen += 1
+      entry = zis.getNextEntry
+    }
+    zis.close()
+    if (seen == 0) throw new IllegalArgumentException("zip: no entries")
+    out.result()
+  }
+}
+
+object OfficeExtractor {
+  private def xml(bytes: Array[Byte]): HElem =
+    HtmlDom.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+
+  private def textOf(n: HNode): String = n match {
+    case HText(t) => t
+    case HElem(_, _, ch) => ch.map(textOf).mkString
+  }
+
+  /** Collect dc:title / dc:creator from docProps/core.xml when present. */
+  private def coreProps(entries: Map[String, Array[Byte]]): Map[String, Seq[String]] = {
+    entries.get("docProps/core.xml").map { b =>
+      val root = xml(b)
+      var m = Map.empty[String, Seq[String]]
+      def walk(e: HElem): Unit = e.children.foreach {
+        case el: HElem =>
+          el.name match {
+            case "dc:title"   => val t = textOf(el).trim; if (t.nonEmpty) m += ("dc:title" -> Seq(t))
+            case "dc:creator" => val t = textOf(el).trim; if (t.nonEmpty) m += ("dc:creator" -> Seq(t))
+            case _            => walk(el)
+          }
+        case _ =>
+      }
+      walk(root)
+      m
+    }.getOrElse(Map.empty)
+  }
+
+  def extract(bytes: Array[Byte], mime: String, cfg: ExtractorConfig): ExtractResult = {
+    val entries =
+      try ZipUtil.entries(bytes)
+      catch {
+        case e: Exception =>
+          return ExtractResult.fail(ExtractStatus.ExtractionFailed, s"zip: ${e.getMessage}", mime)
+      }
+    mime match {
+      case MimeSniffer.Docx => docx(entries, cfg)
+      case MimeSniffer.Xlsx => xlsx(entries, cfg)
+      case MimeSniffer.Pptx => pptx(entries, cfg)
+      case _ =>
+        ExtractResult.fail(ExtractStatus.UnsupportedFormat, "zip: not an OOXML package", MimeSniffer.Zip)
+    }
+  }
+
+  private def docx(entries: Map[String, Array[Byte]], cfg: ExtractorConfig): ExtractResult = {
+    val doc = entries.getOrElse("word/document.xml",
+      return ExtractResult.fail(ExtractStatus.ExtractionFailed, "docx: missing word/document.xml", MimeSniffer.Docx))
+    val root = xml(doc)
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+    val o = cfg.office
+
+    // Collect text of one w:p paragraph honoring the include/skip predicates.
+    def paragraphText(p: HElem): String = {
+      val sb = new StringBuilder
+      def walk(e: HElem): Unit = e.children.foreach {
+        case HText(_) => // raw text outside w:t is formatting noise
+        case el: HElem =>
+          el.name match {
+            case "w:t"            => sb.append(textOf(el))
+            case "w:tab"          => sb.append(' ')
+            case "w:br" | "w:cr"  => sb.append(' ')
+            case "w:del"          => if (o.includeDeletedContent) walk(el)
+            case "w:deltext"      => if (o.includeDeletedContent) sb.append(textOf(el))
+            case "w:movefrom"     => if (o.includeMoveFromContent) walk(el)
+            case "w:txbxcontent"  => if (o.includeShapeBasedContent) walkBlocks(el)
+            case "w:ins"          => walk(el) // insertions always included
+            case _                => walk(el)
+          }
+      }
+      def walkBlocks(e: HElem): Unit = e.children.foreach {
+        case el: HElem if el.name == "w:p" =>
+          val t = paragraphText(el)
+          if (t.nonEmpty) { if (sb.nonEmpty) sb.append(' '); sb.append(t) }
+        case el: HElem => walkBlocks(el)
+        case _ =>
+      }
+      walk(p)
+      sb.toString
+    }
+
+    def walkBody(e: HElem): Unit = e.children.foreach {
+      case el: HElem if el.name == "w:p" =>
+        val t = paragraphText(el)
+        if (t.nonEmpty) { emitter.addBlock(t); xe.addElement("p", t) }
+      case el: HElem => walkBody(el)
+      case _ =>
+    }
+    walkBody(root)
+
+    var meta: Map[String, Seq[String]] = coreProps(entries) +
+      ("Content-Type" -> Seq(MimeSniffer.Docx))
+    if (o.extractMacros && entries.contains("word/vbaProject.bin"))
+      meta += ("X-Has-Macros" -> Seq("true"))
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, MimeSniffer.Docx)
+  }
+
+  private def xlsx(entries: Map[String, Array[Byte]], cfg: ExtractorConfig): ExtractResult = {
+    // shared strings
+    val shared: Vector[String] = entries.get("xl/sharedStrings.xml").map { b =>
+      val root = xml(b)
+      val out = Vector.newBuilder[String]
+      def walk(e: HElem): Unit = e.children.foreach {
+        case el: HElem if el.name == "si" => out += textOf(el)
+        case el: HElem                    => walk(el)
+        case _                            =>
+      }
+      walk(root)
+      out.result()
+    }.getOrElse(Vector.empty)
+
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+    val sheets = entries.keys.filter(k => k.startsWith("xl/worksheets/sheet") && k.endsWith(".xml")).toSeq.sorted
+    sheets.foreach { name =>
+      val root = xml(entries(name))
+      def cellValue(c: HElem): String = {
+        val isShared = c.attrs.get("t").contains("s")
+        val v = c.children.collectFirst { case el: HElem if el.name == "v" => textOf(el) }.getOrElse("")
+        if (isShared) shared.lift(v.trim.toIntOption.getOrElse(-1)).getOrElse("")
+        else v.trim
+      }
+      def walkRows(e: HElem): Unit = e.children.foreach {
+        case el: HElem if el.name == "row" =>
+          val cells = el.children.collect { case c: HElem if c.name == "c" => cellValue(c) }.filter(_.nonEmpty)
+          if (cells.nonEmpty) { val t = cells.mkString(" "); emitter.addBlock(t); xe.addElement("p", t) }
+        case el: HElem => walkRows(el)
+        case _ =>
+      }
+      walkRows(root)
+    }
+    val meta = coreProps(entries) + ("Content-Type" -> Seq(MimeSniffer.Xlsx))
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, MimeSniffer.Xlsx)
+  }
+
+  private def pptx(entries: Map[String, Array[Byte]], cfg: ExtractorConfig): ExtractResult = {
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+    val slides = entries.keys.filter(k => k.startsWith("ppt/slides/slide") && k.endsWith(".xml")).toSeq
+      .sortBy(k => k.stripPrefix("ppt/slides/slide").stripSuffix(".xml").toIntOption.getOrElse(0))
+    slides.foreach { name =>
+      val root = xml(entries(name))
+      def walkParas(e: HElem): Unit = e.children.foreach {
+        case el: HElem if el.name == "a:p" =>
+          val sb = new StringBuilder
+          def collect(x: HElem): Unit = x.children.foreach {
+            case t: HElem if t.name == "a:t" => sb.append(textOf(t))
+            case t: HElem                    => collect(t)
+            case _                           =>
+          }
+          collect(el)
+          val t = sb.toString
+          if (t.nonEmpty) { emitter.addBlock(t); xe.addElement("p", t) }
+        case el: HElem => walkParas(el)
+        case _ =>
+      }
+      walkParas(root)
+    }
+    val meta = coreProps(entries) + ("Content-Type" -> Seq(MimeSniffer.Pptx))
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, MimeSniffer.Pptx)
+  }
+}

@@ -1,0 +1,567 @@
+package extractous.pdf
+
+import extractous.config.{ExtractorConfig, PdfOcrStrategy}
+import extractous.model.{ExtractResult, ExtractStatus}
+import extractous.ocr.Ocr
+import extractous.text.{Normalize, TextEmitter, XmlEmitter}
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch PDF layout parser per the north rule: COS object lexer,
+  * object-graph walk (catalog → pages → content streams), content-stream
+  * tokenizer with text-matrix tracking, glyph-run ordering with line grouping and
+  * column detection, annotation text, marked content, and the four OCR
+  * strategies of the reference (/root/reference/types.go:177-276).
+  *
+  * Scope: classic xref or object-scan recovery, FlateDecode, WinAnsi/ASCII
+  * text — honest on minimal spec-conformant PDFs (SURVEY.md §7.4).
+  */
+object Cos {
+  sealed trait V
+  final case class Num(d: Double) extends V
+  final case class Str(bytes: Array[Byte]) extends V
+  final case class Name(n: String) extends V
+  final case class Arr(items: Vector[V]) extends V
+  final case class Dict(m: Map[String, V]) extends V
+  final case class Ref(num: Int, gen: Int) extends V
+  final case class Bool(b: Boolean) extends V
+  case object Null extends V
+  final case class StreamObj(dict: Dict, data: Array[Byte]) extends V
+  final case class Op(name: String) extends V // content-stream operator
+}
+
+final class CosLexer(buf: Array[Byte], var pos: Int, val end: Int) {
+  import Cos._
+  def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+
+  private def isWs(c: Int) = c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int) = c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+  def skipWs(): Unit = {
+    while (pos < end) {
+      val c = buf(pos) & 0xff
+      if (isWs(c)) pos += 1
+      else if (c == '%') { while (pos < end && buf(pos) != '\n' && buf(pos) != '\r') pos += 1 }
+      else return
+    }
+  }
+  def peek: Int = if (pos < end) buf(pos) & 0xff else -1
+
+  /** Next COS token/value. Operators (content streams) come back as Op. */
+  def next(): V = {
+    skipWs()
+    if (pos >= end) return Null
+    val c = peek
+    c match {
+      case '/' =>
+        pos += 1
+        val sb = new StringBuilder
+        while (pos < end && !isWs(peek) && !isDelim(peek)) {
+          if (peek == '#' && pos + 2 < end) {
+            val h = Integer.parseInt(new String(buf, pos + 1, 2, "US-ASCII"), 16)
+            sb.append(h.toChar); pos += 3
+          } else { sb.append(peek.toChar); pos += 1 }
+        }
+        Name(sb.toString)
+      case '(' => readLiteralString()
+      case '<' =>
+        if (pos + 1 < end && buf(pos + 1) == '<') { pos += 2; readDict() }
+        else readHexString()
+      case '[' =>
+        pos += 1
+        val items = Vector.newBuilder[V]
+        var done = false
+        while (!done) {
+          skipWs()
+          if (pos >= end || peek == ']') { if (pos < end) pos += 1; done = true }
+          else items += next()
+        }
+        Arr(resolveRefs(items.result()))
+      case ']' => pos += 1; Op("]")
+      case '>' =>
+        if (pos + 1 < end && buf(pos + 1) == '>') { pos += 2; Op(">>") } else { pos += 1; Op(">") }
+      case d if (d >= '0' && d <= '9') || d == '+' || d == '-' || d == '.' =>
+        val st = pos
+        pos += 1
+        while (pos < end && ((peek >= '0' && peek <= '9') || peek == '.' || peek == '-' || peek == '+')) pos += 1
+        Num(java.lang.Double.parseDouble(new String(buf, st, pos - st, "US-ASCII")))
+      case _ =>
+        val st = pos
+        while (pos < end && !isWs(peek) && !isDelim(peek)) pos += 1
+        val w = new String(buf, st, pos - st, "US-ASCII")
+        w match {
+          case "true"  => Bool(true)
+          case "false" => Bool(false)
+          case "null"  => Null
+          case ""      => pos += 1; next()
+          case other   => Op(other)
+        }
+    }
+  }
+
+  /** Rewrites trailing `Num Num Op(R)` triples inside arrays into Ref. */
+  private def resolveRefs(items: Vector[V]): Vector[V] = {
+    val out = ArrayBuffer.empty[V]
+    var i = 0
+    while (i < items.length) {
+      if (i + 2 < items.length) (items(i), items(i + 1), items(i + 2)) match {
+        case (Num(a), Num(b), Op("R")) if a == a.toInt && b == b.toInt =>
+          out += Ref(a.toInt, b.toInt); i += 3
+        case _ => out += items(i); i += 1
+      }
+      else { out += items(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  private def readDict(): V = {
+    var m = Map.empty[String, V]
+    var done = false
+    while (!done) {
+      skipWs()
+      if (pos >= end) done = true
+      else if (peek == '>' && pos + 1 < end && buf(pos + 1) == '>') { pos += 2; done = true }
+      else next() match {
+        case Name(key) => m += (key -> nextValueResolvingRef())
+        case _         => // tolerate junk between entries
+      }
+    }
+    Dict(m)
+  }
+
+  /** Read one dict value, folding the `Num Num R` indirect-reference triple. */
+  private def nextValueResolvingRef(): V = {
+    next() match {
+      case Num(a) if a == math.floor(a) && a >= 0 =>
+        val save = pos
+        next() match {
+          case Num(b) if b == math.floor(b) && b >= 0 =>
+            val save2 = pos
+            next() match {
+              case Op("R") => Ref(a.toInt, b.toInt)
+              case _       => pos = save; Num(a)
+            }
+          case _ => pos = save; Num(a)
+        }
+      case other => other
+    }
+  }
+
+  private def readLiteralString(): V = {
+    pos += 1
+    val out = new java.io.ByteArrayOutputStream()
+    var depth = 1
+    while (pos < end && depth > 0) {
+      val c = buf(pos) & 0xff
+      c match {
+        case '\\' if pos + 1 < end =>
+          pos += 1
+          val e = buf(pos) & 0xff
+          e match {
+            case 'n' => out.write('\n'); pos += 1
+            case 'r' => out.write('\r'); pos += 1
+            case 't' => out.write('\t'); pos += 1
+            case 'b' => out.write('\b'); pos += 1
+            case 'f' => out.write('\f'); pos += 1
+            case '(' => out.write('('); pos += 1
+            case ')' => out.write(')'); pos += 1
+            case '\\' => out.write('\\'); pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var oct = 0; var n = 0
+              while (n < 3 && pos < end && buf(pos) >= '0' && buf(pos) <= '7') { oct = oct * 8 + (buf(pos) - '0'); pos += 1; n += 1 }
+              out.write(oct)
+            case '\n' => pos += 1 // line continuation
+            case _ => out.write(e); pos += 1
+          }
+        case '(' => depth += 1; out.write(c); pos += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) out.write(c)
+          pos += 1
+        case _ => out.write(c); pos += 1
+      }
+    }
+    Str(out.toByteArray)
+  }
+
+  private def readHexString(): V = {
+    pos += 1
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var done = false
+    while (pos < end && !done) {
+      val c = buf(pos) & 0xff
+      if (c == '>') { done = true; pos += 1 }
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+        pos += 1
+      }
+    }
+    if (hi >= 0) out.write(hi * 16)
+    Str(out.toByteArray)
+  }
+}
+
+final case class GlyphRun(x: Double, y: Double, text: String, mcTag: Option[String])
+
+object PdfExtractor {
+  import Cos._
+
+  /** WinAnsiEncoding for the non-ASCII range we may meet; ASCII maps 1:1. */
+  private val winAnsiHigh: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x84 -> '„', 0x85 -> '…', 0x91 -> '‘', 0x92 -> '’',
+    0x93 -> '“', 0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—', 0xA0 -> ' ',
+    0xA9 -> '©', 0xAE -> '®', 0xB0 -> '°', 0xE9 -> 'é', 0xE8 -> 'è', 0xFC -> 'ü',
+    0xF6 -> 'ö', 0xE4 -> 'ä', 0xDF -> 'ß', 0xE7 -> 'ç', 0xF1 -> 'ñ')
+
+  private def decodeWinAnsi(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) sb.append(c.toChar)
+      else sb.append(winAnsiHigh.getOrElse(c, '?'))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Scan the whole file for `N G obj ... endobj` — robust against broken or
+    * absent xref tables (recovery mode; classic readers do the same on damaged
+    * files). Returns object map and trailer dict.
+    */
+  def scanObjects(buf: Array[Byte]): (Map[Int, V], Option[Dict]) = {
+    val objs = scala.collection.mutable.Map.empty[Int, V]
+    val s = new String(buf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var idx = 0
+    while (idx >= 0 && idx < s.length) {
+      val objIdx = s.indexOf(" obj", idx)
+      if (objIdx < 0) idx = -1
+      else {
+        // walk back over "N G"
+        var k = objIdx - 1
+        while (k >= 0 && Character.isDigit(s.charAt(k))) k -= 1
+        val genStart = k + 1
+        if (genStart < objIdx && k >= 1 && s.charAt(k) == ' ') {
+          var k2 = k - 1
+          while (k2 >= 0 && Character.isDigit(s.charAt(k2))) k2 -= 1
+          val numStart = k2 + 1
+          if (numStart < k) {
+            val num = s.substring(numStart, k).toInt
+            val bodyStart = objIdx + 4
+            val endObj = s.indexOf("endobj", bodyStart)
+            val bodyEnd = if (endObj < 0) s.length else endObj
+            val lex = new CosLexer(buf, bodyStart, bodyEnd)
+            var v = lex.next()
+            // stream?
+            v match {
+              case d: Dict =>
+                lex.skipWs()
+                val streamKw = s.indexOf("stream", lex.pos)
+                if (streamKw >= 0 && streamKw < bodyEnd && s.substring(lex.pos, math.min(bodyEnd, lex.pos + 7)).startsWith("stream")) {
+                  var dataStart = lex.pos + 6
+                  if (dataStart < buf.length && buf(dataStart) == '\r') dataStart += 1
+                  if (dataStart < buf.length && buf(dataStart) == '\n') dataStart += 1
+                  val endStream = s.indexOf("endstream", dataStart)
+                  val dataEnd0 = if (endStream < 0) bodyEnd else endStream
+                  // strip trailing EOL before endstream
+                  var dataEnd = dataEnd0
+                  if (dataEnd > dataStart && buf(dataEnd - 1) == '\n') dataEnd -= 1
+                  if (dataEnd > dataStart && buf(dataEnd - 1) == '\r') dataEnd -= 1
+                  v = StreamObj(d, java.util.Arrays.copyOfRange(buf, dataStart, dataEnd))
+                }
+              case _ =>
+            }
+            objs(num) = v
+          }
+        }
+        idx = objIdx + 4
+      }
+    }
+    // trailer
+    val trailerIdx = s.lastIndexOf("trailer")
+    val trailer =
+      if (trailerIdx >= 0) {
+        val lex = new CosLexer(buf, trailerIdx + 7, buf.length)
+        lex.next() match { case d: Dict => Some(d); case _ => None }
+      } else None
+    (objs.toMap, trailer)
+  }
+
+  private def resolve(v: V, objs: Map[Int, V]): V = v match {
+    case Ref(n, _) => objs.get(n).map(resolve(_, objs)).getOrElse(Null)
+    case other     => other
+  }
+
+  private def dictGet(d: Dict, key: String, objs: Map[Int, V]): V = resolve(d.m.getOrElse(key, Null), objs)
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val chunk = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(chunk)
+      if (n > 0) out.write(chunk, 0, n)
+      else if (n == 0 && inf.needsDictionary()) throw new java.util.zip.DataFormatException("needs dict")
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def streamData(st: StreamObj, objs: Map[Int, V]): Array[Byte] = {
+    dictGet(st.dict, "Filter", objs) match {
+      case Name("FlateDecode") => inflate(st.data)
+      case Arr(fs) if fs.exists { case Name("FlateDecode") => true; case _ => false } => inflate(st.data)
+      case _ => st.data
+    }
+  }
+
+  final case class Page(dict: Dict, runs: Vector[GlyphRun], images: Vector[Array[Byte]], annots: Vector[String])
+
+  /** Tokenize one content stream tracking the text matrix; emit glyph runs and
+    * collect image XObject payloads referenced by `Do`.
+    */
+  def parseContent(content: Array[Byte], resources: Dict, objs: Map[Int, V]): (Vector[GlyphRun], Vector[Array[Byte]]) = {
+    val runs = Vector.newBuilder[GlyphRun]
+    val images = Vector.newBuilder[Array[Byte]]
+    val lex = new CosLexer(content)
+    val stack = ArrayBuffer.empty[V]
+    var tx = 0.0; var ty = 0.0 // current text-line origin
+    var cx = 0.0; var cy = 0.0 // current position
+    var leading = 12.0
+    var mcStack = List.empty[String]
+
+    def num(v: V): Double = v match { case Num(d) => d; case _ => 0.0 }
+
+    def show(bytes: Array[Byte]): Unit = {
+      val t = decodeWinAnsi(bytes)
+      if (t.nonEmpty) { runs += GlyphRun(cx, cy, t, mcStack.headOption); cx += t.length * 5.0 }
+    }
+
+    var continue = true
+    while (continue) {
+      lex.skipWs()
+      if (lex.pos >= lex.end) { continue = false }
+      else lex.next() match {
+        case Op(op) =>
+          op match {
+            case "BT" => tx = 0; ty = 0; cx = 0; cy = 0
+            case "ET" =>
+            case "Td" =>
+              if (stack.length >= 2) { tx += num(stack(stack.length - 2)); ty += num(stack(stack.length - 1)) }
+              cx = tx; cy = ty
+            case "TD" =>
+              if (stack.length >= 2) {
+                leading = -num(stack(stack.length - 1))
+                tx += num(stack(stack.length - 2)); ty += num(stack(stack.length - 1))
+              }
+              cx = tx; cy = ty
+            case "Tm" =>
+              if (stack.length >= 6) { tx = num(stack(stack.length - 2)); ty = num(stack(stack.length - 1)) }
+              cx = tx; cy = ty
+            case "T*" => ty -= leading; tx = tx; cx = tx; cy = ty
+            case "TL" => if (stack.nonEmpty) leading = num(stack.last)
+            case "Tj" => stack.lastOption.foreach { case Str(b) => show(b); case _ => () }
+            case "'" =>
+              ty -= leading; cx = tx; cy = ty
+              stack.lastOption.foreach { case Str(b) => show(b); case _ => () }
+            case "\"" =>
+              ty -= leading; cx = tx; cy = ty
+              stack.lastOption.foreach { case Str(b) => show(b); case _ => () }
+            case "TJ" =>
+              stack.lastOption.foreach {
+                case Arr(items) =>
+                  items.foreach {
+                    case Str(b) => show(b)
+                    case Num(adj) => if (adj <= -180) { runs += GlyphRun(cx, cy, " ", mcStack.headOption); cx += 5.0 }
+                    case _ =>
+                  }
+                case _ => ()
+              }
+            case "BDC" | "BMC" =>
+              val tag = stack.collectFirst { case Name(n) => n }.getOrElse("")
+              mcStack = tag :: mcStack
+            case "EMC" => if (mcStack.nonEmpty) mcStack = mcStack.tail
+            case "Do" =>
+              stack.lastOption.foreach {
+                case Name(xn) =>
+                  dictGet(resources, "XObject", objs) match {
+                    case xd: Dict =>
+                      resolve(xd.m.getOrElse(xn, Null), objs) match {
+                        case so: StreamObj =>
+                          dictGet(so.dict, "Subtype", objs) match {
+                            case Name("Image") => images += streamData(so, objs)
+                            case _ =>
+                          }
+                        case _ =>
+                      }
+                    case _ =>
+                  }
+                case _ => ()
+              }
+            case _ => // ignore colors, paths, fonts, state
+          }
+          stack.clear()
+        case v => stack += v
+      }
+    }
+    (runs.result(), images.result())
+  }
+
+  /** Walk the page tree. */
+  def pages(objs: Map[Int, V], trailer: Option[Dict]): Vector[Page] = {
+    val root: Option[Dict] = trailer.flatMap(t => dictGet(t, "Root", objs) match { case d: Dict => Some(d); case _ => None })
+      .orElse(objs.values.collectFirst { case d: Dict if d.m.get("Type").contains(Name("Catalog")) => d })
+    val pagesRoot = root.flatMap(r => dictGet(r, "Pages", objs) match { case d: Dict => Some(d); case _ => None })
+    val out = Vector.newBuilder[Page]
+
+    def walk(node: Dict): Unit = {
+      dictGet(node, "Type", objs) match {
+        case Name("Pages") =>
+          dictGet(node, "Kids", objs) match {
+            case Arr(kids) => kids.foreach(k => resolve(k, objs) match { case d: Dict => walk(d); case _ => })
+            case _ =>
+          }
+        case _ =>
+          // a leaf Page
+          val resources = dictGet(node, "Resources", objs) match { case d: Dict => d; case _ => Dict(Map.empty) }
+          val contentBytes: Array[Byte] = dictGet(node, "Contents", objs) match {
+            case so: StreamObj => streamData(so, objs)
+            case Arr(items) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              items.foreach(i => resolve(i, objs) match {
+                case so: StreamObj => bos.write(streamData(so, objs)); bos.write('\n')
+                case _ =>
+              })
+              bos.toByteArray
+            case _ => Array.emptyByteArray
+          }
+          val (runs, images) = if (contentBytes.nonEmpty) parseContent(contentBytes, resources, objs) else (Vector.empty, Vector.empty)
+          val annots: Vector[String] = dictGet(node, "Annots", objs) match {
+            case Arr(items) => items.flatMap(i => resolve(i, objs) match {
+              case d: Dict => dictGet(d, "Contents", objs) match {
+                case Str(b) => Some(decodeWinAnsi(b)); case _ => None
+              }
+              case _ => None
+            }).toVector
+            case _ => Vector.empty
+          }
+          out += Page(node, runs, images, annots)
+      }
+    }
+    pagesRoot.foreach(walk)
+    out.result()
+  }
+
+  /** Order glyph runs into reading order: detect column split (bimodal x-starts
+    * separated by a wide gap), then per column group lines by y proximity (desc)
+    * and sort by x within a line.
+    */
+  def assemble(runs: Vector[GlyphRun]): Vector[String] = {
+    if (runs.isEmpty) return Vector.empty
+    val minX = runs.map(_.x).min
+    val maxX = runs.map(_.x).max
+    val width = maxX - minX
+    // column detection: split where a gap in x-start histogram exceeds 40% of width
+    val xs = runs.map(_.x).distinct.sorted
+    var splitAt: Option[Double] = None
+    if (width > 100) {
+      var i = 1
+      while (i < xs.length && splitAt.isEmpty) {
+        val gap = xs(i) - xs(i - 1)
+        if (gap > width * 0.4 && xs(i - 1) > minX - 1 && runs.count(_.x >= xs(i)) >= 3 && runs.count(_.x < xs(i)) >= 3)
+          splitAt = Some(xs(i))
+        i += 1
+      }
+    }
+    val columns: Vector[Vector[GlyphRun]] = splitAt match {
+      case Some(s) => Vector(runs.filter(_.x < s), runs.filter(_.x >= s))
+      case None    => Vector(runs)
+    }
+    columns.flatMap { col =>
+      // group by y with tolerance 2
+      val byLine = scala.collection.mutable.LinkedHashMap.empty[Long, ArrayBuffer[GlyphRun]]
+      col.sortBy(r => (-r.y, r.x)).foreach { r =>
+        val key = byLine.keys.find(k => math.abs(k - math.round(r.y)) <= 2).getOrElse(math.round(r.y))
+        byLine.getOrElseUpdate(key, ArrayBuffer.empty) += r
+      }
+      byLine.toVector.sortBy(-_._1).map { case (_, rs) =>
+        Normalize.line(rs.sortBy(_.x).map(_.text).mkString)
+      }.filter(_.nonEmpty)
+    }
+  }
+
+  def extract(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr): ExtractResult = {
+    val (objs, trailer) = scanObjects(bytes)
+    if (objs.isEmpty) return ExtractResult.fail(ExtractStatus.ExtractionFailed, "pdf: no objects parsed", "application/pdf")
+    val pgs = pages(objs, trailer)
+    if (pgs.isEmpty) return ExtractResult.fail(ExtractStatus.ExtractionFailed, "pdf: no page tree", "application/pdf")
+
+    val strategy = cfg.pdf.ocrStrategy
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+    val seenImageDigests = scala.collection.mutable.HashSet.empty[String]
+    var imageCount = 0
+    var ocrFailure: Option[String] = None
+
+    pgs.foreach { page =>
+      val hasText = page.runs.nonEmpty
+      val useText = strategy match {
+        case PdfOcrStrategy.NoOcr | PdfOcrStrategy.OcrAndText => true
+        case PdfOcrStrategy.OcrOnly => false
+        case PdfOcrStrategy.Auto => hasText
+      }
+      val useOcr = strategy match {
+        case PdfOcrStrategy.NoOcr => false
+        case PdfOcrStrategy.OcrOnly | PdfOcrStrategy.OcrAndText => true
+        case PdfOcrStrategy.Auto => !hasText
+      }
+      if (useText) assemble(page.runs).foreach { line =>
+        emitter.addBlock(line)
+        val tag = page.runs.headOption.flatMap(_.mcTag).filter(_ => cfg.pdf.extractMarkedContent)
+          .map(_.toLowerCase).filter(t => t.matches("h[1-6]|p")).getOrElse("p")
+        xe.addElement(tag, line)
+      }
+      if (useOcr && page.images.nonEmpty) {
+        page.images.foreach { img =>
+          try {
+            val t = ocr.recognize(img, cfg.ocr)
+            t.split("\n").foreach { l => emitter.addBlock(l); xe.addElement("p", l) }
+          } catch {
+            case e: Exception => ocrFailure = Some(s"ocr: ${e.getMessage}")
+          }
+        }
+      }
+      if (cfg.pdf.extractInlineImages) {
+        page.images.foreach { img =>
+          val digest = java.security.MessageDigest.getInstance("MD5").digest(img)
+            .take(4).map(b => f"${b & 0xff}%02x").mkString
+          if (!cfg.pdf.extractUniqueInlineImagesOnly || seenImageDigests.add(digest)) imageCount += 1
+        }
+      }
+      if (cfg.pdf.extractAnnotationText) page.annots.foreach { a =>
+        emitter.addBlock(a); xe.addElement("p", a)
+      }
+    }
+
+    if (ocrFailure.isDefined && emitter.result().isEmpty)
+      return ExtractResult.fail(ExtractStatus.OcrFailed, ocrFailure.get, "application/pdf")
+
+    // document info metadata
+    val info = trailer.flatMap(t => dictGet(t, "Info", objs) match { case d: Dict => Some(d); case _ => None })
+      .orElse(objs.values.collectFirst { case d: Dict if d.m.contains("Producer") || (d.m.contains("Title") && !d.m.contains("Type")) => d })
+    def infoStr(k: String): Option[String] = info.flatMap(d => dictGet(d, k, objs) match { case Str(b) => Some(decodeWinAnsi(b)); case _ => None })
+    var meta = Map[String, Seq[String]](
+      "Content-Type" -> Seq("application/pdf"),
+      "xmpTPg:NPages" -> Seq(pgs.length.toString))
+    infoStr("Title").foreach(t => meta += ("dc:title" -> Seq(t)))
+    infoStr("Author").foreach(t => meta += ("dc:creator" -> Seq(t)))
+    infoStr("Subject").foreach(t => meta += ("dc:subject" -> Seq(t)))
+    infoStr("Producer").foreach(t => meta += ("pdf:producer" -> Seq(t)))
+    if (cfg.pdf.extractInlineImages) meta += ("X-Image-Count" -> Seq(imageCount.toString))
+
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, "application/pdf")
+  }
+}

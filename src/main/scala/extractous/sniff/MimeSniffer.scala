@@ -1,0 +1,103 @@
+package extractous.sniff
+
+/** Magic-byte MIME sniffer — the per-row dispatch predicate of the pipeline
+  * (north rule: "sniffs MIME/magic bytes per row"). The reference delegates
+  * detection to Tika; this is a from-scratch detector for the formats the north
+  * rule names (HTML, PDF, DOCX, scanned images, plain text) plus the generic
+  * fallbacks.
+  */
+object MimeSniffer {
+  val Pdf = "application/pdf"
+  val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+  val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+  val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+  val Zip = "application/zip"
+  val Html = "text/html"
+  val Plain = "text/plain"
+  val Bmp = "image/bmp"
+  val Png = "image/png"
+  val Jpeg = "image/jpeg"
+  val OctetStream = "application/octet-stream"
+  val Empty = "application/octet-stream" // empty payload sniffs as generic binary
+
+  private def startsWith(b: Array[Byte], off: Int, sig: String): Boolean = {
+    if (b.length < off + sig.length) return false
+    var i = 0
+    while (i < sig.length) {
+      if (b(off + i) != sig.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  /** True iff the whole array is well-formed UTF-8 (the reference maps invalid
+    * UTF-8 to a dedicated status, /root/reference/ffi/src/errors.rs:10).
+    */
+  def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      val n =
+        if (c < 0x80) 0
+        else if ((c & 0xe0) == 0xc0) { if (c < 0xc2) return false; 1 }
+        else if ((c & 0xf0) == 0xe0) 2
+        else if ((c & 0xf8) == 0xf0) { if (c > 0xf4) return false; 3 }
+        else return false
+      if (i + n >= b.length) return false
+      var j = 1
+      while (j <= n) {
+        if ((b(i + j) & 0xc0) != 0x80) return false
+        j += 1
+      }
+      i += n + 1
+    }
+    true
+  }
+
+  /** Scan zip central/local headers textually for an OOXML marker entry name.
+    * Cheap containment scan — full zip walk happens in the office parser.
+    */
+  private def zipContains(b: Array[Byte], name: String): Boolean = {
+    val sig = name.getBytes("US-ASCII")
+    var i = 0
+    val limit = b.length - sig.length
+    while (i <= limit) {
+      var j = 0
+      while (j < sig.length && b(i + j) == sig(j)) j += 1
+      if (j == sig.length) return true
+      i += 1
+    }
+    false
+  }
+
+  private def looksLikeHtml(b: Array[Byte]): Boolean = {
+    // skip UTF-8 BOM + leading whitespace
+    var i = 0
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) i = 3
+    while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+    if (i >= b.length || b(i) != '<') return false
+    val head = new String(b, i, math.min(256, b.length - i), java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    head.startsWith("<!doctype html") || head.startsWith("<html") ||
+      head.startsWith("<head") || head.startsWith("<body") ||
+      head.contains("<html") || head.startsWith("<!--") ||
+      // any plausible opening tag followed eventually by '>'
+      head.matches("(?s)^<[a-z][a-z0-9]*[ >/].*")
+  }
+
+  def sniff(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return Empty
+    if (startsWith(bytes, 0, "%PDF-")) return Pdf
+    if (startsWith(bytes, 0, "PK")) {
+      if (zipContains(bytes, "word/")) return Docx
+      if (zipContains(bytes, "xl/")) return Xlsx
+      if (zipContains(bytes, "ppt/")) return Pptx
+      return Zip
+    }
+    if (startsWith(bytes, 0, "BM")) return Bmp
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
+    if (looksLikeHtml(bytes)) return Html
+    if (isValidUtf8(bytes)) return Plain
+    OctetStream
+  }
+}

@@ -1,0 +1,127 @@
+package extractous.spark
+
+import extractous.config.ExtractorConfig
+import extractous.core.Extract
+import extractous.model.{ExtractResult, ExtractedDoc, WebPage}
+import extractous.sniff.MimeSniffer
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.xbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The extraction surface exposed to Spark SQL / DataFrames.
+  *
+  * `extract_doc(html)` is a custom Catalyst scalar expression — not a Scala UDF
+  * — so Catalyst sees a normal null-safe, deterministic, prunable expression
+  * (SURVEY.md §4.4): column pruning keeps the scan at `url, html`, the hot path
+  * stays one narrow `ProjectExec`, and a poison row maps to a status column
+  * instead of a task failure. Per-document parsing is row-at-a-time by nature,
+  * so codegen falls back to `eval` (CodegenFallback) while the surrounding
+  * project/filter stages still fuse into whole-stage codegen.
+  */
+object ExtractDocExpr {
+  val metadataType: DataType = MapType(StringType, ArrayType(StringType, containsNull = false), valueContainsNull = false)
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("xml", StringType, nullable = false),
+    StructField("metadata", metadataType, nullable = false),
+    StructField("status", IntegerType, nullable = false),
+    StructField("error", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("extractor_version", StringType, nullable = false)))
+
+  def toInternalRow(r: ExtractResult): InternalRow = {
+    val keys = r.metadata.keys.toArray.sorted
+    val mapData = new ArrayBasedMapData(
+      new GenericArrayData(keys.map(k => UTF8String.fromString(k)).asInstanceOf[Array[Any]]),
+      new GenericArrayData(keys.map(k => new GenericArrayData(
+        r.metadata(k).map(v => UTF8String.fromString(v)).toArray.asInstanceOf[Array[Any]])).asInstanceOf[Array[Any]]))
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r.text),
+      UTF8String.fromString(r.xml),
+      mapData,
+      r.status,
+      UTF8String.fromString(r.error),
+      UTF8String.fromString(r.contentType),
+      UTF8String.fromString(ExtractResult.Version)))
+  }
+}
+
+final case class ExtractDocExpr(child: Expression, cfg: ExtractorConfig)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ExtractDocExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "extract_doc"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"extract_doc expects BINARY input, got ${child.dataType.sql}")
+
+  /** Null payload is a valid document (empty fast path), so eval is overridden
+    * rather than nullSafeEval (/root/reference/extractor.go:457-459).
+    */
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    ExtractDocExpr.toInternalRow(Extract(bytes, cfg))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractDocExpr = copy(child = newChild)
+}
+
+/** Cheap magic-byte MIME sniff as its own expression — the dispatch predicate
+  * exposed standalone so corpus-level routing (e.g. "only OCR the image rows")
+  * can be expressed as a Catalyst filter that prunes work before the expensive
+  * parse (SURVEY.md §4, OCR-Auto analogue).
+  */
+final case class SniffMimeExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sniff_mime"
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    UTF8String.fromString(MimeSniffer.sniff(bytes))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SniffMimeExpr = copy(child = newChild)
+}
+
+/** Column-level API + typed Dataset API + SQL registration. */
+object functions {
+  def extract_doc(c: Column, cfg: ExtractorConfig = ExtractorConfig.default): Column =
+    ColumnBridge.column(ExtractDocExpr(ColumnBridge.expression(c), cfg))
+
+  def sniff_mime(c: Column): Column =
+    ColumnBridge.column(SniffMimeExpr(ColumnBridge.expression(c)))
+
+  /** Register `extract_doc` / `sniff_mime` for SQL use with a fixed config. */
+  def register(spark: SparkSession, cfg: ExtractorConfig = ExtractorConfig.default): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_doc", exprs => ExtractDocExpr(exprs.head, cfg), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sniff_mime", exprs => SniffMimeExpr(exprs.head), "scala_udf")
+  }
+
+  /** Typed flagship map stage: `Dataset[WebPage] → Dataset[ExtractedDoc]` — a
+    * narrow per-row transform; no shuffle on the hot path (north rule).
+    */
+  def extractPages(ds: Dataset[WebPage], cfg: ExtractorConfig = ExtractorConfig.default): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    ds.map { p =>
+      val r = Extract(p.html, cfg)
+      ExtractedDoc(p.url, r.text, r.xml, r.metadata, r.status, r.error, r.contentType, ExtractResult.Version)
+    }
+  }
+
+  /** Untyped flagship projection over the expression (pruning-friendly). */
+  def extractFrame(df: DataFrame, cfg: ExtractorConfig = ExtractorConfig.default): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("url"), extract_doc(col("html"), cfg).as("r"))
+      .select(col("url"), col("r.text").as("text"), col("r.xml").as("xml"),
+        col("r.metadata").as("metadata"), col("r.status").as("status"),
+        col("r.error").as("error"), col("r.content_type").as("content_type"),
+        col("r.extractor_version").as("extractor_version"))
+  }
+}

@@ -1,0 +1,123 @@
+package extractous.text
+
+import extractous.config.CharSet
+
+/** The single canonical whitespace/block policy shared by ALL format parsers
+  * (SURVEY.md §7.4: one policy, frozen by golden files):
+  *   - a document is a sequence of blocks (paragraph, heading, table row, line);
+  *   - within a block, whitespace runs collapse to a single space and the block
+  *    is trimmed;
+  *   - empty blocks are dropped;
+  *   - blocks are joined with a single '\n'; no trailing newline.
+  */
+object Normalize {
+  /** Collapse internal whitespace runs to one space and trim. */
+  def line(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c); started = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Canonical form of multi-line raw text: normalize each line, drop empties,
+    * join with '\n'.
+    */
+  def text(s: String): String =
+    s.split("\n", -1).iterator.map(line).filter(_.nonEmpty).mkString("\n")
+}
+
+/** Accumulates blocks under the canonical policy with early truncation at
+  * `maxLen` characters — the reference's extract-string-max-length applied
+  * during emission, not post-hoc (/root/reference/extractor.go:144-151).
+  * Parsers should stop feeding once `isFull`.
+  */
+final class TextEmitter(maxLen: Int) {
+  private val sb = new java.lang.StringBuilder()
+  private var full = false
+
+  def isFull: Boolean = full
+
+  /** Add one block (normalized internally). Returns false once the limit is hit. */
+  def addBlock(raw: String): Boolean = {
+    if (full) return false
+    val t = Normalize.line(raw)
+    if (t.nonEmpty) {
+      if (sb.length() > 0) sb.append('\n')
+      if (sb.length() + t.length > maxLen) {
+        val room = maxLen - sb.length()
+        if (room > 0) sb.append(t, 0, room)
+        // never end on the separator we just added
+        if (sb.length() > 0 && sb.charAt(sb.length() - 1) == '\n')
+          sb.setLength(sb.length() - 1)
+        full = true
+      } else sb.append(t)
+    }
+    !full
+  }
+
+  def result(): String = sb.toString
+}
+
+/** Structured-XML-mode emitter (reference SetXmlOutput,
+  * /root/reference/extractor.go:299-305; XML mode preserves paragraphs/headings,
+  * /root/reference/config.go:186-192). Deterministic minimal XHTML-like format:
+  * `<doc>` root, `<title>`, `<h1>`..`<h6>`, `<p>`, one element per block,
+  * separated by '\n'.
+  */
+final class XmlEmitter(maxLen: Int) {
+  private val sb = new java.lang.StringBuilder("<doc>")
+  private var full = false
+
+  def isFull: Boolean = full
+
+  def escape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => b.append("&amp;")
+        case '<' => b.append("&lt;")
+        case '>' => b.append("&gt;")
+        case c   => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  def addElement(tag: String, raw: String): Unit = {
+    if (full) return
+    val t = Normalize.line(raw)
+    if (t.nonEmpty) {
+      sb.append('\n').append('<').append(tag).append('>')
+        .append(escape(t)).append("</").append(tag).append('>')
+      if (sb.length() > maxLen) full = true
+    }
+  }
+
+  def result(): String = sb.append("\n</doc>").toString
+}
+
+object Encoding {
+  /** Apply the configured output charset. In a String-column world this is a
+    * lossy fold for non-representable characters (US-ASCII → '?'), a no-op for
+    * UTF-8/UTF-16BE round trips — semantics of the reference's SetEncoding
+    * (/root/reference/extractor.go:186-190) without its byte-level surface.
+    */
+  def apply(s: String, cs: CharSet): String = cs match {
+    case CharSet.Utf8 => s
+    case other =>
+      val charset = java.nio.charset.Charset.forName(other.charsetName)
+      new String(s.getBytes(charset), charset)
+  }
+}
