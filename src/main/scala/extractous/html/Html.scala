@@ -25,6 +25,11 @@ object HtmlTokenizer {
   def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
     private var i = 0
     private var pending: Tok = null
+    private var lowerCache: String = null
+    def lower(src: String): String = {
+      if (lowerCache == null) lowerCache = src.toLowerCase
+      lowerCache
+    }
     advance()
 
     private def advance(): Unit = {
@@ -95,19 +100,18 @@ object HtmlTokenizer {
       }
       i = j
       if (closing) EndTag(name)
-      else {
-        if (!selfClosing && rawTextTags(name)) {
-          // consume raw text until matching close tag (case-insensitive)
-          val close = "</" + name
-          val idx = s.toLowerCase.indexOf(close, i)
-          i = if (idx < 0) s.length
-          else {
-            val gt = s.indexOf('>', idx)
-            if (gt < 0) s.length else gt + 1
-          }
+      else if (!selfClosing && rawTextTags(name)) {
+        // consume raw text through the matching close tag (case-insensitive) and
+        // emit as self-closing so the DOM never keeps a raw-text element open
+        val close = "</" + name
+        val idx = lower(s).indexOf(close, i)
+        i = if (idx < 0) s.length
+        else {
+          val gt = s.indexOf('>', idx)
+          if (gt < 0) s.length else gt + 1
         }
-        StartTag(name, attrs, selfClosing)
-      }
+        StartTag(name, attrs, selfClosing = true)
+      } else StartTag(name, attrs, selfClosing)
     }
 
     override def hasNext: Boolean = pending != null

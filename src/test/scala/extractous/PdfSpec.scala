@@ -1,0 +1,110 @@
+package extractous
+
+import extractous.config.{ExtractorConfig, PdfConfig, PdfOcrStrategy}
+import extractous.gen.PdfWriter
+import extractous.model.ExtractStatus
+import extractous.ocr.{Bmp, GlyphFont, GlyphTemplateOcr}
+import extractous.pdf.PdfExtractor
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfSpec extends AnyFunSuite {
+  private val cfg = ExtractorConfig()
+
+  test("uncompressed text pdf roundtrip") {
+    val pdf = PdfWriter.textPdf(Seq("Line one here", "Line two here"), "MyTitle", None, compress = false, markedContent = false)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0)
+    assert(r.text == "Line one here\nLine two here")
+    assert(r.metadata("dc:title") == Seq("MyTitle"))
+    assert(r.metadata("xmpTPg:NPages") == Seq("1"))
+  }
+
+  test("flate-compressed content stream") {
+    val pdf = PdfWriter.textPdf(Seq("Compressed body text"), "T", None, compress = true, markedContent = false)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.text == "Compressed body text")
+  }
+
+  test("escaped characters in literal strings") {
+    val pdf = PdfWriter.textPdf(Seq("parens (nested) and \\ backslash"), "T", None, compress = false, markedContent = false)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.text == "parens (nested) and \\ backslash")
+  }
+
+  test("annotation text honored and toggleable") {
+    val pdf = PdfWriter.textPdf(Seq("Body"), "T", Some("A note"), compress = false, markedContent = false)
+    val on = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(on.text == "Body\nA note")
+    val off = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(extractAnnotationText = false)), GlyphTemplateOcr)
+    assert(off.text == "Body")
+  }
+
+  test("two-column layout reads left column first") {
+    // hand-built content stream: 3 lines at x=72, 3 lines at x=400
+    val content =
+      """BT /F1 12 Tf
+        |1 0 0 1 72 720 Tm (L one) Tj
+        |1 0 0 1 72 706 Tm (L two) Tj
+        |1 0 0 1 72 692 Tm (L three) Tj
+        |1 0 0 1 400 720 Tm (R one) Tj
+        |1 0 0 1 400 706 Tm (R two) Tj
+        |1 0 0 1 400 692 Tm (R three) Tj
+        |ET""".stripMargin
+    val pdf = twoColPdf(content)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.text == "L one\nL two\nL three\nR one\nR two\nR three")
+  }
+
+  private def twoColPdf(content: String): Array[Byte] = {
+    val body = content.getBytes("US-ASCII")
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String) = sb.write(s.getBytes("US-ASCII"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${body.length} >> stream\n")
+    sb.write(body)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n")
+    sb.toByteArray
+  }
+
+  test("TJ array with kerning inserts word gap on large adjustment") {
+    val content = "BT /F1 12 Tf 72 720 Td [(Hel) -50 (lo) -400 (world)] TJ ET"
+    val pdf = twoColPdf(content)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.text == "Hello world")
+  }
+
+  test("scanned pdf: NoOcr yields empty, Auto runs OCR, OcrOnly runs OCR") {
+    val img = Bmp.encode(GlyphFont.render(Seq("SCAN 7", "hello")))
+    val pdf = PdfWriter.scannedPdf(img)
+    val no = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(no.text == "")
+    val auto = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.Auto)), GlyphTemplateOcr)
+    assert(auto.text == "SCAN 7\nhello")
+    val only = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.OcrOnly)), GlyphTemplateOcr)
+    assert(only.text == "SCAN 7\nhello")
+  }
+
+  test("ocr-auto skips OCR when page has embedded text") {
+    val pdf = PdfWriter.textPdf(Seq("Embedded"), "T", None, compress = false, markedContent = false)
+    val r = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.Auto)), GlyphTemplateOcr)
+    assert(r.text == "Embedded")
+  }
+
+  test("corrupt pdf yields -4, not an exception") {
+    val r = PdfExtractor.extract("%PDF-1.4\ngarbage only".getBytes("US-ASCII"), cfg, GlyphTemplateOcr)
+    assert(r.status == ExtractStatus.ExtractionFailed)
+    assert(r.text == "")
+  }
+
+  test("inline image count metadata with unique dedup") {
+    val img = Bmp.encode(GlyphFont.render(Seq("X")))
+    val pdf = PdfWriter.scannedPdf(img)
+    val c = cfg.copy(pdf = PdfConfig(extractInlineImages = true))
+    val r = PdfExtractor.extract(pdf, c, GlyphTemplateOcr)
+    assert(r.metadata("X-Image-Count") == Seq("1"))
+  }
+}
