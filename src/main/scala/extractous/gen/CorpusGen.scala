@@ -152,6 +152,22 @@ object CorpusGen {
       }
   }
 
+  /** Synthetic multimodal payloads — pure functions of doc_id so expectations
+    * stay SQL-expressible (see pipeline.Multimodal for the container formats).
+    */
+  def videoPayload(id: Long): Array[Byte] = {
+    val n = 1 + (id % 3).toInt
+    extractous.pipeline.Multimodal.VideoStub.encode(
+      (0 until n).map(j => Bmp.encode(GlyphFont.render(Seq(s"F$j $id")))))
+  }
+
+  def audioPayload(id: Long): Array[Byte] =
+    extractous.pipeline.Multimodal.Wav.encode(
+      sampleRate = 8000 + (id % 4).toInt * 4000,
+      channels = 1 + (id % 2).toInt,
+      bits = 16,
+      nSamples = 100 + (id % 50).toInt)
+
   def webPage(id: Long, text: String, lang: String): WebPage =
     WebPage(urlOf(id), tsOf(id), payload(id, text, lang), "", lang)
 

@@ -1,0 +1,135 @@
+package extractous.pipeline
+
+import extractous.config.OcrConfig
+import extractous.ocr.{Bmp, Gray, GlyphTemplateOcr, Png}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal columns: images/audio/video ride as opaque `binary` columns with
+  * typed metadata extracted by per-partition batch transforms (the Scala
+  * analogue of a `mapInPandas` decode stage: one iterator pass per partition,
+  * decode in-JVM, emit typed rows — no shuffle, no driver collect).
+  *
+  * Image decode (BMP/PNG headers + pixels) and resize are REAL (our own codecs)
+  * The video/audio containers are DETERMINISTIC SYNTHETIC STUBS — the real
+  * decoders (ffmpeg et al.) are not in this container; the container parsing,
+  * schema, partitioning and batch shape are the production-shaped parts.
+  */
+object Multimodal {
+
+  final case class ImageMeta(id: Long, width: Int, height: Int, format: String, ink_pixels: Long)
+  final case class ResizedImage(id: Long, width: Int, height: Int, bytes: Array[Byte])
+  final case class VideoFrames(id: Long, n_frames: Int, sampled_frames: Seq[Int], first_frame_text: String)
+  final case class AudioMeta(id: Long, sample_rate: Int, channels: Int, bits: Int, n_samples: Long, duration_ms: Long)
+
+  private def decodeImage(bytes: Array[Byte]): (Gray, String) =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') (Bmp.decode(bytes), "bmp")
+    else (Png.decode(bytes), "png")
+
+  /** (id, image bytes) → typed metadata; partition-batched decode. */
+  def imageMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[ImageMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val (g, fmt) = decodeImage(bytes)
+      ImageMeta(id, g.width, g.height, fmt, g.pixels.count(_ != 0).toLong)
+    })
+  }
+
+  /** Real nearest-neighbor downscale by integer factor, re-encoded as BMP. */
+  def resize(ds: Dataset[(Long, Array[Byte])], factor: Int): Dataset[ResizedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val (g, _) = decodeImage(bytes)
+      val w = math.max(1, g.width / factor)
+      val h = math.max(1, g.height / factor)
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = g(x * factor, y * factor).toByte; x += 1 }
+        y += 1
+      }
+      ResizedImage(id, w, h, Bmp.encode(Gray(w, h, px)))
+    })
+  }
+
+  // ---- synthetic video container ("GVID"): magic, i32 nFrames, then
+  // [i32 len][BMP frame bytes] * nFrames. Deterministic stub format. ----
+  object VideoStub {
+    val Magic = "GVID".getBytes("US-ASCII")
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Magic)
+      val b4 = java.nio.ByteBuffer.allocate(4)
+      def i32(v: Int): Unit = { b4.clear(); b4.putInt(v); out.write(b4.array(), 0, 4) }
+      i32(frames.length)
+      frames.foreach { f => i32(f.length); out.write(f) }
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      require(bytes.length >= 8 && bytes.take(4).sameElements(Magic), "not a GVID container")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.position(4)
+      val n = bb.getInt
+      require(n >= 0 && n < 10000, "bad frame count")
+      (0 until n).map { _ =>
+        val len = bb.getInt
+        val f = new Array[Byte](len)
+        bb.get(f)
+        f
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `step`-th frame; OCR the first sampled frame
+    * (feature extraction downstream of sampling).
+    */
+  def frameSample(ds: Dataset[(Long, Array[Byte])], step: Int): Dataset[VideoFrames] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val frames = VideoStub.decode(bytes)
+      val sampled = frames.indices.filter(_ % step == 0)
+      val t = if (sampled.nonEmpty) GlyphTemplateOcr.recognize(frames(sampled.head), OcrConfig()) else ""
+      VideoFrames(id, frames.length, sampled, t)
+    })
+  }
+
+  // ---- minimal but real RIFF/WAVE header codec (PCM) ----
+  object Wav {
+    def encode(sampleRate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+      val dataLen = nSamples * channels * (bits / 8)
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      bb.putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * (bits / 8)).putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      // deterministic payload: simple sawtooth
+      var i = 0
+      while (i < dataLen) { bb.put(((i * 7) % 251 - 125).toByte); i += 1 }
+      bb.array()
+    }
+
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      require(bytes.length >= 44 && new String(bytes, 0, 4, "US-ASCII") == "RIFF"
+        && new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val channels = bb.getShort(22).toInt
+      val rate = bb.getInt(24)
+      val bits = bb.getShort(34).toInt
+      val dataLen = bb.getInt(40)
+      val n = dataLen / math.max(1, channels * (bits / 8))
+      AudioMeta(0L, rate, channels, bits, n.toLong, n.toLong * 1000L / math.max(1, rate))
+    }
+  }
+
+  def audioMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[AudioMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) => Wav.decode(bytes).copy(id = id) })
+  }
+}

@@ -1,0 +1,72 @@
+package extractous.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, built entirely from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs): token counting,
+  * quality scoring, stopword-based language ID, and a polynomial document
+  * fingerprint. Every operator is a narrow per-row expression — no shuffle.
+  */
+object TextStats {
+
+  /** Language → marker stopwords. Mirrors extractous.gen.CorpusGen.stopLine so
+    * the language-ID op can recover the corpus ground truth.
+    */
+  val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "es" -> Seq("el", "la", "los", "y", "no"),
+    "fr" -> Seq("le", "la", "les", "et", "ne"),
+    "zh" -> Seq("的", "了", "是", "在", "不"))
+
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** Distinct-presence stopword hits (bounded by the stop list size — robust
+    * against one common word dominating).
+    */
+  def stopHits(toks: Column, stops: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(stops.map(lit): _*)))
+
+  /** Stopword-presence language classifier; ties resolve to the earlier entry
+    * in [[langStops]] (deterministic).
+    */
+  def predLang(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val scores = langStops.map { case (l, st) => (l, stopHits(t, st)) }
+    var bestLang: Column = lit(scores.head._1)
+    var bestScore: Column = scores.head._2
+    scores.tail.foreach { case (l, s) =>
+      bestLang = when(s > bestScore, lit(l)).otherwise(bestLang)
+      bestScore = when(s > bestScore, s).otherwise(bestScore)
+    }
+    bestLang
+  }
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.,!?;:]", ""))
+
+  /** Simple quality gate: token count in range, bounded punctuation density,
+    * mean token length sane. Returns 1/0 (BIGINT-friendly for oracles).
+    */
+  def isGood(c: Column): Column = {
+    val nt = tokenCount(c)
+    val nc = length(c)
+    (nt >= 5 && nt <= 100000 && punctCount(c) * 10 <= nc && nc >= 20).cast("int")
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * h = fold(h * 31 + codepoint) mod 1e9+7 — implementable identically in any
+    * SQL engine with higher-order list functions (the DuckDB oracle mirrors it).
+    */
+  val FingerprintMod = 1000000007L
+  def fingerprint(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + ch, lit(FingerprintMod)))
+}

@@ -2,8 +2,9 @@ package graft
 
 import extractous.config._
 import extractous.gen.CorpusGen
+import extractous.pipeline.{Dedup, Multimodal, Similarity, TextStats}
 import extractous.spark.{functions => xf}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — queries (Spark) + oracleSql (DuckDB twin on the same
@@ -11,19 +12,42 @@ import org.apache.spark.sql.functions._
   * deterministic payload synthesis from documents.parquet → MIME sniff →
   * format parser → canonical text; the oracle reconstructs the expected output
   * in closed form from (doc_id, text, lang). See extractous.gen.CorpusGen.
+  *
+  * Non-SQL-expressible ops (LSH internals, IVF probing, simhash bits) are
+  * covered instead by: (a) an end-result oracle where the verified output is
+  * exact (d_minhash_lsh verifies candidates with exact Jaccard, so the oracle
+  * is the brute-force pair set), or (b) ScalaTest golden/recall suites.
   */
 object SparkEntry {
 
-  // ---- shared SQL fragments (DuckDB dialect, ASCII-safe) ----
+  // ---- shared SQL fragments (DuckDB dialect) ----
   private val sqlUrl =
     "'https://host-' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS VARCHAR) || '.example/doc-' || CAST(doc_id AS VARCHAR)"
   private val sqlStop =
     "CASE lang WHEN 'de' THEN 'der die und nicht das' WHEN 'es' THEN 'el la los y no' WHEN 'fr' THEN 'le la les et ne' WHEN 'zh' THEN '的 了 是 在 不' ELSE 'the and of to in' END"
   private val sqlKind = "doc_id % 100"
   private val sqlId = "CAST(doc_id AS VARCHAR)"
+  private val docxMime = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 
   private def corpusDf(s: SparkSession, dir: String): DataFrame =
     CorpusGen.corpus(s, dir).toDF()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ shifted copy — a corpus with guaranteed exact duplicates. */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + 100000, col("text")))
+  }
+
+  private def binDs(s: SparkSession, dir: String, f: Long => Array[Byte]) = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long].map(id => (id, f(id)))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -32,8 +56,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- extraction family (full pipeline, oracle-checked) ----------
     "x_extract" -> ((s, dir) => {
-      val out = xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
-      out.select(col("url"), col("text"), col("status").cast("long").as("status"), col("content_type"))
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .select(col("url"), col("text"), col("status").cast("long").as("status"), col("content_type"))
         .orderBy(col("url"))
     }),
     "x_sniff" -> ((s, dir) => {
@@ -42,12 +66,11 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
     "x_metadata" -> ((s, dir) => {
-      val out = xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
-      out.filter(col("content_type").isin("text/html", "application/pdf",
-          "application/vnd.openxmlformats-officedocument.wordprocessingml.document") && col("status") === 0)
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("content_type").isin("text/html", "application/pdf", docxMime) && col("status") === 0)
         .filter(!col("text").startsWith("SCAN ")) // scanned PDFs carry no Info dict
         .select(col("url"),
-          coalesce(element_at(element_at(col("metadata"), lit("dc:title")), 1), lit("")).as("title"))
+          coalesce(try_element_at(try_element_at(col("metadata"), lit("dc:title")), lit(1)), lit("")).as("title"))
         .orderBy(col("url"))
     }),
     "x_truncate" -> ((s, dir) => {
@@ -56,7 +79,145 @@ object SparkEntry {
         .filter(col("content_type") === "text/plain" && col("status") === 0)
         .select(col("url"), col("text"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("url"))
+    }),
+    "x_xml" -> ((s, dir) => {
+      val cfg = CorpusGen.flagshipConfig.copy(xmlOutput = true)
+      xf.extractFrame(corpusDf(s, dir), cfg)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), col("xml"))
+        .orderBy(col("url"))
+    }),
+    "x_alltext" -> ((s, dir) => {
+      val cfg = CorpusGen.flagshipConfig.copy(htmlMode = HtmlMode.AllText)
+      xf.extractFrame(corpusDf(s, dir), cfg)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), col("text"))
+        .orderBy(col("url"))
+    }),
+    "x_office_deleted" -> ((s, dir) => {
+      val cfg = CorpusGen.flagshipConfig.copy(
+        office = OfficeConfig(includeDeletedContent = true, includeMoveFromContent = true))
+      xf.extractFrame(corpusDf(s, dir), cfg)
+        .filter(col("content_type") === docxMime)
+        .select(col("url"), col("text"))
+        .orderBy(col("url"))
+    }),
+    "x_errors" -> ((s, dir) => {
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("status") =!= 0 || col("text") === "")
+        .filter(col("content_type") =!= "application/pdf" || col("status") =!= 0) // keep empty+corrupt only
+        .select(col("url"), col("status").cast("long").as("status"),
+          (length(col("error")) > 0).cast("long").as("has_error"))
+        .orderBy(col("url"))
+    }),
+    // ---------- dedup family ----------
+    "d_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docsWithCopies(s, dir), "text", "doc_id")
+        .select(col("text"), col("keep_id").cast("long").as("keep_id"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("text"))
+    }),
+    "d_dedup_hash" -> ((s, dir) => {
+      Dedup.byHash(docsWithCopies(s, dir), "text", "doc_id")
+        .select(col("text_md5"), col("keep_id").cast("long").as("keep_id"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("text_md5"))
+    }),
+    "d_minhash_lsh" -> ((s, dir) => {
+      // LSH candidates + exact-Jaccard verification ⇒ the output equals the
+      // brute-force pair set (oracle) whenever recall holds (P(miss) ~ 4e-8/pair)
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d_simhash" -> ((s, dir) => {
+      // no SQL oracle (xxhash64 bit-mixing not expressible); rows-only + spec
+      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxDist = 10)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"), col("dist").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d_neardup_cosine" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.union(e.select(col("vec_id") + 100000,
+        transform(col("embedding"), x => x * lit(1.25f))))
+      Similarity.nearDupPairsExact(planted, threshold = 0.99)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---------- similarity search ----------
+    "s_knn_brute" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteKnn(e, e.filter(col("vec_id") < 20), k = 5)
+        .select(col("query_id").cast("long"), col("rank"), col("neighbor_id").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "s_knn_ivf" -> ((s, dir) => {
+      // approximate (nprobe=3 of 10 cells): no SQL oracle; recall vs brute in spec
+      val e = embs(s, dir)
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 20), k = 5, nprobe = 3)
+        .select(col("query_id").cast("long"), col("rank"), col("neighbor_id").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // ---------- text analysis ----------
+    "t_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "t_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextStats.punctCount(col("text")).cast("long").as("n_punct"),
+        TextStats.isGood(col("text")).cast("long").as("is_good"))
+        .orderBy(col("doc_id"))
+    }),
+    "t_langid" -> ((s, dir) => {
+      // real pipeline: html payload → extract → classify; truth = documents.lang
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), TextStats.predLang(col("text")).as("pred_lang"))
+        .orderBy(col("url"))
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---------- multimodal ----------
+    "m_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = docs(s, dir).filter(pmod(col("doc_id"), lit(100)).between(90, 95))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.payload(id, text, "en")) }
+      Multimodal.imageMeta(imgs).toDF()
+        .select(col("id"), col("width").cast("long"), col("height").cast("long"), col("format"))
+        .orderBy(col("id"))
+    }),
+    "m_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = docs(s, dir).filter(pmod(col("doc_id"), lit(100)).between(90, 95))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.payload(id, text, "en")) }
+      Multimodal.resize(imgs, factor = 2).toDF()
+        .select(col("id"), col("width").cast("long"), col("height").cast("long"))
+        .orderBy(col("id"))
+    }),
+    "m_frames" -> ((s, dir) => {
+      Multimodal.frameSample(binDs(s, dir, CorpusGen.videoPayload), step = 2).toDF()
+        .select(col("id"), col("n_frames").cast("long"),
+          size(col("sampled_frames")).cast("long").as("n_sampled"), col("first_frame_text"))
+        .orderBy(col("id"))
+    }),
+    "m_audio" -> ((s, dir) => {
+      Multimodal.audioMeta(binDs(s, dir, CorpusGen.audioPayload)).toDF()
+        .select(col("id"), col("sample_rate").cast("long"), col("channels").cast("long"),
+          col("n_samples").cast("long"), col("duration_ms").cast("long"))
+        .orderBy(col("id"))
     }))
+
+  // ======================= DuckDB oracles =======================
+
+  private val sqlShingles =
+    """list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] = Map(
     "x_extract" ->
@@ -75,7 +236,7 @@ object SparkEntry {
          |  WHEN $sqlKind < 55 THEN 'text/html'
          |  WHEN $sqlKind < 70 THEN 'text/plain'
          |  WHEN $sqlKind < 82 THEN 'application/pdf'
-         |  WHEN $sqlKind < 90 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+         |  WHEN $sqlKind < 90 THEN '$docxMime'
          |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END)
          |  WHEN $sqlKind < 98 THEN 'application/pdf'
          |  WHEN $sqlKind = 98 THEN 'application/octet-stream'
@@ -88,7 +249,7 @@ object SparkEntry {
          |  WHEN $sqlKind < 55 THEN 'text/html'
          |  WHEN $sqlKind < 70 THEN 'text/plain'
          |  WHEN $sqlKind < 82 THEN 'application/pdf'
-         |  WHEN $sqlKind < 90 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+         |  WHEN $sqlKind < 90 THEN '$docxMime'
          |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END)
          |  WHEN $sqlKind < 98 THEN 'application/pdf'
          |  WHEN $sqlKind = 98 THEN 'application/octet-stream'
@@ -104,5 +265,98 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url, substr(text, 1, 100) AS text,
          |CAST(length(substr(text, 1, 100)) AS BIGINT) AS n_chars
          |FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70
-         |ORDER BY url""".stripMargin)
+         |ORDER BY url""".stripMargin,
+    "x_xml" ->
+      s"""SELECT $sqlUrl AS url,
+         |'<doc>' || chr(10) || '<title>Document ' || $sqlId || ' (' || lang || ')</title>' || chr(10)
+         | || '<h1>Document ' || $sqlId || '</h1>' || chr(10)
+         | || '<p>' || $sqlStop || '</p>' || chr(10)
+         | || '<p>' || text || '</p>' || chr(10) || '</doc>' AS xml
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "x_alltext" ->
+      s"""SELECT $sqlUrl AS url,
+         |'Document ' || $sqlId || ' (' || lang || ')' || chr(10)
+         | || 'Home About' || chr(10) || 'Section A' || chr(10) || 'Section B' || chr(10)
+         | || 'Subscribe now limited offer click here' || chr(10)
+         | || 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
+         | || 'Copyright 2024 Example Corp Terms of Service Privacy' AS text
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "x_office_deleted" ->
+      s"""SELECT $sqlUrl AS url,
+         |'Document ' || $sqlId || chr(10) || text || chr(10) || 'DELETED ' || $sqlId
+         | || chr(10) || 'MOVED ' || $sqlId || chr(10) || 'SHAPE ' || $sqlId AS text
+         |FROM documents WHERE $sqlKind >= 82 AND $sqlKind < 90 ORDER BY url""".stripMargin,
+    "x_errors" ->
+      s"""SELECT $sqlUrl AS url,
+         |CAST(CASE WHEN $sqlKind = 99 THEN (CASE WHEN doc_id % 3 = 2 THEN -2 ELSE -4 END) ELSE 0 END AS BIGINT) AS status,
+         |CAST(CASE WHEN $sqlKind = 99 THEN 1 ELSE 0 END AS BIGINT) AS has_error
+         |FROM documents WHERE $sqlKind IN (98, 99) ORDER BY url""".stripMargin,
+    "d_dedup_exact" ->
+      """SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY text ORDER BY text""".stripMargin,
+    "d_dedup_hash" ->
+      """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "d_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+         |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_neardup_cosine" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 100000 AS BIGINT) AS id_b
+        |FROM embeddings ORDER BY id_a""".stripMargin,
+    "s_knn_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |      FROM q, e WHERE q.query_id <> e.vec_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, CAST(neighbor_id AS BIGINT) AS neighbor_id
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "t_tokens" ->
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      """SELECT doc_id,
+        |CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |CAST(CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
+        |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10 <= length(text)
+        |  AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_good
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_langid" ->
+      s"""SELECT $sqlUrl AS url, lang AS pred_lang
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_image_meta" ->
+      s"""SELECT doc_id AS id,
+         |CAST(8 + 8 * greatest(length('DOC ' || $sqlId), least(40, length(text))) AS BIGINT) AS width,
+         |CAST(32 AS BIGINT) AS height,
+         |CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format
+         |FROM documents WHERE $sqlKind BETWEEN 90 AND 95 ORDER BY id""".stripMargin,
+    "m_resize" ->
+      s"""SELECT doc_id AS id,
+         |CAST((8 + 8 * greatest(length('DOC ' || $sqlId), least(40, length(text)))) // 2 AS BIGINT) AS width,
+         |CAST(16 AS BIGINT) AS height
+         |FROM documents WHERE $sqlKind BETWEEN 90 AND 95 ORDER BY id""".stripMargin,
+    "m_frames" ->
+      s"""SELECT doc_id AS id, CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+         |CAST((1 + doc_id % 3 + 1) // 2 AS BIGINT) AS n_sampled,
+         |'F0 ' || $sqlId AS first_frame_text
+         |FROM documents ORDER BY id""".stripMargin,
+    "m_audio" ->
+      """SELECT doc_id AS id,
+        |CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+        |CAST((100 + doc_id % 50) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY id""".stripMargin)
 }

@@ -1,0 +1,144 @@
+package extractous
+
+import extractous.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import extractous.gen.CorpusGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup halves a doubled corpus") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val doubled = d.union(d.select(col("doc_id") + 100000, col("text")))
+    val out = Dedup.exact(doubled, "text", "doc_id")
+    assert(out.count() == 500)
+    assert(out.agg(sum("cnt")).head.getLong(0) == 1000)
+    assert(out.agg(max("keep_id")).head.getLong(0) < 100000) // representative = original
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    import spark.implicits._
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth via the same shingle/jaccard expressions
+    val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text")).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.8).select("a.id", "b.id").as[(Long, Long)].collect().toSet
+    assert(pairs == truth)
+    assert(truth.nonEmpty) // the seed corpus has natural near-dups
+  }
+
+  test("simhash near-dups: sound (all pairs within bound), complete for dist<=3") {
+    import spark.implicits._
+    val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 10)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect()
+    assert(out.forall(_._3 <= 10))
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
+    val close = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
+      .filter(col("d") <= 3).as[(Long, Long, Long)].collect().toSet
+    val found = out.map(t => (t._1, t._2, t._3)).toSet
+    assert(close.subsetOf(found), "pigeonhole banding must find every pair with dist<=3")
+  }
+
+  test("ivf knn: probing all cells reproduces brute force exactly") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteKnn(embs, queries, 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.ivfKnn(embs, queries, 5, nprobe = 10)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(full == brute)
+  }
+
+  test("ivf knn: nprobe=3 keeps reasonable recall while pruning 70% of cells") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(embs, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfKnn(embs, queries, 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall $recall collapsed — IVF probing broken")
+  }
+
+  test("hyperplane LSH near-dup recall on planted duplicates") {
+    import spark.implicits._
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val planted = e.union(e.select(col("vec_id") + 100000,
+      transform(col("embedding"), x => x * lit(1.25f))))
+    val found = Similarity.nearDupPairsLsh(planted, threshold = 0.99, nbits = 8)
+      .as[(Long, Long)].collect().toSet
+    // scaled copies have cosine 1 and identical sign patterns → always same bucket
+    val expected = embs.select("vec_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(found == expected)
+  }
+
+  test("fingerprint matches scala reference implementation") {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text"),
+      TextStats.fingerprint(col("text")).as("fp")).as[(Long, String, Long)].collect()
+    rows.take(50).foreach { case (id, text, fp) =>
+      val ref = text.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TextStats.FingerprintMod)
+      assert(fp == ref, s"doc $id")
+    }
+  }
+
+  test("langid recovers corpus ground truth on extracted html text") {
+    import spark.implicits._
+    val rows = docs.limit(100).select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+      .filter { case (id, _, _) => CorpusGen.kindOf(id) == "html" }
+    rows.foreach { case (id, text, lang) =>
+      val r = extractous.core.Extract(CorpusGen.payload(id, text, lang), CorpusGen.flagshipConfig)
+      val df = spark.createDataset(Seq(r.text)).toDF("t")
+      val pred = df.select(TextStats.predLang(col("t"))).head.getString(0)
+      assert(pred == lang, s"doc $id")
+    }
+  }
+
+  test("video container roundtrip + frame sampling") {
+    val payload = CorpusGen.videoPayload(7) // 2 frames
+    val frames = Multimodal.VideoStub.decode(payload)
+    assert(frames.length == 2)
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((7L, payload)))
+    val out = Multimodal.frameSample(ds, 2).collect().head
+    assert(out.n_frames == 2 && out.sampled_frames == Seq(0) && out.first_frame_text == "F0 7")
+  }
+
+  test("audio WAV header roundtrip") {
+    val payload = CorpusGen.audioPayload(13)
+    val m = Multimodal.Wav.decode(payload)
+    assert(m.sample_rate == 8000 + (13 % 4) * 4000)
+    assert(m.channels == 1 + 13 % 2)
+    assert(m.n_samples == 100 + 13 % 50)
+  }
+
+  test("resize halves dimensions and preserves decodability") {
+    import spark.implicits._
+    val img = CorpusGen.payload(90, "some sample words", "en") // image kind
+    val ds = spark.createDataset(Seq((90L, img)))
+    val out = Multimodal.resize(ds, 2).collect().head
+    val g = extractous.ocr.Bmp.decode(out.bytes)
+    assert(g.width == out.width && g.height == out.height)
+    val orig = extractous.ocr.Bmp.decode(img)
+    assert(out.width == orig.width / 2 && out.height == orig.height / 2)
+  }
+}
