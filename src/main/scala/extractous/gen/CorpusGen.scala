@@ -174,10 +174,16 @@ object CorpusGen {
   /** Distributed corpus build: a narrow per-row map over the seed table — no
     * shuffle, deterministic under any partitioning.
     */
-  def corpus(spark: SparkSession, sfDir: String): Dataset[WebPage] = {
+  def corpus(spark: SparkSession, sfDir: String): Dataset[WebPage] =
+    corpusFrom(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Same, over an arbitrary (doc_id, text, lang) frame (lets the bench feed
+    * realistic page sizes without touching the oracle corpus).
+    */
+  def corpusFrom(docsDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text", "lang")
+    docsDf.select("doc_id", "text", "lang")
       .as[(Long, String, String)]
       .map { case (id, text, lang) => webPage(id, text, lang) }
   }

@@ -55,14 +55,21 @@ object Dedup {
     }
   }
 
-  /** MinHash signature (array<bigint> of length numHashes) over a shingle
-    * array: sig_j = min over shingles of (a_j * h(s) + b_j) mod P. Pure
+  /** Base hashes for minhashing: one xxhash64 per shingle (materialize this
+    * as its own column — every permutation reuses it; inlining it into
+    * [[minhashSignature]] would recompute the string hashing `numHashes` times,
+    * there is no common-subexpression elimination inside HOF lambdas).
+    */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => pmod(xxhash64(s), lit(4294967296L)))
+
+  /** MinHash signature (array<bigint> of length numHashes) over precomputed
+    * shingle hashes: sig_j = min over shingles of (a_j * h + b_j) mod P. Pure
     * expression — computed where the row lives.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column = {
-    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(4294967296L)))
+  def minhashSignature(hashesCol: Column, numHashes: Int = 64): Column = {
     val perHash = coeffs(numHashes).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
+      array_min(transform(hashesCol, h => pmod(h * a + b, lit(Prime))))
     }
     array(perHash: _*)
   }
@@ -101,7 +108,9 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, bands: Int = 16, rows: Int = 4,
       shingleN: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .drop("hs")
     val cands = lshCandidates(withSig, "id", "sig", bands, rows)
     val sh = withSig.select(col("id"), col("sh"))
     cands
@@ -117,12 +126,14 @@ object Dedup {
     * literals), the token loop is a single `aggregate` HOF.
     */
   def simhash(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val bitsOfToken = (t: Column) => array((0 until 64).map(i =>
-      when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)): _*)
-    val bitVotes = aggregate(toks,
+    // hash each token ONCE, then fold over the hash array (the 64 bit-probes
+    // reference the lambda variable, not a recomputed xxhash64)
+    val tokHashes = transform(tokens(textCol), t => xxhash64(t))
+    val bitsOfHash = (h: Column) => array((0 until 64).map(i =>
+      when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)): _*)
+    val bitVotes = aggregate(tokHashes,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, bitsOfToken(t), (a, v) => a + v))
+      (acc, h) => zip_with(acc, bitsOfHash(h), (a, v) => a + v))
     // fold votes to a long via a powers-of-two literal array (no dynamic shift)
     val powers = array((0 until 64).map(i => lit(1L << i)): _*)
     aggregate(zip_with(bitVotes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),

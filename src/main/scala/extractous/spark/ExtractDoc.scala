@@ -115,13 +115,17 @@ object functions {
     }
   }
 
-  /** Untyped flagship projection over the expression (pruning-friendly). */
-  def extractFrame(df: DataFrame, cfg: ExtractorConfig = ExtractorConfig.default): DataFrame = {
+  /** Untyped flagship projection over the expression (pruning-friendly).
+    * `keep` carries extra input columns (e.g. the partition column) through.
+    */
+  def extractFrame(df: DataFrame, cfg: ExtractorConfig = ExtractorConfig.default,
+      keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.select(col("url"), extract_doc(col("html"), cfg).as("r"))
-      .select(col("url"), col("r.text").as("text"), col("r.xml").as("xml"),
-        col("r.metadata").as("metadata"), col("r.status").as("status"),
-        col("r.error").as("error"), col("r.content_type").as("content_type"),
-        col("r.extractor_version").as("extractor_version"))
+    val keepCols = keep.map(col)
+    df.select(col("url") +: keepCols :+ extract_doc(col("html"), cfg).as("r"): _*)
+      .select(col("url") +: keepCols :+ col("r.text").as("text") :+ col("r.xml").as("xml") :+
+        col("r.metadata").as("metadata") :+ col("r.status").as("status") :+
+        col("r.error").as("error") :+ col("r.content_type").as("content_type") :+
+        col("r.extractor_version").as("extractor_version"): _*)
   }
 }

@@ -110,6 +110,18 @@ object SparkEntry {
           (length(col("error")) > 0).cast("long").as("has_error"))
         .orderBy(col("url"))
     }),
+    "x_job" -> ((s, dir) => {
+      // END-TO-END: corpus table → resumable snapshot job → read-back of the
+      // committed table. Same oracle as x_extract ⇒ the whole job (partitioned
+      // write, snapshot commit, manifest read) is verified, not just the map.
+      val corpusDir = java.nio.file.Files.createTempDirectory("qjobcorpus").toString
+      extractous.jobs.CorpusWriter.write(s, dir, corpusDir)
+      val tableDir = java.nio.file.Files.createTempDirectory("qjobtable").toString
+      extractous.jobs.ExtractJob.run(s, corpusDir, tableDir, groupSize = 10)
+      new extractous.table.SnapshotTable(tableDir).read(s)
+        .select(col("url"), col("text"), col("status").cast("long").as("status"), col("content_type"))
+        .orderBy(col("url"))
+    }),
     // ---------- dedup family ----------
     "d_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docsWithCopies(s, dir), "text", "doc_id")
@@ -219,7 +231,10 @@ object SparkEntry {
     """list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin.replace("\n", "")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("x_job" -> oracleSqlBase("x_extract"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "x_extract" ->
       s"""SELECT $sqlUrl AS url,
          |CASE

@@ -1,0 +1,103 @@
+package extractous
+
+import extractous.core.Extract
+import extractous.gen.CorpusGen
+import extractous.jobs.{CorpusWriter, ExtractJob}
+import extractous.table.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot table + resumable job: atomic commits, manifest-driven reads,
+  * time travel, idempotent resume, per-partition lineage (north rule).
+  */
+class TableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val corpusDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("jobcorpus").toString
+    CorpusWriter.write(spark, sf, p)
+    p
+  }
+
+  test("full job: 3 snapshots over 30 days, output matches direct extraction") {
+    val tableDir = java.nio.file.Files.createTempDirectory("table1").toString
+    val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)
+    assert(s.snapshots == Seq(0L, 1L, 2L))
+    assert(s.daysProcessed.size == 30)
+    assert(s.docs == 500)
+
+    val table = new SnapshotTable(tableDir)
+    val out = table.read(spark)
+    assert(out.count() == 500)
+    // spot-check byte identity vs a direct in-process extraction
+    import spark.implicits._
+    val sample = out.select("url", "text").as[(String, String)].collect().toMap
+    val seed = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().take(50)
+    seed.foreach { case (id, text, lang) =>
+      val expected = Extract(CorpusGen.payload(id, text, lang), CorpusGen.flagshipConfig).text
+      assert(sample(CorpusGen.urlOf(id)) == expected, s"doc $id")
+    }
+
+    // resume is a no-op when everything is committed
+    val s2 = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)
+    assert(s2.snapshots.isEmpty && s2.docs == 0)
+
+    // time travel: snapshot 0 sees only the first 10 days
+    val old = table.read(spark, asOf = Some(0L))
+    assert(old.select("warc_day").distinct().count() == 10)
+    assert(old.count() < 500)
+
+    // lineage rows: doc counts sum to the corpus, files and version recorded
+    val lineage = table.chain().flatMap(_.lineage)
+    assert(lineage.map(_.doc_count).sum == 500)
+    assert(lineage.forall(_.extractor_version.nonEmpty))
+    assert(lineage.forall(_.input_files.nonEmpty))
+    assert(lineage.map(_.bytes).sum > 0)
+  }
+
+  test("resume after rollback recommits only missing days") {
+    val tableDir = java.nio.file.Files.createTempDirectory("table2").toString
+    ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)
+    val table = new SnapshotTable(tableDir)
+    // simulate a lost snapshot: roll CURRENT back to snapshot 0
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "manifests", "CURRENT"), "0")
+    assert(table.committedDays.size == 10)
+    val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)
+    assert(s.daysProcessed.size == 20) // only the 20 uncommitted days
+    assert(table.committedDays.size == 30)
+    assert(table.read(spark).count() == 500)
+  }
+
+  test("day-range predicate prunes partitions at the scan") {
+    val df = spark.read.parquet(corpusDir).filter(col("warc_day") === "2024-01-05")
+    val plan = df.queryExecution.executedPlan.toString
+    // partition pruning shows up as a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("warc_day"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("extraction hot path in the job has no shuffle (salt off)") {
+    val slice = spark.read.parquet(corpusDir).filter(col("warc_day") <= "2024-01-03")
+    val out = extractous.spark.functions.extractFrame(slice, CorpusGen.flagshipConfig, keep = Seq("warc_day"))
+      .withColumn("part_id", spark_partition_id())
+      .withColumn("input_file", input_file_name())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hot path must stay narrow:\n$plan")
+  }
+
+  test("readers ignore uncommitted orphan files") {
+    val tableDir = java.nio.file.Files.createTempDirectory("table3").toString
+    val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 30)
+    assert(s.snapshots == Seq(0L))
+    val table = new SnapshotTable(tableDir)
+    val before = table.read(spark).count()
+    // drop an orphan parquet file into a data dir — a crashed writer remnant
+    val day = java.nio.file.Paths.get(tableDir, "data").toFile.listFiles().head
+    val orphanSrc = day.listFiles().head
+    java.nio.file.Files.copy(orphanSrc.toPath, day.toPath.resolve("orphan-not-committed.parquet"))
+    assert(table.read(spark).count() == before, "manifest-driven read must ignore orphans")
+  }
+}
