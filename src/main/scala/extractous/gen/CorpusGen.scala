@@ -152,6 +152,30 @@ object CorpusGen {
       }
   }
 
+  /** XLSX with two shared-string rows: title + text (expected extraction =
+    * "Document <id>\n<text>").
+    */
+  def xlsxPayload(id: Long, text: String): Array[Byte] = {
+    val e = DocxWriter.xmlEsc _
+    DocxWriter.zip(Seq(
+      "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+      "xl/sharedStrings.xml" ->
+        s"""<?xml version="1.0"?><sst><si><t>Document $id</t></si><si><t>${e(text)}</t></si></sst>""".getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData><row><c t="s"><v>0</v></c></row><row><c t="s"><v>1</v></c></row></sheetData></worksheet>""".getBytes("UTF-8")))
+  }
+
+  /** PPTX with two slides: title + text (expected = "Document <id>\n<text>"). */
+  def pptxPayload(id: Long, text: String): Array[Byte] = {
+    val e = DocxWriter.xmlEsc _
+    def slide(t: String) =
+      s"""<?xml version="1.0"?><p:sld xmlns:p="p" xmlns:a="a"><p:txBody><a:p><a:r><a:t>$t</a:t></a:r></a:p></p:txBody></p:sld>"""
+    DocxWriter.zip(Seq(
+      "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+      "ppt/slides/slide1.xml" -> slide(s"Document $id").getBytes("UTF-8"),
+      "ppt/slides/slide2.xml" -> slide(e(text)).getBytes("UTF-8")))
+  }
+
   /** Synthetic multimodal payloads — pure functions of doc_id so expectations
     * stay SQL-expressible (see pipeline.Multimodal for the container formats).
     */

@@ -122,6 +122,104 @@ object SparkEntry {
         .select(col("url"), col("text"), col("status").cast("long").as("status"), col("content_type"))
         .orderBy(col("url"))
     }),
+    "x_binaryfile" -> ((s, dir) => {
+      // loose-file source (reference ExtractFileToString path → binaryFile
+      // datasource): html+plain payloads written as files, scanned back
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("loosefiles")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+        .collect()
+        .filter { case (id, _, _) => (id % 100) < 70 }
+        .foreach { case (id, text, lang) =>
+          java.nio.file.Files.write(tmp.resolve(s"doc-$id.bin"), CorpusGen.payload(id, text, lang))
+        }
+      s.read.format("binaryFile").load(s"$tmp/*.bin")
+        .select(regexp_extract(col("path"), "doc-(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          xf.extract_doc(col("content"), CorpusGen.flagshipConfig).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_xlsx" -> ((s, dir) => {
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.xlsxPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_pptx" -> ((s, dir) => {
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.pptxPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_meta_ops" -> ((s, dir) => {
+      // metadata multimap operators (reference Get/GetAll/Has/Keys →
+      // element_at/map_contains_key/map_keys, SURVEY.md §2.1 #37-40)
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"),
+          size(map_keys(col("metadata"))).cast("long").as("n_keys"),
+          map_contains_key(col("metadata"), lit("description")).cast("long").as("has_desc"),
+          coalesce(try_element_at(try_element_at(col("metadata"), lit("description")), lit(1)), lit("")).as("description"))
+        .orderBy(col("url"))
+    }),
+    "q_stream_window" -> ((s, dir) => {
+      // Structured Streaming: file source → watermark → tumbling-window agg →
+      // memory sink (complete mode), driven to completion synchronously
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val qn = "stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // file-stream source needs a directory; expose the single file through one
+      val streamDir = java.nio.file.Files.createTempDirectory("eventstream")
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type (UTC session)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n").cast("long").as("n"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy(col("w_start"), col("event_type"))
+    }),
+    // ---------- relational demos over the TPC-H-ish tables ----------
+    "r_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "r_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = broadcast(s.read.parquet(s"$dir/customer.parquet"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "r_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"))
+    }),
+    "r_topk" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"))
+    }),
     // ---------- dedup family ----------
     "d_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docsWithCopies(s, dir), "text", "doc_id")
@@ -306,6 +404,42 @@ object SparkEntry {
          |CAST(CASE WHEN $sqlKind = 99 THEN (CASE WHEN doc_id % 3 = 2 THEN -2 ELSE -4 END) ELSE 0 END AS BIGINT) AS status,
          |CAST(CASE WHEN $sqlKind = 99 THEN 1 ELSE 0 END AS BIGINT) AS has_error
          |FROM documents WHERE $sqlKind IN (98, 99) ORDER BY url""".stripMargin,
+    "x_binaryfile" ->
+      s"""SELECT doc_id,
+         |CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text ELSE text END AS text,
+         |CASE WHEN $sqlKind < 55 THEN 'text/html' ELSE 'text/plain' END AS content_type
+         |FROM documents WHERE $sqlKind < 70 ORDER BY doc_id""".stripMargin,
+    "x_xlsx" ->
+      s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
+         |'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pptx" ->
+      s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
+         |'application/vnd.openxmlformats-officedocument.presentationml.presentation' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_meta_ops" ->
+      s"""SELECT $sqlUrl AS url, CAST(3 AS BIGINT) AS n_keys, CAST(1 AS BIGINT) AS has_desc,
+         |'Synthetic page ' || $sqlId AS description
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "q_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "r_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "r_window" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "r_topk" ->
+      """SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "d_dedup_exact" ->
       """SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents)

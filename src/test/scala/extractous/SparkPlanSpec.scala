@@ -60,6 +60,19 @@ class SparkPlanSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("extraction composes with Structured Streaming (incremental crawl ingest)") {
+    val schema = spark.read.parquet(corpusPath).schema
+    val qn = "stream_extract_out"
+    val q = xf.extractFrame(
+        spark.readStream.schema(schema).parquet(corpusPath), CorpusGen.flagshipConfig)
+      .select(col("url"), col("status"))
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(qn).count() == 500)
+    assert(spark.table(qn).filter(col("status") === 0).count() == 495) // 5 corrupt rows (doc_id % 100 == 99)
+  }
+
   test("typed dataset map stage equals expression path byte-for-byte") {
     import spark.implicits._
     val ds = spark.read.parquet(corpusPath).as[extractous.model.WebPage]
