@@ -47,6 +47,7 @@ object Extract {
 
     MimeSniffer.sniff(bytes) match {
       case MimeSniffer.Html => HtmlExtractor.extract(bytes, cfg)
+      case MimeSniffer.Xml => xmlDoc(bytes, cfg)
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip) =>
@@ -77,6 +78,23 @@ object Extract {
     }
     ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
       Map("Content-Type" -> Seq("text/plain; charset=UTF-8")), MimeSniffer.Plain)
+  }
+
+  /** Generic XML document: every element is a block boundary, character data
+    * becomes blocks in document order (Tika-style XML-to-text semantics).
+    */
+  private def xmlDoc(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
+    val root = extractous.html.HtmlDom.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+    def walk(n: extractous.html.HNode): Unit = n match {
+      case extractous.html.HText(t) =>
+        if (!emitter.isFull && Normalize.line(t).nonEmpty) { emitter.addBlock(t); xe.addElement("p", t) }
+      case e: extractous.html.HElem => e.children.foreach(walk)
+    }
+    walk(root)
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
+      Map("Content-Type" -> Seq(MimeSniffer.Xml)), MimeSniffer.Xml)
   }
 
   /** Standalone scanned image → OCR. OCR failures map to status -10 and never

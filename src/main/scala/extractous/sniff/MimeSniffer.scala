@@ -13,6 +13,7 @@ object MimeSniffer {
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
   val Zip = "application/zip"
   val Html = "text/html"
+  val Xml = "application/xml"
   val Plain = "text/plain"
   val Bmp = "image/bmp"
   val Png = "image/png"
@@ -77,11 +78,19 @@ object MimeSniffer {
     while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
     if (i >= b.length || b(i) != '<') return false
     val head = new String(b, i, math.min(256, b.length - i), java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    if (head.startsWith("<?xml")) return false // generic XML, not HTML
     head.startsWith("<!doctype html") || head.startsWith("<html") ||
       head.startsWith("<head") || head.startsWith("<body") ||
       head.contains("<html") || head.startsWith("<!--") ||
       // any plausible opening tag followed eventually by '>'
       head.matches("(?s)^<[a-z][a-z0-9]*[ >/].*")
+  }
+
+  private def looksLikeXml(b: Array[Byte]): Boolean = {
+    var i = 0
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) i = 3
+    while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+    startsWith(b, i, "<?xml")
   }
 
   def sniff(bytes: Array[Byte]): String = {
@@ -96,6 +105,7 @@ object MimeSniffer {
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
+    if (looksLikeXml(bytes)) return Xml
     if (looksLikeHtml(bytes)) return Html
     if (isValidUtf8(bytes)) return Plain
     OctetStream

@@ -1,0 +1,32 @@
+package graft
+
+import extractous.core.Extract
+import extractous.gen.CorpusGen
+
+/** Single-thread per-format extraction microbenchmark (not part of the driver
+  * contract) — identifies the per-byte cost of each parser.
+  */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val fat = if (args.length > 0) args(0).toInt else 80
+    val seed = "key agg row scan slow fast table value part hash value table part a row fast merge batch part value fast spark a a the line sort table window table table key "
+    val text = (seed * fat).trim
+    val kinds = Seq[(String, Array[Byte])](
+      "html" -> CorpusGen.payload(0, text, "en"),
+      "plain" -> CorpusGen.payload(55, text, "en"),
+      "pdf" -> CorpusGen.payload(70, text, "en"),
+      "docx" -> CorpusGen.payload(82, text, "en"),
+      "image" -> CorpusGen.payload(90, text, "en"),
+      "scanned_pdf" -> CorpusGen.payload(96, text, "en"))
+    kinds.foreach { case (kind, payload) =>
+      // warmup
+      (1 to 200).foreach(_ => Extract(payload, CorpusGen.flagshipConfig))
+      val n = 2000
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => Extract(payload, CorpusGen.flagshipConfig))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mbps = payload.length.toDouble * n / secs / 1e6
+      println(f"[perf] $kind%-12s payload=${payload.length}%7d B  ${n / secs}%8.0f docs/s  $mbps%8.1f MB/s/core")
+    }
+  }
+}

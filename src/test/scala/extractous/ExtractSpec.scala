@@ -51,6 +51,13 @@ class ExtractSpec extends AnyFunSuite {
     assert(ExtractStatus.message.size == 11)
     assert(ExtractStatus.message(ExtractStatus.OcrFailed) == "OCR failed")
   }
+  test("generic xml document extracts character data in order") {
+    val xml = """<?xml version="1.0"?><catalog><item><name>Widget</name><price>9 dollars</price></item><item><name>Gadget</name></item></catalog>"""
+    val r = Extract(xml.getBytes("UTF-8"))
+    assert(r.contentType == "application/xml")
+    assert(r.text == "Widget\n9 dollars\nGadget")
+  }
+
   test("xml output mode flips per config (ref integration_test.go:181-218)") {
     val html = "<html><body><article><p>structured mode check with sufficient words in it</p></article></body></html>".getBytes("UTF-8")
     val plainR = Extract(html)

@@ -88,6 +88,35 @@ class TableSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"hot path must stay narrow:\n$plan")
   }
 
+  test("host skew exists in the corpus and salted repartition balances it") {
+    val corpus = spark.read.parquet(corpusDir)
+    val hostCounts = corpus
+      .groupBy(regexp_extract(col("url"), "host-(\\d+)", 1).as("host"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // generator gives host-0 ~50% of pages — a real hot-host profile
+    assert(hostCounts("0") > 200 && hostCounts.size == 10)
+
+    val parts = corpus.repartition(8, col("url"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").count().collect().map(_.getLong(1))
+    assert(parts.length == 8)
+    assert(parts.max.toDouble / parts.min <= 1.5,
+      s"salted partitions unbalanced: ${parts.mkString(",")}")
+  }
+
+  test("salted job (salt=true) produces the same committed rows") {
+    val t1 = java.nio.file.Files.createTempDirectory("tsalt1").toString
+    val t2 = java.nio.file.Files.createTempDirectory("tsalt2").toString
+    ExtractJob.run(spark, corpusDir, t1, groupSize = 30, salt = false)
+    ExtractJob.run(spark, corpusDir, t2, groupSize = 30, salt = true)
+    import spark.implicits._
+    val a = new SnapshotTable(t1).read(spark).select("url", "text", "status")
+      .as[(String, String, Int)].collect().toSet
+    val b = new SnapshotTable(t2).read(spark).select("url", "text", "status")
+      .as[(String, String, Int)].collect().toSet
+    assert(a == b)
+  }
+
   test("readers ignore uncommitted orphan files") {
     val tableDir = java.nio.file.Files.createTempDirectory("table3").toString
     val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 30)
