@@ -22,6 +22,12 @@ object HtmlTokenizer {
 
   private val rawTextTags = Set("script", "style", "textarea")
 
+  /** Attributes any downstream consumer reads (HTML pipeline: class/id/href +
+    * head metadata; office XML: cell type `t`). Values of other attributes are
+    * skipped without allocation.
+    */
+  val keptAttrs: Set[String] = Set("class", "id", "href", "name", "property", "content", "charset", "t")
+
   def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
     private var i = 0
     private var pending: Tok = null
@@ -79,6 +85,9 @@ object HtmlTokenizer {
           while (j < s.length && !Character.isWhitespace(s.charAt(j)) && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
           val aname = s.substring(an, j).toLowerCase
           while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          // only materialize values for attributes the pipeline reads —
+          // everything else is scanned past without allocation
+          val wanted = HtmlTokenizer.keptAttrs(aname)
           var avalue = ""
           if (j < s.length && s.charAt(j) == '=') {
             j += 1
@@ -87,15 +96,15 @@ object HtmlTokenizer {
               val q = s.charAt(j); j += 1
               val vs = j
               while (j < s.length && s.charAt(j) != q) j += 1
-              avalue = s.substring(vs, j)
+              if (wanted) avalue = s.substring(vs, j)
               if (j < s.length) j += 1
             } else {
               val vs = j
               while (j < s.length && !Character.isWhitespace(s.charAt(j)) && s.charAt(j) != '>') j += 1
-              avalue = s.substring(vs, j)
+              if (wanted) avalue = s.substring(vs, j)
             }
           }
-          if (aname.nonEmpty) attrs += (aname -> avalue)
+          if (wanted && aname.nonEmpty) attrs += (aname -> avalue)
         }
       }
       i = j

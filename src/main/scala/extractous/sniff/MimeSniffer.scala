@@ -83,8 +83,10 @@ object MimeSniffer {
       head.startsWith("<head") || head.startsWith("<body") ||
       head.contains("<html") || head.startsWith("<!--") ||
       // any plausible opening tag followed eventually by '>'
-      head.matches("(?s)^<[a-z][a-z0-9]*[ >/].*")
+      openTagPattern.matcher(head).matches()
   }
+
+  private val openTagPattern = java.util.regex.Pattern.compile("(?s)^<[a-z][a-z0-9]*[ >/].*")
 
   private def looksLikeXml(b: Array[Byte]): Boolean = {
     var i = 0
