@@ -105,6 +105,32 @@ object PdfWriter {
       streamObj("/Subtype /Image /Width 100 /Height 100 /BitsPerComponent 8 /ColorSpace /DeviceRGB", imageBytes))
     assemble(objs, "/Root 1 0 R")
   }
+
+  /** Mixed two-page PDF: page 1 has embedded text, page 2 is image-only —
+    * exercises the reference's PER-PAGE OCR-Auto predicate
+    * (/root/reference/types.go:251-275): text path on page 1, OCR on page 2.
+    */
+  def mixedPdf(textLines: Seq[String], imageBytes: Array[Byte]): Array[Byte] = {
+    val textContent = {
+      val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      textLines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append("(").append(esc(l)).append(") Tj\n")
+      }
+      sb.append("ET").toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val imgContent = "q 468 0 0 648 72 72 cm /Im0 Do Q".getBytes("US-ASCII")
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"),
+      "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>".getBytes("US-ASCII"),
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 7 0 R >> >> /Contents 4 0 R >>".getBytes("US-ASCII"),
+      streamObj("", textContent),
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /XObject << /Im0 6 0 R >> >> /Contents 8 0 R >>".getBytes("US-ASCII"),
+      streamObj("/Subtype /Image /Width 100 /Height 100 /BitsPerComponent 8 /ColorSpace /DeviceRGB", imageBytes),
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>".getBytes("US-ASCII"),
+      streamObj("", imgContent))
+    assemble(objs, "/Root 1 0 R")
+  }
 }
 
 object DocxWriter {

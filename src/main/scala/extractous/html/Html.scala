@@ -83,6 +83,7 @@ object HtmlTokenizer {
         else {
           val an = j
           while (j < s.length && !Character.isWhitespace(s.charAt(j)) && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+          if (j == an) { j += 1 } // stray '/' (not '/>') or junk: must advance — found by fuzzing, a non-advancing loop would hang the executor on a poison document
           val aname = s.substring(an, j).toLowerCase
           while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
           // only materialize values for attributes the pipeline reads —

@@ -52,7 +52,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val smallCpus = math.max(1, cpus / 4)
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "40").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "20").toInt
     val fatten = sys.env.getOrElse("SPARK_GRAFT_BENCH_FATTEN", "80").toInt
 
     // ---- materialize the corpus once (not part of the timed extraction) ----

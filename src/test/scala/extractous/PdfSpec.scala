@@ -88,6 +88,20 @@ class PdfSpec extends AnyFunSuite {
     assert(only.text == "SCAN 7\nhello")
   }
 
+  test("ocr-auto is a PER-PAGE predicate: mixed doc uses text path on page 1, OCR on page 2") {
+    val img = Bmp.encode(GlyphFont.render(Seq("page two scan")))
+    val pdf = PdfWriter.mixedPdf(Seq("Page one embedded"), img)
+    val auto = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.Auto)), GlyphTemplateOcr)
+    assert(auto.text == "Page one embedded\npage two scan")
+    assert(auto.metadata("xmpTPg:NPages") == Seq("2"))
+    // NoOcr: only the embedded text page contributes
+    val no = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(no.text == "Page one embedded")
+    // OcrOnly: only the scanned page contributes
+    val only = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.OcrOnly)), GlyphTemplateOcr)
+    assert(only.text == "page two scan")
+  }
+
   test("ocr-auto skips OCR when page has embedded text") {
     val pdf = PdfWriter.textPdf(Seq("Embedded"), "T", None, compress = false, markedContent = false)
     val r = PdfExtractor.extract(pdf, cfg.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.Auto)), GlyphTemplateOcr)
