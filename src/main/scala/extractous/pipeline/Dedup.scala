@@ -38,41 +38,13 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  private val Prime = 4294967311L // smallest prime > 2^32
-
-  /** Deterministic (a, b) coefficient pairs for the minhash permutations. */
-  private def coeffs(numHashes: Int): Seq[(Long, Long)] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until numHashes).map { j =>
-      val a = (mix(j.toLong * 2 + 1) & 0x7fffffffL) | 1L // odd, < 2^31
-      val b = mix(j.toLong * 2 + 2) & 0x7fffffffL
-      (a, b)
-    }
-  }
-
-  /** Base hashes for minhashing: one xxhash64 per shingle (materialize this
-    * as its own column — every permutation reuses it; inlining it into
-    * [[minhashSignature]] would recompute the string hashing `numHashes` times,
-    * there is no common-subexpression elimination inside HOF lambdas).
+  /** MinHash signature (array<bigint> of length numHashes): sig_j = min over
+    * shingles of (a_j·h(s) + b_j) mod P — a custom imperative Catalyst
+    * expression (extractous.spark.MinHashSigExpr): one tight pass per row,
+    * zero intermediate arrays (the HOF formulation was ~20× slower).
     */
-  def shingleHashes(shinglesCol: Column): Column =
-    transform(shinglesCol, s => pmod(xxhash64(s), lit(4294967296L)))
-
-  /** MinHash signature (array<bigint> of length numHashes) over precomputed
-    * shingle hashes: sig_j = min over shingles of (a_j * h + b_j) mod P. Pure
-    * expression — computed where the row lives.
-    */
-  def minhashSignature(hashesCol: Column, numHashes: Int = 64): Column = {
-    val perHash = coeffs(numHashes).map { case (a, b) =>
-      array_min(transform(hashesCol, h => pmod(h * a + b, lit(Prime))))
-    }
-    array(perHash: _*)
-  }
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    extractous.spark.signatures.minhash_sig(shinglesCol, numHashes)
 
   /** Band keys for LSH: the signature split into `bands` bands of `rows` rows,
     * each hashed to one bucket key. Candidate pairs = pairs sharing any band
@@ -108,9 +80,7 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, bands: Int = 16, rows: Int = 4,
       shingleN: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("hs", shingleHashes(col("sh")))
-      .withColumn("sig", minhashSignature(col("hs"), numHashes))
-      .drop("hs")
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
     val cands = lshCandidates(withSig, "id", "sig", bands, rows)
     val sh = withSig.select(col("id"), col("sh"))
     cands
@@ -121,24 +91,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of the
-    * sum over tokens of ±1 by bit i of xxhash64(token). Narrow expression —
-    * the bit loop is unrolled at plan-build time (shift amounts must be
-    * literals), the token loop is a single `aggregate` HOF.
+    * sum over tokens of ±1 by bit i of hash(token). Imperative custom
+    * expression (extractous.spark.SimHashExpr) — narrow, allocation-free.
     */
-  def simhash(textCol: Column): Column = {
-    // hash each token ONCE, then fold over the hash array (the 64 bit-probes
-    // reference the lambda variable, not a recomputed xxhash64)
-    val tokHashes = transform(tokens(textCol), t => xxhash64(t))
-    val bitsOfHash = (h: Column) => array((0 until 64).map(i =>
-      when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)): _*)
-    val bitVotes = aggregate(tokHashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitsOfHash(h), (a, v) => a + v))
-    // fold votes to a long via a powers-of-two literal array (no dynamic shift)
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(zip_with(bitVotes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, b) => a + b)
-  }
+  def simhash(textCol: Column): Column =
+    extractous.spark.signatures.simhash64(tokens(textCol))
 
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
