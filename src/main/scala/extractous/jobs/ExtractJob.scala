@@ -65,9 +65,9 @@ object ExtractJob {
       val staging = java.nio.file.Files.createTempDirectory("extract-staging").toString
       out.write.mode("overwrite").partitionBy("warc_day").parquet(staging)
 
-      // lineage from the staged output: pruned 3-column read (never touches
-      // the text column again), small aggregate
-      val staged = spark.read.parquet(staging).select("part_id", "input_file", "n_bytes")
+      // lineage + status metrics from the staged output: pruned 4-column read
+      // (never touches the text column again), two small aggregates
+      val staged = spark.read.parquet(staging).select("part_id", "input_file", "n_bytes", "status")
       val lineage = staged
         .groupBy(col("part_id"))
         .agg(collect_set(col("input_file")).as("input_files"),
@@ -77,8 +77,10 @@ object ExtractJob {
         .map(r => LineageRow(r.getInt(0), r.getSeq[String](1).sorted, r.getLong(2), r.getLong(3),
           ExtractResult.Version))
         .sortBy(_.partition_id).toSeq
+      val statusCounts = staged.groupBy(col("status")).count().collect()
+        .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
       totalDocs += lineage.map(_.doc_count).sum
-      snapshots += table.commit(staging, group.toSeq, lineage, ExtractResult.Version)
+      snapshots += table.commit(staging, group.toSeq, lineage, ExtractResult.Version, statusCounts)
     }
     JobSummary(snapshots.result(), todo.toSeq, totalDocs)
   }

@@ -35,6 +35,10 @@ final case class Manifest(
     committed_days: Seq[String],
     files: Seq[String], // relative to table root
     lineage: Seq[LineageRow],
+    /** structured metrics: extraction status code → row count (reference
+      * error-taxonomy observability, /root/reference/errors.go:301-316 analogue)
+      */
+    status_counts: Map[String, Long] = Map.empty,
     extractor_version: String)
 
 final class SnapshotTable(val root: String) {
@@ -90,7 +94,7 @@ final class SnapshotTable(val root: String) {
     * earlier point leaves invisible orphans, never a torn table.
     */
   def commit(stagingDir: String, days: Seq[String], lineage: Seq[LineageRow],
-      version: String): Long = {
+      version: String, statusCounts: Map[String, Long] = Map.empty): Long = {
     init()
     // next id = 1 + max over ALL existing manifests (not just the current
     // chain) so a rollback of CURRENT never collides with orphaned snapshots
@@ -122,7 +126,7 @@ final class SnapshotTable(val root: String) {
     }
     val rel = Seq.newBuilder[String]
     moves.foreach { case (_, _, r) => rel += r }
-    val m = Manifest(snapId, currentSnapshotId.getOrElse(-1L), days, rel.result(), lineage, version)
+    val m = Manifest(snapId, currentSnapshotId.getOrElse(-1L), days, rel.result(), lineage, statusCounts, version)
     val tmp = manifestsDir.resolve(s".snap-$snapId.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m))
     Files.move(tmp, manifestsDir.resolve(f"snap-$snapId%05d.json"), StandardCopyOption.ATOMIC_MOVE)

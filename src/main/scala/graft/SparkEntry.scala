@@ -192,7 +192,28 @@ object SparkEntry {
       q.stop()
       s.table(qn).orderBy(col("w_start"), col("event_type"))
     }),
+    "x_encoding" -> ((s, dir) => {
+      // SetEncoding semantics (#10): US-ASCII output folds non-representable
+      // chars to '?' — visible on the zh stopword line of html pages
+      val cfg = CorpusGen.flagshipConfig.copy(encoding = CharSet.UsAscii)
+      xf.extractFrame(corpusDf(s, dir), cfg)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), col("text"))
+        .orderBy(col("url"))
+    }),
     // ---------- relational demos over the TPC-H-ish tables ----------
+    "r_sessions" -> ((s, dir) => {
+      // sessionization (gaps-and-islands): new session when gap > 1 hour
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          (col("prev").isNull || unix_micros(col("ts")) - unix_micros(col("prev")) > 3600000000L).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).cast("long").as("n_events"))
+        .orderBy(col("user_id"))
+    }),
     "r_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -425,6 +446,19 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "x_encoding" ->
+      s"""SELECT $sqlUrl AS url,
+         |'Document ' || $sqlId || chr(10) ||
+         |CASE lang WHEN 'de' THEN 'der die und nicht das' WHEN 'es' THEN 'el la los y no' WHEN 'fr' THEN 'le la les et ne' WHEN 'zh' THEN '? ? ? ? ?' ELSE 'the and of to in' END
+         | || chr(10) || text AS text
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "r_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "r_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -55,6 +55,13 @@ class TableSpec extends AnyFunSuite {
     assert(lineage.forall(_.extractor_version.nonEmpty))
     assert(lineage.forall(_.input_files.nonEmpty))
     assert(lineage.map(_.bytes).sum > 0)
+
+    // structured status metrics: ok + the corrupt codes, summing to the corpus
+    val statuses = table.chain().flatMap(_.status_counts.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(statuses.values.sum == 500)
+    // corrupt ids 99,199,299,399,499: id%3==2 (299) → -2, the rest → -4
+    assert(statuses("0") == 495 && statuses("-4") == 4 && statuses("-2") == 1)
   }
 
   test("resume after rollback recommits only missing days") {
