@@ -45,6 +45,9 @@ final class SnapshotTable(val root: String) {
   private val mapper = new ObjectMapper()
   mapper.registerModule(DefaultScalaModule)
   mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+  // Map[String, Long] values lose their type to erasure — deserialize all
+  // integral JSON numbers as Long so unboxing the counts never CCEs
+  mapper.configure(DeserializationFeature.USE_LONG_FOR_INTS, true)
 
   private def manifestsDir: Path = Paths.get(root, "manifests")
   private def dataDir: Path = Paths.get(root, "data")
