@@ -261,11 +261,11 @@ object HtmlExtractor {
             walk(e, b, c)
             flush(b, c)
           } else {
+            // inline element: no whitespace injected — HTML joins inline
+            // content exactly as written ("a<b>b</b>c" renders "abc")
             val wasAnchor = e.name == "a" && e.attrs.contains("href")
             if (wasAnchor) anchorDepth += 1
-            if (cur.length() > 0 && !Character.isWhitespace(cur.charAt(cur.length() - 1))) cur.append(' ')
             walk(e, b, c)
-            if (cur.length() > 0 && !Character.isWhitespace(cur.charAt(cur.length() - 1))) cur.append(' ')
             if (wasAnchor) anchorDepth -= 1
           }
       }

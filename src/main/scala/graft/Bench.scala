@@ -95,10 +95,15 @@ object Bench {
     }
     // interleave levels across separate sessions: a transient noisy window
     // (writeback, neighbor, GC) then cannot bias one level systematically
-    val t1s = extractSecs(smallCpus, 2)
-    val t1b = extractSecs(cpus, 2)
-    val t2s = extractSecs(smallCpus, 2)
-    val t2b = extractSecs(cpus, 2)
+    // every stage is fail-soft: a transient failure in one measurement must
+    // not cost the whole BENCH json line
+    def safe(label: String, fallback: Double)(f: => Double): Double =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] $label failed: ${e.getMessage}"); fallback }
+    val t1s = safe("t1s", Double.MaxValue)(extractSecs(smallCpus, 2))
+    val t1b = safe("t1b", Double.MaxValue)(extractSecs(cpus, 2))
+    val t2s = safe("t2s", Double.MaxValue)(extractSecs(smallCpus, 2))
+    val t2b = safe("t2b", Double.MaxValue)(extractSecs(cpus, 2))
     val secsSmall = math.min(t1s, t2s)
     val secsBig = math.min(t1b, t2b)
     val tputSmall = docs / secsSmall
@@ -106,7 +111,7 @@ object Bench {
     val efficiency = tputBig / (tputSmall * (cpus.toDouble / smallCpus))
 
     // ---- full-job throughput (incl. partitioned write + snapshot commit) ----
-    val jobTput = {
+    val jobTput = safe("job", 0.0) {
       val s = session(cpus)
       val secs = (1 to 2).map { _ =>
         val tableDir = java.nio.file.Files.createTempDirectory("benchtable").toString
@@ -131,7 +136,7 @@ object Bench {
       "s_knn_brute" -> (() => force(Similarity.bruteKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5))),
       "s_knn_ivf" -> (() => force(Similarity.ivfKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5, 3))),
       "t_fingerprint" -> (() => force(docsDf.select(TextStats.fingerprint(col("text")))))
-    ).map { case (name, f) => name -> (1 to 2).map(_ => time(f())._2).min }
+    ).map { case (name, f) => name -> safe(name, -1.0)((1 to 2).map(_ => time(f())._2).min) }
     spark.stop()
 
     val mbPerSec = totalBytes / 1e6 * (tputBig / docs)
