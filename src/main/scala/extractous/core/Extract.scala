@@ -38,7 +38,10 @@ object Extract {
 
   private def trim(s: String): String = if (s == null) "" else if (s.length > 500) s.substring(0, 500) else s
 
-  private def dispatch(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr): ExtractResult = {
+  private def dispatch(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr): ExtractResult =
+    dispatch(bytes, cfg, ocr, depth = 0)
+
+  private def dispatch(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
     // Empty/null fast path: empty text, non-null metadata, status OK
     // (/root/reference/extractor.go:457-459, integration_test.go:317-339).
     if (bytes == null || bytes.isEmpty)
@@ -48,6 +51,17 @@ object Extract {
     MimeSniffer.sniff(bytes) match {
       case MimeSniffer.Html => HtmlExtractor.extract(bytes, cfg)
       case MimeSniffer.Xml => xmlDoc(bytes, cfg)
+      case MimeSniffer.Rtf => extractous.rtf.RtfExtractor.extract(bytes, cfg)
+      case MimeSniffer.Gzip =>
+        // gzip-wrapped payload (common in crawls): inflate (bounded, bomb-safe)
+        // and re-dispatch on the inner bytes; depth-capped
+        if (depth >= 3)
+          ExtractResult.fail(ExtractStatus.UnsupportedFormat, "gzip nesting too deep", MimeSniffer.Gzip)
+        else {
+          val inner = gunzip(bytes, maxOut = 256 * 1024 * 1024)
+          val r = dispatch(inner, cfg, ocr, depth + 1)
+          r.copy(metadata = r.metadata + ("Content-Encoding" -> Seq("gzip")))
+        }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip) =>
@@ -64,6 +78,25 @@ object Extract {
         else
           ExtractResult.fail(ExtractStatus.UnsupportedFormat, "unsupported format: application/octet-stream")
     }
+  }
+
+  /** Bounded gunzip — a decompression bomb hits the cap and fails the row,
+    * never the executor.
+    */
+  private def gunzip(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    val buf = new Array[Byte](65536)
+    var total = 0
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      if (total > maxOut) throw new IllegalStateException(s"gzip output exceeds $maxOut bytes")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    out.toByteArray
   }
 
   /** Plain text: UTF-8 decode + canonical normalization. */

@@ -279,6 +279,32 @@ object PdfExtractor {
         idx = objIdx + 4
       }
     }
+    // expand object streams (PDF 1.5 /Type /ObjStm): compressed objects would
+    // otherwise be invisible to the raw scan
+    objs.values.toSeq.foreach {
+      case st @ StreamObj(d, _) if d.m.get("Type").contains(Name("ObjStm")) =>
+        try {
+          val data = d.m.get("Filter") match {
+            case Some(Name("FlateDecode")) => inflate(st.data)
+            case _                         => st.data
+          }
+          val n = d.m.get("N") match { case Some(Num(v)) => v.toInt; case _ => 0 }
+          val first = d.m.get("First") match { case Some(Num(v)) => v.toInt; case _ => 0 }
+          val headerLex = new CosLexer(data, 0, first)
+          val pairs = (0 until n).flatMap { _ =>
+            (headerLex.next(), headerLex.next()) match {
+              case (Num(num), Num(off)) => Some((num.toInt, off.toInt))
+              case _                    => None
+            }
+          }
+          pairs.foreach { case (num, off) =>
+            val lex = new CosLexer(data, first + off, data.length)
+            objs.getOrElseUpdate(num, lex.next())
+            ()
+          }
+        } catch { case _: Exception => () } // tolerate broken object streams
+      case _ =>
+    }
     // trailer
     val trailerIdx = s.lastIndexOf("trailer")
     val trailer =

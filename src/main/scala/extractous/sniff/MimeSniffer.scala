@@ -14,6 +14,8 @@ object MimeSniffer {
   val Zip = "application/zip"
   val Html = "text/html"
   val Xml = "application/xml"
+  val Rtf = "application/rtf"
+  val Gzip = "application/gzip"
   val Plain = "text/plain"
   val Bmp = "image/bmp"
   val Png = "image/png"
@@ -104,6 +106,8 @@ object MimeSniffer {
       if (zipContains(bytes, "ppt/")) return Pptx
       return Zip
     }
+    if (startsWith(bytes, 0, "{\\rtf")) return Rtf
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Gzip
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg

@@ -108,6 +108,26 @@ class PdfSpec extends AnyFunSuite {
     assert(r.text == "Embedded")
   }
 
+  test("object-stream (ObjStm) PDFs: compressed catalog/page objects are found") {
+    val inner = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val offsets = inner.scanLeft(0)((acc, s) => acc + s.length + 1).init
+    val header = inner.indices.map(i => s"${i + 1} ${offsets(i)}").mkString(" ") + " "
+    val body = header + inner.mkString(" ") + " "
+    val first = header.length
+    val content = "BT /F1 12 Tf 72 720 Td (From objstm) Tj ET"
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String) = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj << /Type /ObjStm /N 3 /First $first /Length ${body.length} >>\nstream\n$body\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n")
+    val r = PdfExtractor.extract(sb.toByteArray, cfg, GlyphTemplateOcr)
+    assert(r.text == "From objstm")
+  }
+
   test("corrupt pdf yields -4, not an exception") {
     val r = PdfExtractor.extract("%PDF-1.4\ngarbage only".getBytes("US-ASCII"), cfg, GlyphTemplateOcr)
     assert(r.status == ExtractStatus.ExtractionFailed)
