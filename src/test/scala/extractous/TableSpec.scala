@@ -95,6 +95,20 @@ class TableSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"hot path must stay narrow:\n$plan")
   }
 
+  test("verification diff: produced table matches the generator-golden exactly") {
+    import spark.implicits._
+    val tableDir = java.nio.file.Files.createTempDirectory("tablediff").toString
+    ExtractJob.run(spark, corpusDir, tableDir, groupSize = 30)
+    val produced = new SnapshotTable(tableDir).read(spark)
+    val golden = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (CorpusGen.urlOf(id), CorpusGen.expectedText(id, text, lang))
+      }.toDF("url", "text")
+    val s2 = extractous.jobs.DiffJob.summarize(spark, produced, golden)
+    assert(s2.matched == 500 && s2.mismatched == 0 && s2.missing == 0 && s2.unexpected == 0)
+  }
+
   test("host skew exists in the corpus and salted repartition balances it") {
     val corpus = spark.read.parquet(corpusDir)
     val hostCounts = corpus
