@@ -62,7 +62,11 @@ object ExtractJob {
         .withColumn("part_id", spark_partition_id())
         .withColumn("input_file", input_file_name())
         .withColumn("n_bytes", octet_length(col("text")))
-      val staging = java.nio.file.Files.createTempDirectory("extract-staging").toString
+      // stage INSIDE the table dir: the commit's ATOMIC_MOVE renames are then
+      // guaranteed same-filesystem (a /tmp staging dir on another mount would
+      // throw AtomicMoveNotSupportedException)
+      val staging = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(tableDir), ".staging-").toString
       out.write.mode("overwrite").partitionBy("warc_day").parquet(staging)
 
       // lineage + status metrics from the staged output: pruned 4-column read
@@ -81,6 +85,12 @@ object ExtractJob {
         .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
       totalDocs += lineage.map(_.doc_count).sum
       snapshots += table.commit(staging, group.toSeq, lineage, ExtractResult.Version, statusCounts)
+      // drop the drained staging dir (only _SUCCESS/empty day dirs remain)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(staging)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
     }
     JobSummary(snapshots.result(), todo.toSeq, totalDocs)
   }

@@ -15,18 +15,33 @@ import java.util.zip.ZipInputStream
   * and the VBA-macro flag (presence marker — we do not decode vbaProject.bin).
   */
 object ZipUtil {
+  /** Decompression-bomb budget: per-entry and whole-archive inflated-output
+    * caps — a zip bomb fails the row with an exception (status -4 upstream),
+    * never the executor JVM (same pattern as Extract.gunzip / Pdf.inflate).
+    */
+  val MaxEntryBytes: Long = 256L * 1024 * 1024
+  val MaxTotalBytes: Long = 512L * 1024 * 1024
+
   /** Read all entries (name → bytes). Throws on malformed zip data. */
   def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
     var entry = zis.getNextEntry
     var seen = 0
+    var total = 0L
     while (entry != null) {
       if (!entry.isDirectory) {
         val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
+        var entryTotal = 0L
         var n = zis.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+        while (n >= 0) {
+          entryTotal += n; total += n
+          if (entryTotal > MaxEntryBytes || total > MaxTotalBytes)
+            throw new IllegalStateException(s"zip entry '${entry.getName}' exceeds inflate budget")
+          bos.write(buf, 0, n)
+          n = zis.read(buf)
+        }
         out += (entry.getName -> bos.toByteArray)
       }
       seen += 1

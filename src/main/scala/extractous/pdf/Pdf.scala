@@ -322,14 +322,23 @@ object PdfExtractor {
 
   private def dictGet(d: Dict, key: String, objs: Map[Int, V]): V = resolve(d.m.getOrElse(key, Null), objs)
 
-  def inflate(data: Array[Byte]): Array[Byte] = {
+  /** Output-bounded FlateDecode — a decompression bomb hits the cap and fails
+    * the row with an exception (mapped to status -4 upstream), never the
+    * executor JVM (same bounded-output pattern as Extract.gunzip).
+    */
+  def inflate(data: Array[Byte], maxOut: Int = 256 * 1024 * 1024): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.min(math.max(64, data.length * 4), 1 << 20))
     val chunk = new Array[Byte](8192)
+    var total = 0L
     while (!inf.finished() && !inf.needsInput()) {
       val n = inf.inflate(chunk)
-      if (n > 0) out.write(chunk, 0, n)
+      if (n > 0) {
+        total += n
+        if (total > maxOut) { inf.end(); throw new IllegalStateException(s"FlateDecode output exceeds $maxOut bytes") }
+        out.write(chunk, 0, n)
+      }
       else if (n == 0 && inf.needsDictionary()) throw new java.util.zip.DataFormatException("needs dict")
     }
     inf.end()

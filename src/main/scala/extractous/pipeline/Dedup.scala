@@ -103,15 +103,30 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates via 16-bit chunk banding (pigeonhole: any
-    * pair within Hamming distance 3 shares at least one of 4 chunks), then
-    * exact Hamming verify ≤ maxDist.
+  /** SimHash near-dup pairs via chunk banding + exact Hamming verify.
+    *
+    * Completeness: the fingerprint is split into `maxDist + 1` chunks, so by
+    * pigeonhole ANY pair within Hamming distance `maxDist` shares at least one
+    * unchanged chunk — candidate recall is 1.0 at the configured radius (the
+    * earlier fixed 4-chunk split silently missed pairs past distance 3).
+    *
+    * Scale: the shuffle carries only `(id, chunk, ckey)`. Bucket width shrinks
+    * as maxDist grows (more, narrower chunks ⇒ hotter buckets) — at very large
+    * corpora keep maxDist small or pre-partition by a prefix of the signature;
+    * AQE's skew-join handles residual hot buckets.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist out of range: $maxDist")
+    val bands = maxDist + 1
+    val widths = Array.tabulate(bands)(i => 64 / bands + (if (i < 64 % bands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunkCols = (0 until bands).map { i =>
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(col("sig"), starts(i)).bitwiseAND(lit(mask))
+    }
     val chunks = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("chunk", "ckey")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.id") < col("b.id"))

@@ -35,6 +35,10 @@ object MimeSniffer {
 
   /** True iff the whole array is well-formed UTF-8 (the reference maps invalid
     * UTF-8 to a dedicated status, /root/reference/ffi/src/errors.rs:10).
+    * Implements the full RFC 3629 table: overlong 3-byte forms (E0 80-9F),
+    * UTF-16 surrogates (ED A0-BF), overlong 4-byte forms (F0 80-8F), and
+    * codepoints above U+10FFFF (F4 90+) are all rejected — they would
+    * otherwise decode to U+FFFD noise instead of the invalid-UTF-8 status.
     */
   def isValidUtf8(b: Array[Byte]): Boolean = {
     var i = 0
@@ -47,7 +51,19 @@ object MimeSniffer {
         else if ((c & 0xf8) == 0xf0) { if (c > 0xf4) return false; 3 }
         else return false
       if (i + n >= b.length) return false
-      var j = 1
+      // first continuation byte: range depends on the lead byte (RFC 3629)
+      if (n >= 1) {
+        val c1 = b(i + 1) & 0xff
+        val (lo, hi) = c match {
+          case 0xe0 => (0xa0, 0xbf) // reject overlong 3-byte
+          case 0xed => (0x80, 0x9f) // reject UTF-16 surrogates
+          case 0xf0 => (0x90, 0xbf) // reject overlong 4-byte
+          case 0xf4 => (0x80, 0x8f) // reject > U+10FFFF
+          case _    => (0x80, 0xbf)
+        }
+        if (c1 < lo || c1 > hi) return false
+      }
+      var j = 2
       while (j <= n) {
         if ((b(i + j) & 0xc0) != 0x80) return false
         j += 1

@@ -80,9 +80,17 @@ final case class MinHashSigExpr(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr = copy(child = newChild)
 }
 
-/** array<string> tokens → 64-bit simhash fingerprint. */
+/** array<string> tokens → 64-bit simhash fingerprint.
+  *
+  * Token hash = two independent polynomial rolling hashes over codepoints
+  * (h1 = fold(a·31 + cp) mod 1e9+7, h2 = fold(a·37 + cp) mod 1e9+9) packed as
+  * h1·2³² + h2 — deliberately expressible in ANSI SQL (`ascii`/`substr`/
+  * `list_reduce`), so the ENTIRE simhash pipeline mirrors into the DuckDB
+  * oracle (the earlier FNV-mix hash was opaque to SQL and left d_simhash
+  * unverifiable). 62 effective bits (h1 < 2³⁰); bits 62-63 vote all-negative
+  * and stay 0 on both engines.
+  */
 final case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
-  import SignatureHash._
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "simhash64"
@@ -94,7 +102,7 @@ final case class SimHashExpr(child: Expression) extends UnaryExpression with Cod
       var i = 0
       val n = arr.numElements()
       while (i < n) {
-        val h = hashBytes(arr.getUTF8String(i).getBytes)
+        val h = SimHashExpr.sqlTokenHash(arr.getUTF8String(i).toString)
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
@@ -112,6 +120,24 @@ final case class SimHashExpr(child: Expression) extends UnaryExpression with Cod
     java.lang.Long.valueOf(fp)
   }
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr = copy(child = newChild)
+}
+
+object SimHashExpr {
+  /** SQL-twin token hash: iterate CODEPOINTS (what SQL `ascii(substr(t,i,1))`
+    * yields per character), two polynomial folds, pack into one long.
+    */
+  def sqlTokenHash(s: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h1 = (h1 * 31 + cp) % 1000000007L
+      h2 = (h2 * 37 + cp) % 1000000009L
+      i += Character.charCount(cp)
+    }
+    h1 * 4294967296L + h2
+  }
 }
 
 object signatures {

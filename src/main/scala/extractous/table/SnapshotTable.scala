@@ -125,7 +125,14 @@ final class SnapshotTable(val root: String) {
       }
     }
     moves.asJava.parallelStream().forEach { t =>
-      Files.move(t._1, t._2, StandardCopyOption.ATOMIC_MOVE); ()
+      try Files.move(t._1, t._2, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // cross-filesystem staging (externally-created): fall back to
+        // copy+rename — still invisible until the manifest publishes
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(t._1, t._2, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
     }
     val rel = Seq.newBuilder[String]
     moves.foreach { case (_, _, r) => rel += r }

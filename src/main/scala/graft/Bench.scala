@@ -132,7 +132,7 @@ object Bench {
       "x_sniff" -> (() => force(corpus.select(col("url"), xf.sniff_mime(col("html"))))),
       "d_dedup_hash" -> (() => force(Dedup.byHash(docsDf, "text", "doc_id"))),
       "d_minhash_lsh" -> (() => force(Dedup.minhashNearDups(docsDf, "doc_id", "text", 0.8))),
-      "d_simhash" -> (() => force(Dedup.simhashNearDups(docsDf, "doc_id", "text", 10))),
+      "d_simhash" -> (() => force(Dedup.simhashNearDups(docsDf, "doc_id", "text", 3))),
       "s_knn_brute" -> (() => force(Similarity.bruteKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5))),
       "s_knn_ivf" -> (() => force(Similarity.ivfKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5, 3))),
       "t_fingerprint" -> (() => force(docsDf.select(TextStats.fingerprint(col("text")))))

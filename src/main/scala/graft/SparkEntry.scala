@@ -124,15 +124,20 @@ object SparkEntry {
     }),
     "x_binaryfile" -> ((s, dir) => {
       // loose-file source (reference ExtractFileToString path → binaryFile
-      // datasource): html+plain payloads written as files, scanned back
+      // datasource): html+plain payloads written as files, scanned back.
+      // Fixture files are written FROM EXECUTORS (foreachPartition) — never
+      // collected to the driver; on a cluster this targets a shared filesystem.
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("loosefiles")
+      val tmpPath = tmp.toString
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
-        .collect()
-        .filter { case (id, _, _) => (id % 100) < 70 }
-        .foreach { case (id, text, lang) =>
-          java.nio.file.Files.write(tmp.resolve(s"doc-$id.bin"), CorpusGen.payload(id, text, lang))
+        .filter(r => (r._1 % 100) < 70)
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          it.foreach { case (id, text, lang) =>
+            java.nio.file.Files.write(java.nio.file.Paths.get(tmpPath, s"doc-$id.bin"),
+              CorpusGen.payload(id, text, lang))
+          }
         }
       s.read.format("binaryFile").load(s"$tmp/*.bin")
         .select(regexp_extract(col("path"), "doc-(\\d+)\\.bin", 1).cast("long").as("doc_id"),
@@ -173,7 +178,10 @@ object SparkEntry {
     }),
     "q_stream_window" -> ((s, dir) => {
       // Structured Streaming: file source → watermark → tumbling-window agg →
-      // memory sink (complete mode), driven to completion synchronously
+      // memory sink in APPEND mode: only windows finalized by the watermark
+      // emit, and their state is evicted — real state cleanup, not complete-
+      // mode re-emission. The no-data micro-batch after the last file advances
+      // the watermark to max(ts) - 10min and flushes every closed window.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val qn = "stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // file-stream source needs a directory; expose the single file through one
@@ -187,7 +195,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n").cast("long").as("n"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
       q.processAllAvailable()
       q.stop()
       s.table(qn).orderBy(col("w_start"), col("event_type"))
@@ -260,16 +268,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d_simhash" -> ((s, dir) => {
-      // no SQL oracle (xxhash64 bit-mixing not expressible); rows-only + spec
-      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxDist = 10)
+      // token hash is SQL-expressible by design, so the ORACLE recomputes the
+      // whole simhash + brute-force Hamming pair set in DuckDB; banding recall
+      // at maxDist=3 is exact by pigeonhole (bands = maxDist+1)
+      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxDist = 3)
         .select(col("id_a").cast("long"), col("id_b").cast("long"), col("dist").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d_neardup_cosine" -> ((s, dir) => {
+      // LSH-bucketed scale path (NOT the O(n²) self-join): a positively-scaled
+      // copy has identical hyperplane signs, so planted-pair recall is exactly
+      // 1.0 by construction; exact cosine ≥ 0.99 verification prunes false
+      // bucket-mates (max natural cross-sim ≈ 0.51 in this corpus).
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val planted = e.union(e.select(col("vec_id") + 100000,
         transform(col("embedding"), x => x * lit(1.25f))))
-      Similarity.nearDupPairsExact(planted, threshold = 0.99)
+      Similarity.nearDupPairsLsh(planted, threshold = 0.99)
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -281,7 +295,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "s_knn_ivf" -> ((s, dir) => {
-      // approximate (nprobe=3 of 10 cells): no SQL oracle; recall vs brute in spec
+      // fully deterministic relational algorithm (mean centroids → nearest-cell
+      // assignment → nprobe probing → within-cell top-k) — mirrored 1:1 by the
+      // DuckDB oracle, so the SCALE ANN path is verified, not just brute force
       val e = embs(s, dir)
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 20), k = 5, nprobe = 3)
         .select(col("query_id").cast("long"), col("rank"), col("neighbor_id").cast("long"))
@@ -445,7 +461,11 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour'
+        |  <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+        |ORDER BY w_start, event_type""".stripMargin,
     "x_encoding" ->
       s"""SELECT $sqlUrl AS url,
          |'Document ' || $sqlId || chr(10) ||
@@ -491,6 +511,30 @@ object SparkEntry {
     "d_neardup_cosine" ->
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 100000 AS BIGINT) AS id_b
         |FROM embeddings ORDER BY id_a""".stripMargin,
+    "d_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |), th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t)+1),
+        |      i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*31+c) % 1000000007) * 4294967296
+        |  + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t)+1),
+        |      i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*37+c) % 1000000009) AS h
+        |  FROM tok
+        |), bits AS (
+        |  SELECT CAST(unnest(range(0, 62)) AS INTEGER) AS b
+        |), votes AS (
+        |  SELECT th.doc_id, bits.b,
+        |    CASE WHEN sum(CASE WHEN (th.h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS v
+        |  FROM th CROSS JOIN bits GROUP BY th.doc_id, bits.b
+        |), sig AS (
+        |  SELECT doc_id, sum(v * (CAST(1 AS BIGINT) << b)) AS s FROM votes GROUP BY doc_id
+        |)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "s_knn_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
@@ -500,6 +544,42 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, CAST(neighbor_id AS BIGINT) AS neighbor_id
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s_knn_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label AS lab, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), pos AS (
+        |  SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS p
+        |), cent AS (
+        |  SELECT lab AS cell, list(m ORDER BY p) AS c FROM (
+        |    SELECT e.lab, pos.p, avg(e.v[pos.p]) AS m FROM e CROSS JOIN pos GROUP BY e.lab, pos.p
+        |  ) GROUP BY lab
+        |), assigned AS (
+        |  SELECT vec_id AS vid, v AS cv, cell FROM (
+        |    SELECT e.vec_id, e.v, cent.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, cent.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+        |        cent.cell ASC) AS r
+        |    FROM e CROSS JOIN cent)
+        |  WHERE r = 1
+        |), probes AS (
+        |  SELECT query_id, qv, cell FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, cent.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, cent.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+        |        cent.cell ASC) AS r
+        |    FROM e CROSS JOIN cent WHERE e.vec_id < 20)
+        |  WHERE r <= 3
+        |), scored AS (
+        |  SELECT p.query_id, a.vid,
+        |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_dot_product(p.qv, a.cv) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv, a.cv))) DESC,
+        |      a.vid ASC) AS rank
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE p.query_id <> a.vid
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, CAST(vid AS BIGINT) AS neighbor_id
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "t_tokens" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |CAST(length(text) AS BIGINT) AS n_chars

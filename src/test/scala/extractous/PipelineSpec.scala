@@ -43,17 +43,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(truth.nonEmpty) // the seed corpus has natural near-dups
   }
 
-  test("simhash near-dups: sound (all pairs within bound), complete for dist<=3") {
+  test("simhash near-dups: EXACTLY the brute-force pair set at the configured radius") {
     import spark.implicits._
-    val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 10)
-      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect()
-    assert(out.forall(_._3 <= 10))
     val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
-    val close = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id"), Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
-      .filter(col("d") <= 3).as[(Long, Long, Long)].collect().toSet
-    val found = out.map(t => (t._1, t._2, t._3)).toSet
-    assert(close.subsetOf(found), "pigeonhole banding must find every pair with dist<=3")
+    for (maxDist <- Seq(3, 10)) {
+      val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+      val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
+        .filter(col("d") <= maxDist).as[(Long, Long, Long)].collect().toSet
+      // bands = maxDist+1 ⇒ pigeonhole makes candidate recall 1.0, so the
+      // verified output must EQUAL brute force — no silent misses at any radius
+      assert(out == brute, s"maxDist=$maxDist: banding missed or invented pairs")
+    }
+  }
+
+  test("simhash token hash matches the SQL-twin definition") {
+    val h = extractous.spark.SimHashExpr.sqlTokenHash("abc")
+    val h1 = (((0L * 31 + 'a') % 1000000007L * 31 + 'b') % 1000000007L * 31 + 'c') % 1000000007L
+    val h2 = (((0L * 37 + 'a') % 1000000009L * 37 + 'b') % 1000000009L * 37 + 'c') % 1000000009L
+    assert(h == h1 * 4294967296L + h2)
+    assert(extractous.spark.SimHashExpr.sqlTokenHash("") == 0L)
+    // codepoint iteration (DuckDB ascii(substr) yields codepoints per character)
+    assert(extractous.spark.SimHashExpr.sqlTokenHash("的") == ((0L * 31 + 0x7684) % 1000000007L) * 4294967296L + (0L * 37 + 0x7684) % 1000000009L)
   }
 
   test("ivf knn: probing all cells reproduces brute force exactly") {
