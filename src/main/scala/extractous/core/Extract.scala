@@ -60,7 +60,13 @@ object Extract {
         else {
           val inner = gunzip(bytes, maxOut = 256 * 1024 * 1024)
           val r = dispatch(inner, cfg, ocr, depth + 1)
-          r.copy(metadata = r.metadata + ("Content-Encoding" -> Seq("gzip")))
+          // debug chain (reference errors.go:301-316): failures inside a
+          // wrapped payload carry their decoding context as a " <- " frame
+          val chained =
+            if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+              r.copy(error = s"${r.error} <- gzip layer ${depth + 1}")
+            else r
+          chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("gzip")))
         }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
@@ -78,6 +84,23 @@ object Extract {
         else
           ExtractResult.fail(ExtractStatus.UnsupportedFormat, "unsupported format: application/octet-stream")
     }
+  }
+
+  /** Stream analogue of the reference's ExtractBytesToStream + chunked Read
+    * loop (/root/reference/extractor.go ExtractBytesToStream, stream.go Read):
+    * the extraction result's UTF-8 bytes exposed as bounded chunks through a
+    * real InputStream — partial reads allowed, EOF = -1, every chunk at most
+    * `chunkSize` bytes. Bounded memory per consumer step regardless of
+    * document size.
+    */
+  def stream(result: ExtractResult, chunkSize: Int): Iterator[Array[Byte]] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val in = new java.io.ByteArrayInputStream(result.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Iterator.continually {
+      val buf = new Array[Byte](chunkSize)
+      val n = in.read(buf) // -1 at EOF — the chunk-read contract
+      if (n < 0) null else java.util.Arrays.copyOf(buf, n)
+    }.takeWhile(_ != null)
   }
 
   /** Bounded gunzip — a decompression bomb hits the cap and fails the row,
@@ -142,8 +165,15 @@ object Extract {
         emitter.addBlock(line)
         if (cfg.xmlOutput) xe.addElement("p", line)
       }
-      ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
-        Map("Content-Type" -> Seq(mime)), mime)
+      // record the effective OCR parameters (Tika-style parser provenance) —
+      // the config knobs are observable downstream per document
+      val meta = Map(
+        "Content-Type" -> Seq(mime),
+        "X-OCR-Language" -> Seq(cfg.ocr.language),
+        "X-OCR-Density" -> Seq(cfg.ocr.density.toString),
+        "X-OCR-Depth" -> Seq(cfg.ocr.depth.toString),
+        "X-OCR-Preprocessing" -> Seq(cfg.ocr.enableImagePreprocessing.toString))
+      ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, mime)
     } catch {
       case e: Exception =>
         ExtractResult.fail(ExtractStatus.OcrFailed, trim(s"OCR failed: ${e.getMessage}"), mime)

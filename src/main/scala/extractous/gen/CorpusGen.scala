@@ -5,6 +5,7 @@ import extractous.model.{ExtractStatus, WebPage}
 import extractous.ocr.{Bmp, GlyphFont, Png}
 import extractous.sniff.MimeSniffer
 import org.apache.spark.sql.{Dataset, SparkSession}
+import java.io.ByteArrayOutputStream
 import java.sql.Timestamp
 
 /** Deterministic Common-Crawl-style corpus generator (FIXTURES.md). Payload
@@ -174,6 +175,58 @@ object CorpusGen {
       "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
       "ppt/slides/slide1.xml" -> slide(s"Document $id").getBytes("UTF-8"),
       "ppt/slides/slide2.xml" -> slide(e(text)).getBytes("UTF-8")))
+  }
+
+  /** PDF with 2 + id%3 distinct images, each drawn twice — probes inline-image
+    * extraction and digest dedup (unique → n, all draws → 2n).
+    */
+  def multiImagePdfPayload(id: Long): Array[Byte] = {
+    val n = 2 + (id % 3).toInt
+    val images = (0 until n).map(i => Bmp.encode(GlyphFont.render(Seq(s"IMG $i OF DOC $id"))))
+    PdfWriter.multiImagePdf(images, drawsPerImage = 2)
+  }
+
+  /** PDF with /H1 + /P marked-content scopes per line (x_pdf_marked). */
+  def markedPdfPayload(id: Long, text: String): Array[Byte] =
+    PdfWriter.markedPdf(s"Document $id", Seq(text), titleOf(id, "en"))
+
+  /** DOCX carrying a vbaProject.bin with one printable macro line on even ids
+    * (x_office_macros).
+    */
+  def docxMacrosPayload(id: Long, text: String): Array[Byte] =
+    DocxWriter.docx(
+      paragraphs = Seq(s"Document $id", text),
+      title = titleOf(id, "en"),
+      deleted = s"DELETED $id", moved = s"MOVED $id", shape = s"SHAPE $id",
+      macros = if (id % 2 == 0) Some(s"Sub Doc$id(): MsgBox 42: End Sub") else None)
+
+  /** Scanned image with an extra all-speckle row: raw OCR reads the bait cell
+    * as the reject marker, despeckling erases it (x_ocr_preprocess).
+    */
+  def baitImagePayload(id: Long, text: String): Array[Byte] =
+    Bmp.encode(GlyphFont.renderWithBait(Seq(s"DOC $id", text.take(20))))
+
+  /** Scanned image with one out-of-charset row for the language-model probe
+    * (x_ocr_lang): digits recognize under "num", the letter row rejects.
+    */
+  def langImagePayload(id: Long): Array[Byte] =
+    Bmp.encode(GlyphFont.render(Seq(s"$id", "e")))
+
+  /** 2x-DPI scan of the page — recognizable only at density=600 (x_ocr_density). */
+  def densityImagePayload(id: Long, text: String): Array[Byte] =
+    Bmp.encode(GlyphFont.render(Seq(s"DOC $id", text.take(20)), scale = 2))
+
+  /** gzip-wrapped corrupt PDF on even ids, bare corrupt PDF on odd — probes
+    * the error debug chain's context frames (x_error_chain).
+    */
+  def corruptChainPayload(id: Long): Array[Byte] = {
+    val corrupt = "%PDF-1.4\nthis is not a real pdf body".getBytes("US-ASCII")
+    if (id % 2 == 0) {
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(corrupt); gz.close()
+      bos.toByteArray
+    } else corrupt
   }
 
   /** Synthetic multimodal payloads — pure functions of doc_id so expectations

@@ -106,6 +106,55 @@ object PdfWriter {
     assemble(objs, "/Root 1 0 R")
   }
 
+  /** PDF whose page draws each of `images` `drawsPerImage` times (distinct
+    * XObjects, repeated `Do` operators) — probes inline-image extraction and
+    * the unique-images-only digest dedup (reference config.go:133-167).
+    */
+  def multiImagePdf(images: Seq[Array[Byte]], drawsPerImage: Int): Array[Byte] = {
+    val n = images.length
+    val content = {
+      val sb = new StringBuilder
+      for (_ <- 0 until drawsPerImage; i <- 0 until n)
+        sb.append(s"q 100 0 0 100 ${72 + i * 110} 500 cm /Im$i Do Q\n")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val xobjRefs = (0 until n).map(i => s"/Im$i ${5 + i} 0 R").mkString(" ")
+    val objs = Seq.newBuilder[Array[Byte]]
+    objs += "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII")
+    objs += "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII")
+    objs += s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /XObject << $xobjRefs >> >> /Contents 4 0 R >>".getBytes("US-ASCII")
+    objs += streamObj("", content)
+    images.foreach(img =>
+      objs += streamObj("/Subtype /Image /Width 100 /Height 100 /BitsPerComponent 8 /ColorSpace /DeviceRGB", img))
+    assemble(objs.result(), "/Root 1 0 R")
+  }
+
+  /** PDF with per-line marked content: the heading line sits inside an /H1
+    * BDC..EMC scope, body lines inside /P scopes — under extractMarkedContent
+    * the XML output preserves the structural tags (reference config.go:194-198).
+    */
+  def markedPdf(heading: String, body: Seq[String], title: String): Array[Byte] = {
+    val content = {
+      val sb = new StringBuilder
+      sb.append("BT /F1 12 Tf 72 720 Td\n")
+      sb.append("/H1 << /MCID 0 >> BDC\n(").append(esc(heading)).append(") Tj\nEMC\n")
+      body.zipWithIndex.foreach { case (l, i) =>
+        sb.append("0 -14 Td\n")
+        sb.append(s"/P << /MCID ${i + 1} >> BDC\n(").append(esc(l)).append(") Tj\nEMC\n")
+      }
+      sb.append("ET")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII"),
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>".getBytes("US-ASCII"),
+      streamObj("", content),
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>".getBytes("US-ASCII"),
+      s"<< /Title (${esc(title)}) /Producer (extractous-spark-gen) >>".getBytes("US-ASCII"))
+    assemble(objs, "/Root 1 0 R /Info 6 0 R")
+  }
+
   /** Mixed two-page PDF: page 1 has embedded text, page 2 is image-only —
     * exercises the reference's PER-PAGE OCR-Auto predicate
     * (/root/reference/types.go:251-275): text path on page 1, OCR on page 2.
@@ -167,7 +216,18 @@ object DocxWriter {
     * move-from run, and a text-box paragraph — one probe per Office config
     * toggle (/root/reference/config.go:244-415).
     */
-  def docx(paragraphs: Seq[String], title: String, deleted: String, moved: String, shape: String): Array[Byte] = {
+  /** A fake-but-binary vbaProject.bin: OLE2 signature + non-printable padding
+    * around one printable macro source line — what a forensic strings-scan of
+    * a real macro stream yields.
+    */
+  def vbaProjectBin(macroSource: String): Array[Byte] = {
+    val sig = Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte, 0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte)
+    val pad = Array.tabulate[Byte](24)(i => ((i * 7 + 1) % 31).toByte) // all < 0x20: non-printable
+    sig ++ pad ++ macroSource.getBytes("US-ASCII") ++ pad
+  }
+
+  def docx(paragraphs: Seq[String], title: String, deleted: String, moved: String, shape: String,
+      macros: Option[String] = None): Array[Byte] = {
     val body = new StringBuilder
     paragraphs.foreach(p => body.append(s"<w:p><w:r><w:t>${xmlEsc(p)}</w:t></w:r></w:p>"))
     body.append(s"<w:p><w:del><w:r><w:delText>${xmlEsc(deleted)}</w:delText></w:r></w:del></w:p>")
@@ -185,6 +245,7 @@ object DocxWriter {
     zip(Seq(
       "[Content_Types].xml" -> contentTypes.getBytes("UTF-8"),
       "word/document.xml" -> document.getBytes("UTF-8"),
-      "docProps/core.xml" -> core.getBytes("UTF-8")))
+      "docProps/core.xml" -> core.getBytes("UTF-8")) ++
+      macros.map(src => "word/vbaProject.bin" -> vbaProjectBin(src)).toSeq)
   }
 }

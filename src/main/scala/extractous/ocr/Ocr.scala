@@ -235,9 +235,11 @@ object GlyphFont {
     if (i < 64) ((tpl(0) >>> i) & 1L) != 0 else ((tpl(1) >>> (i - 64)) & 1L) != 0
 
   /** Render lines of text into a Gray bitmap on the fixed grid. Characters
-    * outside the alphabet render as '?'.
+    * outside the alphabet render as '?'. `scale` renders every logical pixel
+    * as a scale×scale block (a higher-DPI scan of the same page — the OCR
+    * density knob's input side).
     */
-  def render(lines: Seq[String], noiseSeed: Long = 0L): Gray = {
+  def render(lines: Seq[String], noiseSeed: Long = 0L, scale: Int = 1): Gray = {
     val safe = lines.map(_.map(c => if (c >= FirstChar && c <= LastChar) c else '?'))
     val cols = math.max(1, if (safe.isEmpty) 1 else safe.map(_.length).max)
     val rows = math.max(1, safe.length)
@@ -268,7 +270,47 @@ object GlyphFont {
         k += 1
       }
     }
-    Gray(w, h, px)
+    if (scale <= 1) Gray(w, h, px)
+    else {
+      val sw = w * scale; val sh = h * scale
+      val spx = new Array[Byte](sw * sh)
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          spx(y * sw + x) = px((y / scale) * w + (x / scale))
+          x += 1
+        }
+        y += 1
+      }
+      Gray(sw, sh, spx)
+    }
+  }
+
+  /** 16 mutually-isolated speckle pixels (8-neighborhood-clear, and clear of
+    * the cell's top pixel row so glyphs in the row above cannot touch them):
+    * enough ink that a cell is NOT blank (distance 16 > RejectDist to every
+    * template — random templates are ~48 pixels, so the closest glyph is ≥ 32
+    * away), yet every pixel is isolated, so despeckling erases the cell
+    * completely. The recognizer reads it as the reject marker '?' raw and as
+    * blank after preprocessing — a closed-form probe for the despeckle toggle.
+    */
+  val baitPixels: Seq[Int] =
+    (for (y <- 1 until GlyphH by 2; x <- 0 until GlyphW by 2) yield y * GlyphW + x).take(16)
+
+  /** Render `lines` plus one extra row holding [[baitPixels]] in its first
+    * cell.
+    */
+  def renderWithBait(lines: Seq[String]): Gray = {
+    val g = render(lines :+ "")
+    val baitRow = lines.length
+    val px = g.pixels.clone()
+    baitPixels.foreach { i =>
+      val x = Margin + (i % GlyphW)
+      val y = Margin + baitRow * GlyphH + (i / GlyphW)
+      px(y * g.width + x) = 1
+    }
+    Gray(g.width, g.height, px)
   }
 }
 
@@ -278,6 +320,51 @@ object GlyphFont {
   */
 object GlyphTemplateOcr extends Ocr {
   import GlyphFont._
+
+  /** Confidence floor: a cell farther than this from every candidate template
+    * is unrecognizable ink → reject marker '?'. Min pairwise template distance
+    * is ~30+ (random 96-bit codes); corpus salt noise is ≤ a handful of pixels
+    * per cell.
+    */
+  val RejectDist = 12
+
+  /** Character sets per OCR language model (the reference forwards `-l` to
+    * tesseract, whose traineddata fixes the recognizable alphabet —
+    * /root/reference/config.go:521-529). Restricting the candidate template
+    * set is the template-OCR equivalent. Unknown codes fall back to the full
+    * alphabet; space is always recognizable.
+    */
+  val langCharsets: Map[String, Set[Char]] = {
+    val full = (FirstChar to LastChar).map(_.toChar).toSet
+    Map(
+      "eng" -> full, "deu" -> full, "fra" -> full, "spa" -> full,
+      "num" -> "0123456789 .,:-".toSet)
+  }
+
+  /** Majority-vote k× block downsample — inverts a k×-DPI scan of the base
+    * grid (the density knob: cfg.density=300·k means glyphs are k× larger).
+    */
+  private def downsample(g: Gray, k: Int): Gray = {
+    val w = g.width / k; val h = g.height / k
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var cnt = 0
+        var dy = 0
+        while (dy < k) {
+          var dx = 0
+          while (dx < k) { if (g(x * k + dx, y * k + dy) != 0) cnt += 1; dx += 1 }
+          dy += 1
+        }
+        px(y * w + x) = if (2 * cnt >= k * k) 1 else 0
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, px)
+  }
 
   private def despeckle(g: Gray): Gray = {
     val out = g.pixels.clone()
@@ -306,8 +393,16 @@ object GlyphTemplateOcr extends Ocr {
     Gray(g.width, g.height, out)
   }
 
-  def recognizeGray(g0: Gray, cfg: OcrConfig): String = {
+  def recognizeGray(g1: Gray, cfg: OcrConfig): String = {
+    // deadline already expired ⇒ OCR timeout (the reference destroys the
+    // process and surfaces status -10, /root/reference/config.go:662-694)
+    if (cfg.timeoutSeconds <= 0)
+      throw new IllegalStateException(s"OCR timeout after ${cfg.timeoutSeconds}s")
+    val scale = math.max(1, cfg.density / 300)
+    val g0 = if (scale > 1) downsample(g1, scale) else g1
     val g = if (cfg.enableImagePreprocessing) despeckle(g0) else g0
+    val allowed = langCharsets.getOrElse(cfg.language,
+      (FirstChar to LastChar).map(_.toChar).toSet)
     val cols = (g.width - Margin * 2) / GlyphW
     val rows = (g.height - Margin * 2) / GlyphH
     if (cols <= 0 || rows <= 0) return ""
@@ -328,16 +423,21 @@ object GlyphTemplateOcr extends Ocr {
           }
           i += 1
         }
-        // nearest template
+        // nearest template among the language's charset; cells too far from
+        // every candidate reject to '?' (the confidence floor real OCR engines
+        // apply — random templates are ≥ ~30 apart, clean noise ≤ a few pixels,
+        // so the threshold never fires on legible glyphs)
         var best = ' '
         var bestDist = Integer.MAX_VALUE
         var t = 0
         while (t < templates.length) {
-          val d = java.lang.Long.bitCount(cell0 ^ templates(t)(0)) + java.lang.Long.bitCount(cell1 ^ templates(t)(1))
-          if (d < bestDist) { bestDist = d; best = (t + FirstChar).toChar }
+          if (allowed.contains((t + FirstChar).toChar)) {
+            val d = java.lang.Long.bitCount(cell0 ^ templates(t)(0)) + java.lang.Long.bitCount(cell1 ^ templates(t)(1))
+            if (d < bestDist) { bestDist = d; best = (t + FirstChar).toChar }
+          }
           t += 1
         }
-        line.append(best)
+        line.append(if (bestDist > RejectDist) '?' else best)
         c += 1
       }
       val trimmed = line.toString.reverse.dropWhile(_ == ' ').reverse

@@ -81,6 +81,22 @@ object OfficeExtractor {
     }.getOrElse(Map.empty)
   }
 
+  /** Printable-ASCII runs of at least `minLen` chars in a binary stream — the
+    * macro-source recovery a strings-scan of vbaProject.bin yields (the
+    * reference surfaces macro text via Tika's VBAMacroExtractor,
+    * /root/reference/config.go:323-327).
+    */
+  def printableStrings(bin: Array[Byte], minLen: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    def flush(): Unit = { if (sb.length >= minLen) out += sb.toString; sb.clear() }
+    bin.foreach { b =>
+      if (b >= 0x20 && b < 0x7f) sb.append(b.toChar) else flush()
+    }
+    flush()
+    out.result()
+  }
+
   def extract(bytes: Array[Byte], mime: String, cfg: ExtractorConfig): ExtractResult = {
     val entries =
       try ZipUtil.entries(bytes)
@@ -145,8 +161,11 @@ object OfficeExtractor {
 
     var meta: Map[String, Seq[String]] = coreProps(entries) +
       ("Content-Type" -> Seq(MimeSniffer.Docx))
-    if (o.extractMacros && entries.contains("word/vbaProject.bin"))
+    if (o.extractMacros) entries.get("word/vbaProject.bin").foreach { bin =>
       meta += ("X-Has-Macros" -> Seq("true"))
+      val sources = printableStrings(bin, minLen = 8)
+      if (sources.nonEmpty) meta += ("X-VBA-Macros" -> sources)
+    }
     ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, MimeSniffer.Docx)
   }
 

@@ -494,7 +494,14 @@ object PdfExtractor {
     * separated by a wide gap), then per column group lines by y proximity (desc)
     * and sort by x within a line.
     */
-  def assemble(runs: Vector[GlyphRun]): Vector[String] = {
+  def assemble(runs: Vector[GlyphRun]): Vector[String] =
+    assembleTagged(runs).map(_._1)
+
+  /** Reading-order lines paired with their marked-content tag (the tag of the
+    * line's first run — PER LINE, so /H1 heading + /P body pages keep distinct
+    * structural tags in XML mode).
+    */
+  def assembleTagged(runs: Vector[GlyphRun]): Vector[(String, Option[String])] = {
     if (runs.isEmpty) return Vector.empty
     val minX = runs.map(_.x).min
     val maxX = runs.map(_.x).max
@@ -523,8 +530,9 @@ object PdfExtractor {
         byLine.getOrElseUpdate(key, ArrayBuffer.empty) += r
       }
       byLine.toVector.sortBy(-_._1).map { case (_, rs) =>
-        Normalize.line(rs.sortBy(_.x).map(_.text).mkString)
-      }.filter(_.nonEmpty)
+        val sorted = rs.sortBy(_.x)
+        (Normalize.line(sorted.map(_.text).mkString), sorted.head.mcTag)
+      }.filter(_._1.nonEmpty)
     }
   }
 
@@ -553,9 +561,9 @@ object PdfExtractor {
         case PdfOcrStrategy.OcrOnly | PdfOcrStrategy.OcrAndText => true
         case PdfOcrStrategy.Auto => !hasText
       }
-      if (useText) assemble(page.runs).foreach { line =>
+      if (useText) assembleTagged(page.runs).foreach { case (line, mcTag) =>
         emitter.addBlock(line)
-        val tag = page.runs.headOption.flatMap(_.mcTag).filter(_ => cfg.pdf.extractMarkedContent)
+        val tag = mcTag.filter(_ => cfg.pdf.extractMarkedContent)
           .map(_.toLowerCase).filter(t => t.matches("h[1-6]|p")).getOrElse("p")
         xe.addElement(tag, line)
       }

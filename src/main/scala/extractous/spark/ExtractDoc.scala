@@ -88,10 +88,55 @@ final case class SniffMimeExpr(child: Expression) extends UnaryExpression with C
   override protected def withNewChildInternal(newChild: Expression): SniffMimeExpr = copy(child = newChild)
 }
 
+/** Extraction through the chunked-stream consumer (reference stream path:
+  * ExtractBytesToStream + Read loop, #3/#32/#33 in SURVEY §2.1): reassembles
+  * the text from bounded chunks and reports the chunk count — the EOF/partial-
+  * read contract is exercised per row, and the result must equal the string
+  * path byte-for-byte.
+  */
+final case class ExtractStreamExpr(child: Expression, cfg: ExtractorConfig, chunkSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "extract_stream"
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    val r = Extract(bytes, cfg)
+    val out = new java.io.ByteArrayOutputStream()
+    var n = 0
+    Extract.stream(r, chunkSize).foreach { chunk =>
+      require(chunk.length <= chunkSize, "stream chunk exceeds requested size")
+      out.write(chunk)
+      n += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(out.toByteArray), n, out.size()))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractStreamExpr = copy(child = newChild)
+}
+
 /** Column-level API + typed Dataset API + SQL registration. */
 object functions {
   def extract_doc(c: Column, cfg: ExtractorConfig = ExtractorConfig.default): Column =
     ColumnBridge.column(ExtractDocExpr(ColumnBridge.expression(c), cfg))
+
+  def extract_stream(c: Column, cfg: ExtractorConfig = ExtractorConfig.default,
+      chunkSize: Int = 65536): Column =
+    ColumnBridge.column(ExtractStreamExpr(ColumnBridge.expression(c), cfg, chunkSize))
+
+  /** Status code → human message (reference errors.rs:61-80 / SURVEY §2.1 #42)
+    * as a pure codegen'd CASE expression.
+    */
+  def status_message(status: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    extractous.model.ExtractStatus.message.toSeq.sortBy(_._1).foldLeft(lit("unknown status")) {
+      case (acc, (code, msg)) => when(status === code, lit(msg)).otherwise(acc)
+    }
+  }
 
   def sniff_mime(c: Column): Column =
     ColumnBridge.column(SniffMimeExpr(ColumnBridge.expression(c)))

@@ -209,6 +209,158 @@ object SparkEntry {
         .select(col("url"), col("text"))
         .orderBy(col("url"))
     }),
+    "x_version" -> ((s, dir) => {
+      // version introspection rides every output row (#45; reference
+      // ffi/src/lib.rs version export) — select it explicitly
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), col("extractor_version"))
+        .orderBy(col("url"))
+    }),
+    "x_stream" -> ((s, dir) => {
+      // chunked-stream consumption (#3/#32/#33): extraction text read back
+      // through 64-byte bounded reads with EOF semantics; reassembly must be
+      // byte-identical and the chunk count is closed-form
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+        .filter(r => (r._1 % 100) < 70)
+        .map { case (id, text, lang) => (id, CorpusGen.payload(id, text, lang)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"),
+          xf.extract_stream(col("payload"), CorpusGen.flagshipConfig, chunkSize = 64).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          col("r.n_chunks").cast("long").as("n_chunks"),
+          col("r.n_bytes").cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_pdf_images" -> ((s, dir) => {
+      // inline-image extraction + unique-digest dedup (#17/#18): 2+id%3
+      // distinct images drawn twice each → unique=n, all=2n
+      val ds = binDs(s, dir, CorpusGen.multiImagePdfPayload).toDF("doc_id", "payload")
+      val cfgU = CorpusGen.flagshipConfig.copy(pdf = PdfConfig(extractInlineImages = true))
+      val cfgA = CorpusGen.flagshipConfig.copy(pdf = PdfConfig(extractInlineImages = true,
+        extractUniqueInlineImagesOnly = false))
+      ds.select(col("doc_id"),
+          xf.extract_doc(col("payload"), cfgU).as("u"),
+          xf.extract_doc(col("payload"), cfgA).as("a"))
+        .select(col("doc_id"),
+          try_element_at(try_element_at(col("u.metadata"), lit("X-Image-Count")), lit(1)).cast("long").as("n_unique"),
+          try_element_at(try_element_at(col("a.metadata"), lit("X-Image-Count")), lit(1)).cast("long").as("n_total"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_pdf_marked" -> ((s, dir) => {
+      // marked-content structural tags (#19): /H1 + /P scopes survive into XML
+      // under extractMarkedContent, collapse to <p> without it
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.markedPdfPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      val cfgM = CorpusGen.flagshipConfig.copy(xmlOutput = true,
+        pdf = PdfConfig(extractMarkedContent = true))
+      val cfgP = CorpusGen.flagshipConfig.copy(xmlOutput = true)
+      ds.select(col("doc_id"),
+          xf.extract_doc(col("payload"), cfgM).getField("xml").as("xml_marked"),
+          xf.extract_doc(col("payload"), cfgP).getField("xml").as("xml_plain"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_office_macros" -> ((s, dir) => {
+      // VBA macros (#22): presence flag + strings-scan source recovery, and
+      // the extractMacros=false negative
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.docxMacrosPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      val cfgOff = CorpusGen.flagshipConfig.copy(office = OfficeConfig(extractMacros = false))
+      ds.select(col("doc_id"),
+          xf.extract_doc(col("payload")).as("on"),
+          xf.extract_doc(col("payload"), cfgOff).as("off"))
+        .select(col("doc_id"),
+          map_contains_key(col("on.metadata"), lit("X-Has-Macros")).cast("long").as("has_macros"),
+          coalesce(try_element_at(try_element_at(col("on.metadata"), lit("X-VBA-Macros")), lit(1)), lit("")).as("macro_src"),
+          map_contains_key(col("off.metadata"), lit("X-Has-Macros")).cast("long").as("has_macros_off"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ocr_lang" -> ((s, dir) => {
+      // OCR language model (#27): out-of-charset glyphs reject under "num"
+      val ds = binDs(s, dir, CorpusGen.langImagePayload).toDF("doc_id", "payload")
+      val cfgNum = CorpusGen.flagshipConfig.copy(ocr = OcrConfig(language = "num"))
+      ds.select(col("doc_id"),
+          xf.extract_doc(col("payload"), cfgNum).getField("text").as("text_num"),
+          xf.extract_doc(col("payload")).getField("text").as("text_eng"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ocr_density" -> ((s, dir) => {
+      // OCR density (#28): 2x-DPI scans recognize only when density says 600
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.densityImagePayload(id, text)) }
+        .toDF("doc_id", "payload")
+      val cfg = CorpusGen.flagshipConfig.copy(ocr = OcrConfig(density = 600))
+      ds.select(col("doc_id"), xf.extract_doc(col("payload"), cfg).getField("text").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ocr_preprocess" -> ((s, dir) => {
+      // image preprocessing (#30): isolated speckle ink rejects to '?' raw,
+      // despeckling removes the whole bait row
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.baitImagePayload(id, text)) }
+        .toDF("doc_id", "payload")
+      val cfgPre = CorpusGen.flagshipConfig.copy(ocr = OcrConfig(enableImagePreprocessing = true))
+      ds.select(col("doc_id"),
+          xf.extract_doc(col("payload")).getField("text").as("text_raw"),
+          xf.extract_doc(col("payload"), cfgPre).getField("text").as("text_pre"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ocr_timeout" -> ((s, dir) => {
+      // OCR timeout (#31): an already-expired deadline maps to status -10,
+      // never a thrown task failure
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(100)).between(90, 95))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.payload(id, text, "en")) }
+        .toDF("doc_id", "payload")
+      val cfg = CorpusGen.flagshipConfig.copy(ocr = OcrConfig(timeoutSeconds = 0))
+      ds.select(col("doc_id"), xf.extract_doc(col("payload"), cfg).as("r"))
+        .select(col("doc_id"), col("r.status").cast("long").as("status"),
+          col("r.error").as("error"),
+          xf.status_message(col("r.status")).as("message"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ocr_params" -> ((s, dir) => {
+      // OCR density/depth/language knobs recorded as parser provenance
+      // (#28/#29) — the config observably reaches the OCR invocation per row
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(100)).between(90, 95))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.payload(id, text, "en")) }
+        .toDF("doc_id", "payload")
+      val cfg = CorpusGen.flagshipConfig.copy(ocr = OcrConfig(language = "deu", density = 300, depth = 8))
+      ds.select(col("doc_id"), xf.extract_doc(col("payload"), cfg).getField("metadata").as("m"))
+        .select(col("doc_id"),
+          try_element_at(try_element_at(col("m"), lit("X-OCR-Language")), lit(1)).as("ocr_lang"),
+          try_element_at(try_element_at(col("m"), lit("X-OCR-Density")), lit(1)).as("ocr_density"),
+          try_element_at(try_element_at(col("m"), lit("X-OCR-Depth")), lit(1)).as("ocr_depth"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_error_chain" -> ((s, dir) => {
+      // error debug chain (#44) + code→message map (#42): failures inside a
+      // gzip wrapper carry a context frame; chain length is observable
+      val ds = binDs(s, dir, CorpusGen.corruptChainPayload).toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.status").cast("long").as("status"),
+          col("r.error").as("error"),
+          xf.status_message(col("r.status")).as("message"),
+          size(split(col("r.error"), " <- ")).cast("long").as("chain_len"))
+        .orderBy(col("doc_id"))
+    }),
     // ---------- relational demos over the TPC-H-ish tables ----------
     "r_sessions" -> ((s, dir) => {
       // sessionization (gaps-and-islands): new session when gap > 1 hour
@@ -472,6 +624,58 @@ object SparkEntry {
          |CASE lang WHEN 'de' THEN 'der die und nicht das' WHEN 'es' THEN 'el la los y no' WHEN 'fr' THEN 'le la les et ne' WHEN 'zh' THEN '? ? ? ? ?' ELSE 'the and of to in' END
          | || chr(10) || text AS text
          |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "x_version" ->
+      s"""SELECT $sqlUrl AS url, 'extractous-spark/0.1.0' AS extractor_version
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "x_stream" ->
+      s"""SELECT doc_id, t AS text,
+         |CAST(ceil(strlen(t) / 64.0) AS BIGINT) AS n_chunks,
+         |CAST(strlen(t) AS BIGINT) AS n_bytes
+         |FROM (SELECT doc_id,
+         |  CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text ELSE text END AS t
+         |  FROM documents WHERE $sqlKind < 70)
+         |ORDER BY doc_id""".stripMargin,
+    "x_pdf_images" ->
+      """SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS n_unique,
+        |CAST(4 + 2 * (doc_id % 3) AS BIGINT) AS n_total
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pdf_marked" ->
+      s"""SELECT doc_id,
+         |'<doc>' || chr(10) || '<h1>Document ' || $sqlId || '</h1>' || chr(10)
+         |  || '<p>' || text || '</p>' || chr(10) || '</doc>' AS xml_marked,
+         |'<doc>' || chr(10) || '<p>Document ' || $sqlId || '</p>' || chr(10)
+         |  || '<p>' || text || '</p>' || chr(10) || '</doc>' AS xml_plain
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_office_macros" ->
+      s"""SELECT doc_id,
+         |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_macros,
+         |CASE WHEN doc_id % 2 = 0 THEN 'Sub Doc' || $sqlId || '(): MsgBox 42: End Sub' ELSE '' END AS macro_src,
+         |CAST(0 AS BIGINT) AS has_macros_off
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ocr_lang" ->
+      s"""SELECT doc_id, $sqlId || chr(10) || '?' AS text_num, $sqlId || chr(10) || 'e' AS text_eng
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ocr_density" ->
+      s"""SELECT doc_id, 'DOC ' || $sqlId || chr(10) || rtrim(substr(text, 1, 20)) AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ocr_preprocess" ->
+      s"""SELECT doc_id,
+         |'DOC ' || $sqlId || chr(10) || rtrim(substr(text, 1, 20)) || chr(10) || '?' AS text_raw,
+         |'DOC ' || $sqlId || chr(10) || rtrim(substr(text, 1, 20)) AS text_pre
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ocr_timeout" ->
+      s"""SELECT doc_id, CAST(-10 AS BIGINT) AS status,
+         |'OCR failed: OCR timeout after 0s' AS error, 'OCR failed' AS message
+         |FROM documents WHERE $sqlKind BETWEEN 90 AND 95 ORDER BY doc_id""".stripMargin,
+    "x_ocr_params" ->
+      s"""SELECT doc_id, 'deu' AS ocr_lang, '300' AS ocr_density, '8' AS ocr_depth
+         |FROM documents WHERE $sqlKind BETWEEN 90 AND 95 ORDER BY doc_id""".stripMargin,
+    "x_error_chain" ->
+      """SELECT doc_id, CAST(-4 AS BIGINT) AS status,
+        |CASE WHEN doc_id % 2 = 0 THEN 'pdf: no objects parsed <- gzip layer 1' ELSE 'pdf: no objects parsed' END AS error,
+        |'extraction failed' AS message,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS chain_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "r_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
         |FROM (
