@@ -70,15 +70,19 @@ object Extract {
         }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
-      case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip) =>
+      case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip |
+                MimeSniffer.Odt | MimeSniffer.Ods | MimeSniffer.Odp) =>
         OfficeExtractor.extract(bytes, m, cfg)
-      case m @ (MimeSniffer.Bmp | MimeSniffer.Png) => image(bytes, m, cfg, ocr)
-      case MimeSniffer.Jpeg =>
-        ExtractResult.fail(ExtractStatus.UnsupportedFormat, "unsupported format: image/jpeg", MimeSniffer.Jpeg)
+      case m @ (MimeSniffer.Bmp | MimeSniffer.Png | MimeSniffer.Jpeg) => image(bytes, m, cfg, ocr)
       case _ =>
-        // Distinguish text-like payloads with broken encoding from plain binary:
-        // mostly-printable-ASCII ⇒ invalid-UTF-8 (-2), else unsupported (-8).
-        val printable = bytes.count(b => (b >= 0x20 && b < 0x7f) || b == '\n' || b == '\r' || b == '\t')
+        // Distinguish text-like payloads with broken encoding from plain
+        // binary (the charset-detection rungs — UTF-16 BOMs, windows-1252 —
+        // live in MimeSniffer and route to Plain before this fallthrough):
+        // mostly-printable ⇒ invalid-UTF-8 (-2), else unsupported (-8).
+        val printable = bytes.count { b0 =>
+          val b = b0 & 0xff
+          (b >= 0x20 && b < 0x7f) || b == '\n' || b == '\r' || b == '\t' || b >= 0x80
+        }
         if (printable.toDouble / bytes.length >= 0.9)
           ExtractResult.fail(ExtractStatus.InvalidUtf8, "invalid UTF-8 in text payload", MimeSniffer.Plain)
         else
@@ -122,10 +126,25 @@ object Extract {
     out.toByteArray
   }
 
-  /** Plain text: UTF-8 decode + canonical normalization. */
+  /** Plain text: charset-aware decode (UTF-16 BOMs, UTF-8 default) +
+    * canonical normalization.
+    */
   private def plain(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
-    var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    if (s.nonEmpty && s.charAt(0) == '﻿') s = s.substring(1) // BOM
+    val (decoded, charset) =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+        (new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16LE), "UTF-16LE")
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+        (new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE), "UTF-16BE")
+      else if (MimeSniffer.isValidUtf8(bytes)) {
+        var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        if (s.nonEmpty && s.charAt(0) == '﻿') s = s.substring(1) // BOM
+        (s, "UTF-8")
+      } else
+        (new String(bytes, java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
+    plainDecoded(decoded, charset, cfg)
+  }
+
+  private def plainDecoded(s: String, charset: String, cfg: ExtractorConfig): ExtractResult = {
     val emitter = new TextEmitter(cfg.maxStringLength)
     val xe = new XmlEmitter(cfg.maxStringLength)
     s.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { line =>
@@ -133,7 +152,7 @@ object Extract {
       if (cfg.xmlOutput) xe.addElement("p", line)
     }
     ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
-      Map("Content-Type" -> Seq("text/plain; charset=UTF-8")), MimeSniffer.Plain)
+      Map("Content-Type" -> Seq(s"text/plain; charset=$charset")), MimeSniffer.Plain)
   }
 
   /** Generic XML document: every element is a block boundary, character data

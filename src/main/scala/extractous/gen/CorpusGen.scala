@@ -2,7 +2,7 @@ package extractous.gen
 
 import extractous.config._
 import extractous.model.{ExtractStatus, WebPage}
-import extractous.ocr.{Bmp, GlyphFont, Png}
+import extractous.ocr.{Bmp, GlyphFont, Jpeg, Png}
 import extractous.sniff.MimeSniffer
 import org.apache.spark.sql.{Dataset, SparkSession}
 import java.io.ByteArrayOutputStream
@@ -37,14 +37,25 @@ object CorpusGen {
   def kindOf(id: Long): String = {
     val m = (id % 100).toInt
     if (m < 55) "html"
-    else if (m < 70) "plain"
+    else if (m < 65) "plain"
+    else if (m < 67) "utf16le"
+    else if (m < 68) "utf16be"
+    else if (m < 70) "cp1252"
     else if (m < 82) "pdf"
-    else if (m < 90) "docx"
+    else if (m < 88) "docx"
+    else if (m < 89) "odt"
+    else if (m < 90) "odp"
     else if (m < 96) "image"
     else if (m < 98) "scanned_pdf"
     else if (m == 98) "empty"
     else "corrupt"
   }
+
+  /** Non-ASCII lead-in for the windows-1252 rows: exercises the 0x80-0x9F
+    * cp1252 specials (€ –) and Latin-1 accents; seed texts are pure ASCII so
+    * the expected decode is `prefix + text` in closed form.
+    */
+  val Cp1252Prefix = "café € – ñ "
 
   /** Host-skewed url: host-0 carries ~50% of pages (Zipf-ish head), the rest
     * spread over host-1..host-9 — exercises the salted-repartition path.
@@ -88,6 +99,12 @@ object CorpusGen {
   def payload(id: Long, text: String, lang: String): Array[Byte] = kindOf(id) match {
     case "html"  => htmlPayload(id, text, lang)
     case "plain" => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case "utf16le" =>
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    case "utf16be" =>
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    case "cp1252" =>
+      (Cp1252Prefix + text).getBytes(java.nio.charset.Charset.forName("windows-1252"))
     case "pdf" =>
       PdfWriter.textPdf(
         lines = Seq(s"Document $id", text),
@@ -100,9 +117,15 @@ object CorpusGen {
         paragraphs = Seq(s"Document $id", text),
         title = titleOf(id, lang),
         deleted = s"DELETED $id", moved = s"MOVED $id", shape = s"SHAPE $id")
+    case "odt" => OdfWriter.odt(s"Document $id", Seq(text), titleOf(id, lang))
+    case "odp" => OdfWriter.odp(Seq(s"Document $id", text), titleOf(id, lang))
     case "image" =>
       val g = GlyphFont.render(Seq(s"DOC $id", text.take(40)), noiseSeed = if (id % 5 == 0) id else 0L)
-      if (id % 2 == 0) Bmp.encode(g) else Png.encode(g)
+      (id % 3) match {
+        case 0 => Bmp.encode(g)
+        case 1 => Png.encode(g)
+        case _ => Jpeg.encode(g)
+      }
     case "scanned_pdf" =>
       val g = GlyphFont.render(Seq(s"SCAN $id", text.take(20)))
       PdfWriter.scannedPdf(Bmp.encode(g))
@@ -111,7 +134,9 @@ object CorpusGen {
       (id % 3) match {
         case 0 => "%PDF-1.4\nthis is not a real pdf body".getBytes("US-ASCII")
         case 1 => Array[Byte]('P', 'K', 3, 4) ++ Array.tabulate[Byte](64)(i => ((i * 37 + 11) % 251).toByte)
-        case _ => ("corrupt text document " * 4).getBytes("US-ASCII") ++ Array[Byte](0xff.toByte, 0xfe.toByte)
+        // 0x81/0x8D are undefined in windows-1252 AND invalid UTF-8 ⇒ the
+        // charset ladder cannot rescue this payload: status -2 stays reachable
+        case _ => ("corrupt text document " * 4).getBytes("US-ASCII") ++ Array[Byte](0x81.toByte, 0x8d.toByte)
       }
   }
 
@@ -123,13 +148,16 @@ object CorpusGen {
     * Scala twin of the DuckDB oracle SQL in graft.SparkEntry.
     */
   def expectedText(id: Long, text: String, lang: String): String = kindOf(id) match {
-    case "html"        => s"Document $id\n${stopLine(lang)}\n$text"
-    case "plain"       => text
-    case "pdf"         => s"Document $id\n$text" + (if (id % 3 == 0) s"\nNote $id" else "")
-    case "docx"        => s"Document $id\n$text\nSHAPE $id"
-    case "image"       => s"DOC $id\n${text.take(40).reverse.dropWhile(_ == ' ').reverse}"
-    case "scanned_pdf" => s"SCAN $id\n${text.take(20).reverse.dropWhile(_ == ' ').reverse}"
-    case _             => ""
+    case "html"                  => s"Document $id\n${stopLine(lang)}\n$text"
+    case "plain"                 => text
+    case "utf16le" | "utf16be"   => text
+    case "cp1252"                => Cp1252Prefix + text
+    case "pdf"                   => s"Document $id\n$text" + (if (id % 3 == 0) s"\nNote $id" else "")
+    case "docx"                  => s"Document $id\n$text\nSHAPE $id"
+    case "odt" | "odp"           => s"Document $id\n$text"
+    case "image"                 => s"DOC $id\n${text.take(40).reverse.dropWhile(_ == ' ').reverse}"
+    case "scanned_pdf"           => s"SCAN $id\n${text.take(20).reverse.dropWhile(_ == ' ').reverse}"
+    case _                       => ""
   }
 
   def expectedStatus(id: Long): Int = kindOf(id) match {
@@ -138,11 +166,18 @@ object CorpusGen {
   }
 
   def expectedContentType(id: Long): String = kindOf(id) match {
-    case "html"        => MimeSniffer.Html
-    case "plain"       => MimeSniffer.Plain
-    case "pdf"         => MimeSniffer.Pdf
-    case "docx"        => MimeSniffer.Docx
-    case "image"       => if (id % 2 == 0) MimeSniffer.Bmp else MimeSniffer.Png
+    case "html"                            => MimeSniffer.Html
+    case "plain" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
+    case "pdf"                             => MimeSniffer.Pdf
+    case "docx"                            => MimeSniffer.Docx
+    case "odt"                             => MimeSniffer.Odt
+    case "odp"                             => MimeSniffer.Odp
+    case "image" =>
+      (id % 3) match {
+        case 0 => MimeSniffer.Bmp
+        case 1 => MimeSniffer.Png
+        case _ => MimeSniffer.Jpeg
+      }
     case "scanned_pdf" => MimeSniffer.Pdf
     case "empty"       => MimeSniffer.Empty
     case "corrupt" =>

@@ -197,13 +197,27 @@ object DocxWriter {
     sb.toString
   }
 
-  def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+  def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = zip(entries, Set.empty)
+
+  /** `storedNames` entries are written STORED (uncompressed) — ODF requires
+    * its `mimetype` entry stored first so magic-byte sniffers can read the
+    * document type without inflating anything.
+    */
+  def zip(entries: Seq[(String, Array[Byte])], storedNames: Set[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(bos)
     zos.setLevel(Deflater.BEST_SPEED)
     entries.foreach { case (name, data) =>
       val e = new ZipEntry(name)
       e.setTime(FixedTime)
+      if (storedNames.contains(name)) {
+        e.setMethod(ZipEntry.STORED)
+        e.setSize(data.length.toLong)
+        e.setCompressedSize(data.length.toLong)
+        val crc = new CRC32()
+        crc.update(data)
+        e.setCrc(crc.getValue)
+      }
       zos.putNextEntry(e)
       zos.write(data)
       zos.closeEntry()
@@ -247,5 +261,67 @@ object DocxWriter {
       "word/document.xml" -> document.getBytes("UTF-8"),
       "docProps/core.xml" -> core.getBytes("UTF-8")) ++
       macros.map(src => "word/vbaProject.bin" -> vbaProjectBin(src)).toSeq)
+  }
+}
+
+/** OpenDocument (ODT/ODS/ODP) writers: ODF zip layout — STORED `mimetype`
+  * entry first (per spec, so sniffers read it raw), `content.xml` body,
+  * `meta.xml` Dublin Core title. The reference covers these through Tika
+  * (/root/reference/config.go:241, README.md:271).
+  */
+object OdfWriter {
+  import DocxWriter.{xmlEsc, zip}
+
+  val OdtMime = "application/vnd.oasis.opendocument.text"
+  val OdsMime = "application/vnd.oasis.opendocument.spreadsheet"
+  val OdpMime = "application/vnd.oasis.opendocument.presentation"
+
+  private def pack(mime: String, contentXml: String, title: String): Array[Byte] = {
+    val meta =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:dc="http://purl.org/dc/elements/1.1/"><office:meta><dc:title>${xmlEsc(title)}</dc:title><dc:creator>extractous-spark-gen</dc:creator></office:meta></office:document-meta>"""
+    zip(Seq(
+      "mimetype" -> mime.getBytes("US-ASCII"),
+      "content.xml" -> contentXml.getBytes("UTF-8"),
+      "meta.xml" -> meta.getBytes("UTF-8")),
+      storedNames = Set("mimetype"))
+  }
+
+  /** Text document: one heading + body paragraphs. */
+  def odt(heading: String, paragraphs: Seq[String], title: String): Array[Byte] = {
+    val body = new StringBuilder
+    body.append(s"""<text:h text:outline-level="1">${xmlEsc(heading)}</text:h>""")
+    paragraphs.foreach(p => body.append(s"<text:p>${xmlEsc(p)}</text:p>"))
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:text>${body.toString}</office:text></office:body></office:document-content>"""
+    pack(OdtMime, content, title)
+  }
+
+  /** Spreadsheet: rows of cells, each row one text block. */
+  def ods(rows: Seq[Seq[String]], title: String): Array[Byte] = {
+    val body = new StringBuilder("""<table:table table:name="Sheet1">""")
+    rows.foreach { cells =>
+      body.append("<table:table-row>")
+      cells.foreach(c => body.append(s"<table:table-cell><text:p>${xmlEsc(c)}</text:p></table:table-cell>"))
+      body.append("</table:table-row>")
+    }
+    body.append("</table:table>")
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:spreadsheet>${body.toString}</office:spreadsheet></office:body></office:document-content>"""
+    pack(OdsMime, content, title)
+  }
+
+  /** Presentation: one frame paragraph per slide. */
+  def odp(slides: Seq[String], title: String): Array[Byte] = {
+    val body = new StringBuilder
+    slides.zipWithIndex.foreach { case (s, i) =>
+      body.append(s"""<draw:page draw:name="page$i"><draw:frame><draw:text-box><text:p>${xmlEsc(s)}</text:p></draw:text-box></draw:frame></draw:page>""")
+    }
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:presentation>${body.toString}</office:presentation></office:body></office:document-content>"""
+    pack(OdpMime, content, title)
   }
 }

@@ -451,6 +451,7 @@ object GlyphTemplateOcr extends Ocr {
   override def recognize(image: Array[Byte], cfg: OcrConfig): String = {
     val g =
       if (image.length >= 2 && image(0) == 'B' && image(1) == 'M') Bmp.decode(image)
+      else if (image.length >= 3 && (image(0) & 0xff) == 0xff && (image(1) & 0xff) == 0xd8) Jpeg.decode(image)
       else Png.decode(image)
     recognizeGray(g, cfg)
   }

@@ -108,9 +108,75 @@ object OfficeExtractor {
       case MimeSniffer.Docx => docx(entries, cfg)
       case MimeSniffer.Xlsx => xlsx(entries, cfg)
       case MimeSniffer.Pptx => pptx(entries, cfg)
+      case MimeSniffer.Odt | MimeSniffer.Ods | MimeSniffer.Odp => odf(entries, mime, cfg)
       case _ =>
         ExtractResult.fail(ExtractStatus.UnsupportedFormat, "zip: not an OOXML package", MimeSniffer.Zip)
     }
+  }
+
+  /** OpenDocument text/spreadsheet/presentation: `content.xml` walk — every
+    * `text:h`/`text:p` is a block, every `table:table-row` is one block of its
+    * cells joined by spaces; `meta.xml` supplies Dublin Core metadata.
+    */
+  private def odf(entries: Map[String, Array[Byte]], mime: String, cfg: ExtractorConfig): ExtractResult = {
+    val content = entries.getOrElse("content.xml",
+      return ExtractResult.fail(ExtractStatus.ExtractionFailed, "odf: missing content.xml", mime))
+    val root = xml(content)
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+
+    // all descendant character data of one paragraph-ish node, ODF whitespace
+    // elements (text:tab, text:s, text:line-break) folded to spaces
+    def paraText(e: HElem): String = {
+      val sb = new StringBuilder
+      def walk(n: HNode): Unit = n match {
+        case HText(t) => sb.append(t)
+        case el: HElem =>
+          el.name match {
+            case "text:tab" | "text:s" | "text:line-break" => sb.append(' ')
+            case _                                         => el.children.foreach(walk)
+          }
+      }
+      walk(e)
+      sb.toString
+    }
+
+    def walk(e: HElem): Unit = e.children.foreach {
+      case el: HElem =>
+        el.name match {
+          case "text:h" =>
+            val t = paraText(el)
+            if (t.nonEmpty) { emitter.addBlock(t); xe.addElement("h1", t) }
+          case "text:p" =>
+            val t = paraText(el)
+            if (t.nonEmpty) { emitter.addBlock(t); xe.addElement("p", t) }
+          case "table:table-row" =>
+            val cells = el.children.collect {
+              case c: HElem if c.name == "table:table-cell" => paraText(c).trim
+            }.filter(_.nonEmpty)
+            if (cells.nonEmpty) { val t = cells.mkString(" "); emitter.addBlock(t); xe.addElement("p", t) }
+          case _ => walk(el)
+        }
+      case _ =>
+    }
+    walk(root)
+
+    // meta.xml Dublin Core
+    var meta: Map[String, Seq[String]] = Map("Content-Type" -> Seq(mime))
+    entries.get("meta.xml").foreach { b =>
+      val m = xml(b)
+      def find(e: HElem): Unit = e.children.foreach {
+        case el: HElem =>
+          el.name match {
+            case "dc:title"   => val t = textOf(el).trim; if (t.nonEmpty) meta += ("dc:title" -> Seq(t))
+            case "dc:creator" => val t = textOf(el).trim; if (t.nonEmpty) meta += ("dc:creator" -> Seq(t))
+            case _            => find(el)
+          }
+        case _ =>
+      }
+      find(m)
+    }
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, mime)
   }
 
   private def docx(entries: Map[String, Array[Byte]], cfg: ExtractorConfig): ExtractResult = {

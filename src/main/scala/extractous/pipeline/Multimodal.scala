@@ -1,7 +1,7 @@
 package extractous.pipeline
 
 import extractous.config.OcrConfig
-import extractous.ocr.{Bmp, Gray, GlyphTemplateOcr, Png}
+import extractous.ocr.{Bmp, Gray, GlyphTemplateOcr, Jpeg, Png}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Multimodal columns: images/audio/video ride as opaque `binary` columns with
@@ -23,6 +23,7 @@ object Multimodal {
 
   private def decodeImage(bytes: Array[Byte]): (Gray, String) =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') (Bmp.decode(bytes), "bmp")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) (Jpeg.decode(bytes), "jpeg")
     else (Png.decode(bytes), "png")
 
   /** (id, image bytes) → typed metadata; partition-batched decode. */

@@ -11,6 +11,9 @@ object MimeSniffer {
   val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
   val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+  val Odt = "application/vnd.oasis.opendocument.text"
+  val Ods = "application/vnd.oasis.opendocument.spreadsheet"
+  val Odp = "application/vnd.oasis.opendocument.presentation"
   val Zip = "application/zip"
   val Html = "text/html"
   val Xml = "application/xml"
@@ -117,6 +120,11 @@ object MimeSniffer {
     if (bytes == null || bytes.isEmpty) return Empty
     if (startsWith(bytes, 0, "%PDF-")) return Pdf
     if (startsWith(bytes, 0, "PK")) {
+      // ODF stores its `mimetype` entry uncompressed first, so the document
+      // type is readable as raw bytes right after the local file header
+      if (zipContains(bytes, Odt)) return Odt
+      if (zipContains(bytes, Ods)) return Ods
+      if (zipContains(bytes, Odp)) return Odp
       if (zipContains(bytes, "word/")) return Docx
       if (zipContains(bytes, "xl/")) return Xlsx
       if (zipContains(bytes, "ppt/")) return Pptx
@@ -127,9 +135,35 @@ object MimeSniffer {
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
+    // UTF-16 byte-order marks: textual payload in a non-UTF-8 encoding
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) return Plain
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) return Plain
     if (looksLikeXml(bytes)) return Xml
     if (looksLikeHtml(bytes)) return Html
     if (isValidUtf8(bytes)) return Plain
+    if (looksLikeCp1252Text(bytes)) return Plain
     OctetStream
+  }
+
+  /** Clean single-byte text: ≥ 97% textual bytes, at least one high byte, and
+    * no byte undefined in windows-1252 (0x81/8D/8F/90/9D) — the charset-
+    * detection rung that rescues Latin-1/cp1252 crawl text from a blanket
+    * invalid-UTF-8 rejection.
+    */
+  def looksLikeCp1252Text(bytes: Array[Byte]): Boolean = {
+    if (bytes.isEmpty) return false
+    var textual = 0
+    var high = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if ((b >= 0x20 && b < 0x7f) || b == '\n' || b == '\r' || b == '\t') textual += 1
+      else if (b >= 0x80) {
+        if (b == 0x81 || b == 0x8d || b == 0x8f || b == 0x90 || b == 0x9d) return false
+        high += 1; textual += 1
+      }
+      i += 1
+    }
+    high > 0 && textual.toDouble / bytes.length >= 0.97
   }
 }

@@ -28,6 +28,21 @@ object SparkEntry {
   private val sqlKind = "doc_id % 100"
   private val sqlId = "CAST(doc_id AS VARCHAR)"
   private val docxMime = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+  private val cp1252Prefix = CorpusGen.Cp1252Prefix
+  /** Expected content_type per format-mix kind (single expression, embeddable). */
+  private val sqlContentType: String =
+    s"""CASE
+       |  WHEN $sqlKind < 55 THEN 'text/html'
+       |  WHEN $sqlKind < 70 THEN 'text/plain'
+       |  WHEN $sqlKind < 82 THEN 'application/pdf'
+       |  WHEN $sqlKind < 88 THEN '$docxMime'
+       |  WHEN $sqlKind = 88 THEN 'application/vnd.oasis.opendocument.text'
+       |  WHEN $sqlKind = 89 THEN 'application/vnd.oasis.opendocument.presentation'
+       |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'image/jpeg' END)
+       |  WHEN $sqlKind < 98 THEN 'application/pdf'
+       |  WHEN $sqlKind = 98 THEN 'application/octet-stream'
+       |  ELSE (CASE WHEN doc_id % 3 = 0 THEN 'application/pdf' WHEN doc_id % 3 = 1 THEN 'application/zip' ELSE 'text/plain' END)
+       |END""".stripMargin.replace("\n", " ")
 
   private def corpusDf(s: SparkSession, dir: String): DataFrame =
     CorpusGen.corpus(s, dir).toDF()
@@ -207,6 +222,43 @@ object SparkEntry {
       xf.extractFrame(corpusDf(s, dir), cfg)
         .filter(col("content_type") === "text/html")
         .select(col("url"), col("text"))
+        .orderBy(col("url"))
+    }),
+    "x_odt" -> ((s, dir) => {
+      // OpenDocument text: content.xml heading+paragraph walk, meta.xml title
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, extractous.gen.OdfWriter.odt(s"Document $id", Seq(text), CorpusGen.titleOf(id, "en")))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"),
+          coalesce(try_element_at(try_element_at(col("r.metadata"), lit("dc:title")), lit(1)), lit("")).as("title"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ods" -> ((s, dir) => {
+      // OpenDocument spreadsheet: table rows become one block of cells each
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, extractous.gen.OdfWriter.ods(Seq(Seq("Document", id.toString), Seq(text)), CorpusGen.titleOf(id, "en")))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_charset" -> ((s, dir) => {
+      // charset detection on non-UTF-8 plain text: UTF-16 BOMs and
+      // windows-1252 decode instead of a blanket invalid-UTF-8 rejection
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("content_type") === "text/plain" && col("status") === 0)
+        .select(col("url"),
+          coalesce(try_element_at(try_element_at(col("metadata"), lit("Content-Type")), lit(1)), lit("")).as("detected"),
+          col("status").cast("long").as("status"))
         .orderBy(col("url"))
     }),
     "x_version" -> ((s, dir) => {
@@ -526,47 +578,36 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url,
          |CASE
          |  WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
-         |  WHEN $sqlKind < 70 THEN text
+         |  WHEN $sqlKind < 68 THEN text
+         |  WHEN $sqlKind < 70 THEN '$cp1252Prefix' || text
          |  WHEN $sqlKind < 82 THEN 'Document ' || $sqlId || chr(10) || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Note ' || $sqlId ELSE '' END
-         |  WHEN $sqlKind < 90 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'SHAPE ' || $sqlId
+         |  WHEN $sqlKind < 88 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'SHAPE ' || $sqlId
+         |  WHEN $sqlKind < 90 THEN 'Document ' || $sqlId || chr(10) || text
          |  WHEN $sqlKind < 96 THEN 'DOC ' || $sqlId || chr(10) || rtrim(substr(text, 1, 40))
          |  WHEN $sqlKind < 98 THEN 'SCAN ' || $sqlId || chr(10) || rtrim(substr(text, 1, 20))
          |  ELSE ''
          |END AS text,
          |CAST(CASE WHEN $sqlKind = 99 THEN (CASE WHEN doc_id % 3 = 2 THEN -2 ELSE -4 END) ELSE 0 END AS BIGINT) AS status,
-         |CASE
-         |  WHEN $sqlKind < 55 THEN 'text/html'
-         |  WHEN $sqlKind < 70 THEN 'text/plain'
-         |  WHEN $sqlKind < 82 THEN 'application/pdf'
-         |  WHEN $sqlKind < 90 THEN '$docxMime'
-         |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END)
-         |  WHEN $sqlKind < 98 THEN 'application/pdf'
-         |  WHEN $sqlKind = 98 THEN 'application/octet-stream'
-         |  ELSE (CASE WHEN doc_id % 3 = 0 THEN 'application/pdf' WHEN doc_id % 3 = 1 THEN 'application/zip' ELSE 'text/plain' END)
-         |END AS content_type
+         |$sqlContentType AS content_type
          |FROM documents ORDER BY url""".stripMargin,
     "x_sniff" ->
       s"""SELECT $sqlUrl AS url,
          |CASE
-         |  WHEN $sqlKind < 55 THEN 'text/html'
-         |  WHEN $sqlKind < 70 THEN 'text/plain'
-         |  WHEN $sqlKind < 82 THEN 'application/pdf'
-         |  WHEN $sqlKind < 90 THEN '$docxMime'
-         |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END)
-         |  WHEN $sqlKind < 98 THEN 'application/pdf'
-         |  WHEN $sqlKind = 98 THEN 'application/octet-stream'
-         |  ELSE (CASE WHEN doc_id % 3 = 0 THEN 'application/pdf' WHEN doc_id % 3 = 1 THEN 'application/zip' ELSE 'application/octet-stream' END)
+         |  WHEN $sqlKind = 99 AND doc_id % 3 = 2 THEN 'application/octet-stream'
+         |  ELSE $sqlContentType
          |END AS mime
          |FROM documents ORDER BY url""".stripMargin,
     "x_metadata" ->
       s"""SELECT $sqlUrl AS url, 'Document ' || $sqlId || ' (' || lang || ')' AS title
          |FROM documents
-         |WHERE $sqlKind < 55 OR ($sqlKind >= 70 AND $sqlKind < 90)
+         |WHERE $sqlKind < 55 OR ($sqlKind >= 70 AND $sqlKind < 88)
          |ORDER BY url""".stripMargin,
     "x_truncate" ->
-      s"""SELECT $sqlUrl AS url, substr(text, 1, 100) AS text,
-         |CAST(length(substr(text, 1, 100)) AS BIGINT) AS n_chars
-         |FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70
+      s"""SELECT $sqlUrl AS url, substr(t, 1, 100) AS text,
+         |CAST(length(substr(t, 1, 100)) AS BIGINT) AS n_chars
+         |FROM (SELECT doc_id,
+         |  CASE WHEN $sqlKind >= 68 AND $sqlKind < 70 THEN '$cp1252Prefix' || text ELSE text END AS t
+         |  FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70)
          |ORDER BY url""".stripMargin,
     "x_xml" ->
       s"""SELECT $sqlUrl AS url,
@@ -587,7 +628,7 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url,
          |'Document ' || $sqlId || chr(10) || text || chr(10) || 'DELETED ' || $sqlId
          | || chr(10) || 'MOVED ' || $sqlId || chr(10) || 'SHAPE ' || $sqlId AS text
-         |FROM documents WHERE $sqlKind >= 82 AND $sqlKind < 90 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind >= 82 AND $sqlKind < 88 ORDER BY url""".stripMargin,
     "x_errors" ->
       s"""SELECT $sqlUrl AS url,
          |CAST(CASE WHEN $sqlKind = 99 THEN (CASE WHEN doc_id % 3 = 2 THEN -2 ELSE -4 END) ELSE 0 END AS BIGINT) AS status,
@@ -595,7 +636,9 @@ object SparkEntry {
          |FROM documents WHERE $sqlKind IN (98, 99) ORDER BY url""".stripMargin,
     "x_binaryfile" ->
       s"""SELECT doc_id,
-         |CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text ELSE text END AS text,
+         |CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |     WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text
+         |     ELSE text END AS text,
          |CASE WHEN $sqlKind < 55 THEN 'text/html' ELSE 'text/plain' END AS content_type
          |FROM documents WHERE $sqlKind < 70 ORDER BY doc_id""".stripMargin,
     "x_xlsx" ->
@@ -624,6 +667,25 @@ object SparkEntry {
          |CASE lang WHEN 'de' THEN 'der die und nicht das' WHEN 'es' THEN 'el la los y no' WHEN 'fr' THEN 'le la les et ne' WHEN 'zh' THEN '? ? ? ? ?' ELSE 'the and of to in' END
          | || chr(10) || text AS text
          |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "x_odt" ->
+      s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
+         |'application/vnd.oasis.opendocument.text' AS content_type,
+         |'Document ' || $sqlId || ' (en)' AS title
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ods" ->
+      s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
+         |'application/vnd.oasis.opendocument.spreadsheet' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_charset" ->
+      s"""SELECT $sqlUrl AS url,
+         |'text/plain; charset=' || CASE
+         |  WHEN $sqlKind < 65 THEN 'UTF-8'
+         |  WHEN $sqlKind < 67 THEN 'UTF-16LE'
+         |  WHEN $sqlKind < 68 THEN 'UTF-16BE'
+         |  ELSE 'windows-1252'
+         |END AS detected,
+         |CAST(0 AS BIGINT) AS status
+         |FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70 ORDER BY url""".stripMargin,
     "x_version" ->
       s"""SELECT $sqlUrl AS url, 'extractous-spark/0.1.0' AS extractor_version
          |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
@@ -632,7 +694,9 @@ object SparkEntry {
          |CAST(ceil(strlen(t) / 64.0) AS BIGINT) AS n_chunks,
          |CAST(strlen(t) AS BIGINT) AS n_bytes
          |FROM (SELECT doc_id,
-         |  CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text ELSE text END AS t
+         |  CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |       WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text
+         |       ELSE text END AS t
          |  FROM documents WHERE $sqlKind < 70)
          |ORDER BY doc_id""".stripMargin,
     "x_pdf_images" ->
@@ -807,7 +871,7 @@ object SparkEntry {
       s"""SELECT doc_id AS id,
          |CAST(8 + 8 * greatest(length('DOC ' || $sqlId), least(40, length(text))) AS BIGINT) AS width,
          |CAST(32 AS BIGINT) AS height,
-         |CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format
+         |CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'png' ELSE 'jpeg' END AS format
          |FROM documents WHERE $sqlKind BETWEEN 90 AND 95 ORDER BY id""".stripMargin,
     "m_resize" ->
       s"""SELECT doc_id AS id,

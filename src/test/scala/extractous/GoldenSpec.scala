@@ -39,6 +39,7 @@ class GoldenSpec extends AnyFunSuite {
 
   test("every format kind appears in the golden corpus") {
     val kinds = rows.map(r => CorpusGen.kindOf(r._1)).toSet
-    assert(kinds == Set("html", "plain", "pdf", "docx", "image", "scanned_pdf", "empty", "corrupt"))
+    assert(kinds == Set("html", "plain", "utf16le", "utf16be", "cp1252", "pdf", "docx",
+      "odt", "odp", "image", "scanned_pdf", "empty", "corrupt"))
   }
 }

@@ -21,8 +21,21 @@ class SnifferSpec extends AnyFunSuite {
     val zipb = extractous.gen.DocxWriter.docx(Seq("x"), "t", "d", "m", "s")
     assert(MimeSniffer.sniff(zipb) == MimeSniffer.Docx)
   }
-  test("invalid utf8 is octet-stream") {
-    assert(MimeSniffer.sniff(b("text then ") ++ Array[Byte](0xff.toByte, 0xfe.toByte)) == MimeSniffer.OctetStream)
+  test("invalid utf8 with cp1252-undefined bytes is octet-stream") {
+    assert(MimeSniffer.sniff(b("text then ") ++ Array[Byte](0x81.toByte, 0x8d.toByte)) == MimeSniffer.OctetStream)
+  }
+  test("clean single-byte non-utf8 text sniffs as plain (cp1252 rung)") {
+    assert(MimeSniffer.sniff(b("text then ") ++ Array[Byte](0xff.toByte, 0xfe.toByte)) == MimeSniffer.Plain)
+    assert(MimeSniffer.looksLikeCp1252Text("café".getBytes(java.nio.charset.Charset.forName("windows-1252"))))
+  }
+  test("utf-16 BOM payloads sniff as plain") {
+    assert(MimeSniffer.sniff(Array[Byte](0xff.toByte, 0xfe.toByte) ++ "hi".getBytes("UTF-16LE")) == MimeSniffer.Plain)
+    assert(MimeSniffer.sniff(Array[Byte](0xfe.toByte, 0xff.toByte) ++ "hi".getBytes("UTF-16BE")) == MimeSniffer.Plain)
+  }
+  test("odf documents sniff by stored mimetype entry") {
+    assert(MimeSniffer.sniff(extractous.gen.OdfWriter.odt("h", Seq("p"), "t")) == MimeSniffer.Odt)
+    assert(MimeSniffer.sniff(extractous.gen.OdfWriter.ods(Seq(Seq("a")), "t")) == MimeSniffer.Ods)
+    assert(MimeSniffer.sniff(extractous.gen.OdfWriter.odp(Seq("s"), "t")) == MimeSniffer.Odp)
   }
   test("utf8 validator") {
     assert(MimeSniffer.isValidUtf8(b("héllo wörld こんにちは")))
