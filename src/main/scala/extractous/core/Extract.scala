@@ -73,6 +73,7 @@ object Extract {
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip |
                 MimeSniffer.Odt | MimeSniffer.Ods | MimeSniffer.Odp) =>
         OfficeExtractor.extract(bytes, m, cfg)
+      case MimeSniffer.Cfb => extractous.office.DocExtractor.extract(bytes, cfg)
       case m @ (MimeSniffer.Bmp | MimeSniffer.Png | MimeSniffer.Jpeg) => image(bytes, m, cfg, ocr)
       case _ =>
         // Distinguish text-like payloads with broken encoding from plain

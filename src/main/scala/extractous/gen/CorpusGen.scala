@@ -42,7 +42,8 @@ object CorpusGen {
     else if (m < 68) "utf16be"
     else if (m < 70) "cp1252"
     else if (m < 82) "pdf"
-    else if (m < 88) "docx"
+    else if (m < 87) "docx"
+    else if (m < 88) "doc"
     else if (m < 89) "odt"
     else if (m < 90) "odp"
     else if (m < 96) "image"
@@ -117,6 +118,7 @@ object CorpusGen {
         paragraphs = Seq(s"Document $id", text),
         title = titleOf(id, lang),
         deleted = s"DELETED $id", moved = s"MOVED $id", shape = s"SHAPE $id")
+    case "doc" => DocWriter.doc(Seq(s"Document $id", text))
     case "odt" => OdfWriter.odt(s"Document $id", Seq(text), titleOf(id, lang))
     case "odp" => OdfWriter.odp(Seq(s"Document $id", text), titleOf(id, lang))
     case "image" =>
@@ -154,7 +156,7 @@ object CorpusGen {
     case "cp1252"                => Cp1252Prefix + text
     case "pdf"                   => s"Document $id\n$text" + (if (id % 3 == 0) s"\nNote $id" else "")
     case "docx"                  => s"Document $id\n$text\nSHAPE $id"
-    case "odt" | "odp"           => s"Document $id\n$text"
+    case "doc" | "odt" | "odp"   => s"Document $id\n$text"
     case "image"                 => s"DOC $id\n${text.take(40).reverse.dropWhile(_ == ' ').reverse}"
     case "scanned_pdf"           => s"SCAN $id\n${text.take(20).reverse.dropWhile(_ == ' ').reverse}"
     case _                       => ""
@@ -170,6 +172,7 @@ object CorpusGen {
     case "plain" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
     case "pdf"                             => MimeSniffer.Pdf
     case "docx"                            => MimeSniffer.Docx
+    case "doc"                             => MimeSniffer.Doc
     case "odt"                             => MimeSniffer.Odt
     case "odp"                             => MimeSniffer.Odp
     case "image" =>

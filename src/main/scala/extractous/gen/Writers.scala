@@ -264,6 +264,106 @@ object DocxWriter {
   }
 }
 
+/** Legacy Word-97 binary (.doc) writer: a real MS-CFB container (512-byte
+  * sectors, FAT + directory; mini-stream/miniFAT when the WordDocument stream
+  * is under the 4096-byte cutoff, exactly like real writers) holding a
+  * non-complex FIB whose fcMin..fcMac text area carries the paragraphs,
+  * cp1252-encoded, '\r' paragraph marks.
+  */
+object DocWriter {
+  private val SectorSize = 512
+  private val Free = 0xffffffff
+  private val Eoc = 0xfffffffe
+  private val FatSect = 0xfffffffd
+
+  def doc(paragraphs: Seq[String]): Array[Byte] = {
+    val text = paragraphs.mkString("\r").getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val stream = new Array[Byte](512 + text.length)
+    val sb = java.nio.ByteBuffer.wrap(stream).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putShort(0, 0xa5ec.toShort) // wIdent
+    sb.putShort(2, 0x00c1.toShort) // nFib (Word 97)
+    sb.putShort(0x0a, 0)           // flags: fComplex = 0
+    sb.putInt(0x18, 512)           // fcMin
+    sb.putInt(0x1c, 512 + text.length) // fcMac
+    System.arraycopy(text, 0, stream, 512, text.length)
+
+    val useMini = stream.length < 4096
+    val dataSectors = if (useMini) (stream.length + 63) / 64 * 64 else stream.length
+    val dataSectorCount = (dataSectors + SectorSize - 1) / SectorSize
+
+    // sector plan: 0=FAT, 1=directory, [2=miniFAT], then data sectors
+    val firstData = if (useMini) 3 else 2
+    val totalSectors = firstData + dataSectorCount
+    require(totalSectors <= SectorSize / 4, "doc writer: single FAT sector exceeded")
+
+    val out = new Array[Byte]((totalSectors + 1) * SectorSize)
+    val ob = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    // ---- header ----
+    ob.put(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    ob.putShort(0x18, 0x003e) // minor version
+    ob.putShort(0x1a, 0x0003) // major version 3
+    ob.putShort(0x1c, 0xfffe.toShort) // byte order
+    ob.putShort(0x1e, 9)      // sector shift
+    ob.putShort(0x20, 6)      // mini sector shift
+    ob.putInt(0x2c, 1)        // # FAT sectors
+    ob.putInt(0x30, 1)        // first directory sector
+    ob.putInt(0x38, 4096)     // mini stream cutoff
+    ob.putInt(0x3c, if (useMini) 2 else Eoc) // first miniFAT sector
+    ob.putInt(0x40, if (useMini) 1 else 0)   // # miniFAT sectors
+    ob.putInt(0x44, Eoc)      // first DIFAT sector
+    ob.putInt(0x48, 0)        // # DIFAT sectors
+    ob.putInt(0x4c, 0)        // DIFAT[0] → FAT sector 0
+    (1 until 109).foreach(i => ob.putInt(0x4c + i * 4, Free))
+
+    def sectorOff(s: Int) = (s + 1) * SectorSize
+
+    // ---- FAT (sector 0) ----
+    val fatOff = sectorOff(0)
+    (0 until SectorSize / 4).foreach(i => ob.putInt(fatOff + i * 4, Free))
+    ob.putInt(fatOff + 0 * 4, FatSect)
+    ob.putInt(fatOff + 1 * 4, Eoc) // directory: single sector
+    if (useMini) ob.putInt(fatOff + 2 * 4, Eoc) // miniFAT: single sector
+    (0 until dataSectorCount).foreach { i =>
+      val s = firstData + i
+      ob.putInt(fatOff + s * 4, if (i == dataSectorCount - 1) Eoc else s + 1)
+    }
+
+    // ---- directory (sector 1) ----
+    def dirEntry(idx: Int, name: String, objType: Int, start: Int, size: Long, child: Int): Unit = {
+      val base = sectorOff(1) + idx * 128
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      System.arraycopy(nameBytes, 0, out, base, nameBytes.length)
+      ob.putShort(base + 64, ((name.length + 1) * 2).toShort)
+      out(base + 66) = objType.toByte
+      out(base + 67) = 1 // black
+      ob.putInt(base + 68, Free)  // left sibling
+      ob.putInt(base + 72, Free)  // right sibling
+      ob.putInt(base + 76, child) // child
+      ob.putInt(base + 116, start)
+      ob.putLong(base + 120, size)
+    }
+    if (useMini) {
+      dirEntry(0, "Root Entry", 5, firstData, dataSectors.toLong, child = 1)
+      dirEntry(1, "WordDocument", 2, 0, stream.length.toLong, child = Free)
+    } else {
+      dirEntry(0, "Root Entry", 5, Eoc, 0L, child = 1)
+      dirEntry(1, "WordDocument", 2, firstData, stream.length.toLong, child = Free)
+    }
+    // remaining two directory slots stay zeroed (objType 0 = unused)
+
+    // ---- miniFAT (sector 2) + data ----
+    if (useMini) {
+      val mfOff = sectorOff(2)
+      (0 until SectorSize / 4).foreach(i => ob.putInt(mfOff + i * 4, Free))
+      val miniCount = (stream.length + 63) / 64
+      (0 until miniCount).foreach(i => ob.putInt(mfOff + i * 4, if (i == miniCount - 1) Eoc else i + 1))
+    }
+    System.arraycopy(stream, 0, out, sectorOff(firstData), stream.length)
+    out
+  }
+}
+
 /** OpenDocument (ODT/ODS/ODP) writers: ODF zip layout — STORED `mimetype`
   * entry first (per spec, so sniffers read it raw), `content.xml` body,
   * `meta.xml` Dublin Core title. The reference covers these through Tika

@@ -11,6 +11,8 @@ object MimeSniffer {
   val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
   val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+  val Doc = "application/msword"
+  val Cfb = "application/x-cfb"
   val Odt = "application/vnd.oasis.opendocument.text"
   val Ods = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp = "application/vnd.oasis.opendocument.presentation"
@@ -119,6 +121,11 @@ object MimeSniffer {
   def sniff(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return Empty
     if (startsWith(bytes, 0, "%PDF-")) return Pdf
+    // OLE2/CFB compound file (.doc/.xls/.ppt shell); the specific application
+    // is only knowable from the directory, which is the parser's job
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+        (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0 && (bytes(4) & 0xff) == 0xa1 &&
+        (bytes(5) & 0xff) == 0xb1 && (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0xe1) return Cfb
     if (startsWith(bytes, 0, "PK")) {
       // ODF stores its `mimetype` entry uncompressed first, so the document
       // type is readable as raw bytes right after the local file header

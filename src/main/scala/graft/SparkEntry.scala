@@ -35,7 +35,8 @@ object SparkEntry {
        |  WHEN $sqlKind < 55 THEN 'text/html'
        |  WHEN $sqlKind < 70 THEN 'text/plain'
        |  WHEN $sqlKind < 82 THEN 'application/pdf'
-       |  WHEN $sqlKind < 88 THEN '$docxMime'
+       |  WHEN $sqlKind < 87 THEN '$docxMime'
+       |  WHEN $sqlKind = 87 THEN 'application/msword'
        |  WHEN $sqlKind = 88 THEN 'application/vnd.oasis.opendocument.text'
        |  WHEN $sqlKind = 89 THEN 'application/vnd.oasis.opendocument.presentation'
        |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'image/jpeg' END)
@@ -223,6 +224,22 @@ object SparkEntry {
         .filter(col("content_type") === "text/html")
         .select(col("url"), col("text"))
         .orderBy(col("url"))
+    }),
+    "x_doc" -> ((s, dir) => {
+      // legacy Word-97 binary over a real CFB container; every third doc is
+      // fattened past the 4096-byte mini-stream cutoff so BOTH the miniFAT
+      // and FAT read paths are oracle-checked
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = if (id % 3 == 0) (text + " ") * 20 else text
+          (id, extractous.gen.DocWriter.doc(Seq(s"Document $id", body)))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
     }),
     "x_odt" -> ((s, dir) => {
       // OpenDocument text: content.xml heading+paragraph walk, meta.xml title
@@ -581,7 +598,7 @@ object SparkEntry {
          |  WHEN $sqlKind < 68 THEN text
          |  WHEN $sqlKind < 70 THEN '$cp1252Prefix' || text
          |  WHEN $sqlKind < 82 THEN 'Document ' || $sqlId || chr(10) || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Note ' || $sqlId ELSE '' END
-         |  WHEN $sqlKind < 88 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'SHAPE ' || $sqlId
+         |  WHEN $sqlKind < 87 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'SHAPE ' || $sqlId
          |  WHEN $sqlKind < 90 THEN 'Document ' || $sqlId || chr(10) || text
          |  WHEN $sqlKind < 96 THEN 'DOC ' || $sqlId || chr(10) || rtrim(substr(text, 1, 40))
          |  WHEN $sqlKind < 98 THEN 'SCAN ' || $sqlId || chr(10) || rtrim(substr(text, 1, 20))
@@ -593,6 +610,7 @@ object SparkEntry {
     "x_sniff" ->
       s"""SELECT $sqlUrl AS url,
          |CASE
+         |  WHEN $sqlKind = 87 THEN 'application/x-cfb'
          |  WHEN $sqlKind = 99 AND doc_id % 3 = 2 THEN 'application/octet-stream'
          |  ELSE $sqlContentType
          |END AS mime
@@ -600,7 +618,7 @@ object SparkEntry {
     "x_metadata" ->
       s"""SELECT $sqlUrl AS url, 'Document ' || $sqlId || ' (' || lang || ')' AS title
          |FROM documents
-         |WHERE $sqlKind < 55 OR ($sqlKind >= 70 AND $sqlKind < 88)
+         |WHERE $sqlKind < 55 OR ($sqlKind >= 70 AND $sqlKind < 87)
          |ORDER BY url""".stripMargin,
     "x_truncate" ->
       s"""SELECT $sqlUrl AS url, substr(t, 1, 100) AS text,
@@ -628,7 +646,7 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url,
          |'Document ' || $sqlId || chr(10) || text || chr(10) || 'DELETED ' || $sqlId
          | || chr(10) || 'MOVED ' || $sqlId || chr(10) || 'SHAPE ' || $sqlId AS text
-         |FROM documents WHERE $sqlKind >= 82 AND $sqlKind < 88 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind >= 82 AND $sqlKind < 87 ORDER BY url""".stripMargin,
     "x_errors" ->
       s"""SELECT $sqlUrl AS url,
          |CAST(CASE WHEN $sqlKind = 99 THEN (CASE WHEN doc_id % 3 = 2 THEN -2 ELSE -4 END) ELSE 0 END AS BIGINT) AS status,
@@ -667,6 +685,12 @@ object SparkEntry {
          |CASE lang WHEN 'de' THEN 'der die und nicht das' WHEN 'es' THEN 'el la los y no' WHEN 'fr' THEN 'le la les et ne' WHEN 'zh' THEN '? ? ? ? ?' ELSE 'the and of to in' END
          | || chr(10) || text AS text
          |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+    "x_doc" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) ||
+         |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
+         |'application/msword' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_odt" ->
       s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
          |'application/vnd.oasis.opendocument.text' AS content_type,

@@ -40,6 +40,6 @@ class GoldenSpec extends AnyFunSuite {
   test("every format kind appears in the golden corpus") {
     val kinds = rows.map(r => CorpusGen.kindOf(r._1)).toSet
     assert(kinds == Set("html", "plain", "utf16le", "utf16be", "cp1252", "pdf", "docx",
-      "odt", "odp", "image", "scanned_pdf", "empty", "corrupt"))
+      "doc", "odt", "odp", "image", "scanned_pdf", "empty", "corrupt"))
   }
 }
