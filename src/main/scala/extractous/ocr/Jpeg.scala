@@ -52,6 +52,13 @@ object Jpeg {
 
   private def cc(k: Int): Double = if (k == 0) 1.0 / math.sqrt(2.0) else 1.0
 
+  /** Precomputed DCT basis: Basis(k)(x) = cos((2x+1)·k·π/16). Trig inside the
+    * per-block loops would cost ~10⁶ cos() calls per image and dominate the
+    * whole extraction pipeline.
+    */
+  private val Basis: Array[Array[Double]] =
+    Array.tabulate(8, 8)((k, x) => math.cos((2 * x + 1) * k * math.Pi / 16))
+
   // ======================= encoder =======================
 
   /** (bits-of-length-i counts, symbol values) → symbol → (code, length). */
@@ -143,23 +150,27 @@ object Jpeg {
           px(i) = lum - 128.0
           i += 1
         }
-        // FDCT + quantize
+        // FDCT + quantize (separable: rows then columns, basis-table lookups)
+        val tmp = new Array[Double](64)
+        var y1 = 0
+        while (y1 < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var x0 = 0
+            while (x0 < 8) { s += px(y1 * 8 + x0) * Basis(v)(x0); x0 += 1 }
+            tmp(y1 * 8 + v) = s
+            v += 1
+          }
+          y1 += 1
+        }
         var u = 0
         while (u < 8) {
           var v = 0
           while (v < 8) {
             var s = 0.0
             var y0 = 0
-            while (y0 < 8) {
-              var x0 = 0
-              while (x0 < 8) {
-                s += px(y0 * 8 + x0) *
-                  math.cos((2 * x0 + 1) * v * math.Pi / 16) *
-                  math.cos((2 * y0 + 1) * u * math.Pi / 16)
-                x0 += 1
-              }
-              y0 += 1
-            }
+            while (y0 < 8) { s += tmp(y0 * 8 + v) * Basis(u)(y0); y0 += 1 }
             val c = 0.25 * cc(u) * cc(v) * s
             coef(u * 8 + v) = math.round(c / QuantTable(u * 8 + v)).toInt
             v += 1
@@ -385,25 +396,29 @@ object Jpeg {
                       }
                     }
                     if (c eq lumaComp) {
-                      // IDCT into the luma plane
+                      // separable IDCT (basis tables), then place into the luma plane
                       val ox = (mx * c.h + bh) * 8
                       val oy = (my * c.v + bv) * 8
+                      val tmp = new Array[Double](64)
+                      var u0 = 0
+                      while (u0 < 8) {
+                        var x1 = 0
+                        while (x1 < 8) {
+                          var s = 0.0
+                          var v1 = 0
+                          while (v1 < 8) { s += cc(v1) * block(u0 * 8 + v1) * Basis(v1)(x1); v1 += 1 }
+                          tmp(u0 * 8 + x1) = s
+                          x1 += 1
+                        }
+                        u0 += 1
+                      }
                       var y0 = 0
                       while (y0 < 8) {
                         var x0 = 0
                         while (x0 < 8) {
                           var s = 0.0
                           var u = 0
-                          while (u < 8) {
-                            var v = 0
-                            while (v < 8) {
-                              s += cc(u) * cc(v) * block(u * 8 + v) *
-                                math.cos((2 * x0 + 1) * v * math.Pi / 16) *
-                                math.cos((2 * y0 + 1) * u * math.Pi / 16)
-                              v += 1
-                            }
-                            u += 1
-                          }
+                          while (u < 8) { s += cc(u) * tmp(u * 8 + x0) * Basis(u)(y0); u += 1 }
                           val lum = math.max(0, math.min(255, math.round(0.25 * s + 128).toInt))
                           // luma at max sampling factors places directly;
                           // otherwise each decoded pixel covers an sx×sy patch

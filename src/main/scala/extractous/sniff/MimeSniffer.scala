@@ -81,10 +81,13 @@ object MimeSniffer {
   /** Scan zip central/local headers textually for an OOXML marker entry name.
     * Cheap containment scan — full zip walk happens in the office parser.
     */
-  private def zipContains(b: Array[Byte], name: String): Boolean = {
+  private def zipContains(b: Array[Byte], name: String): Boolean =
+    zipContains(b, name, b.length)
+
+  private def zipContains(b: Array[Byte], name: String, scanLimit: Int): Boolean = {
     val sig = name.getBytes("US-ASCII")
     var i = 0
-    val limit = b.length - sig.length
+    val limit = math.min(scanLimit, b.length) - sig.length
     while (i <= limit) {
       var j = 0
       while (j < sig.length && b(i + j) == sig(j)) j += 1
@@ -129,9 +132,11 @@ object MimeSniffer {
     if (startsWith(bytes, 0, "PK")) {
       // ODF stores its `mimetype` entry uncompressed first, so the document
       // type is readable as raw bytes right after the local file header
-      if (zipContains(bytes, Odt)) return Odt
-      if (zipContains(bytes, Ods)) return Ods
-      if (zipContains(bytes, Odp)) return Odp
+      // the ODF mimetype entry is REQUIRED to be first and STORED, so its
+      // value sits inside the first ~128 bytes — never scan the whole payload
+      if (zipContains(bytes, Odt, 256)) return Odt
+      if (zipContains(bytes, Ods, 256)) return Ods
+      if (zipContains(bytes, Odp, 256)) return Odp
       if (zipContains(bytes, "word/")) return Docx
       if (zipContains(bytes, "xl/")) return Xlsx
       if (zipContains(bytes, "ppt/")) return Pptx
