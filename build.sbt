@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // string-heavy extraction allocates hard; the throughput collector's fully
+  // parallel young collections beat G1's pause-target pacing for batch work,
+  // and the fixed young gen keeps cache-heavy runs from thrashing region sizes
+  "-XX:+UseParallelGC",
 )

@@ -29,18 +29,24 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query vs every corpus vector.
     * `queries` is broadcast; ties break on neighbor id (deterministic).
+    *
+    * Physical shape: a bounded map-side top-k aggregate
+    * ([[extractous.spark.TopKByScore]]) — each map partition reduces its
+    * |Q|·|partition| scored rows to |Q|·k before the exchange. The obvious
+    * `row_number() OVER (PARTITION BY query)` alternative shuffles and sorts
+    * the ENTIRE |Q|·|C| cross product, which is the scale killer at corpus
+    * size.
     */
   def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(extractous.spark.topk.topk_by_score(col("sim"), col("neighbor_id").cast("long"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"), col("neighbor_id"))
   }
 
   /** IVF centroids by element-wise mean per cell. Seeded deterministically by
