@@ -90,6 +90,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the canonical step AFTER pair
+    * finding: duplicates form CLUSTERS (a≈b, b≈c ⇒ {a,b,c}), and the pipeline
+    * keeps one representative per cluster, not per pair.
+    *
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint. Each round
+    * is one join + aggregate on `(id, label)` longs — document text never
+    * enters the loop. Components in dedup graphs are shallow (near-dup
+    * relations are near-transitive), so few rounds suffice; a corpus with
+    * adversarially long chains would swap this loop for the alternating
+    * large-star/small-star variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") with the same per-round shuffle shape.
+    *
+    * Returns `(id, cluster_id)` for EVERY id in `ids` — singletons cluster as
+    * themselves; `cluster_id` = min id in the component (deterministic).
+    */
+  def clusters(pairs: DataFrame, ids: DataFrame, idCol: String = "id",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // localCheckpoint TRUNCATES lineage: with plain cache() every round
+      // re-analyzes a plan one join deeper and the fixpoint loop stalls in
+      // the optimizer long before it stalls in execution
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of the
     * sum over tokens of ±1 by bit i of hash(token). Imperative custom
     * expression (extractous.spark.SimHashExpr) — narrow, allocation-free.

@@ -496,6 +496,15 @@ object SparkEntry {
         .select(col("id_a").cast("long"), col("id_b").cast("long"), col("dist").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "d_clusters" -> ((s, dir) => {
+      // duplicate CLUSTERS from verified near-dup pairs (connected
+      // components, min-id representative); singletons cluster as themselves
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.8)
+      Dedup.clusters(pairs, d, idCol = "doc_id")
+        .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     "d_neardup_cosine" -> ((s, dir) => {
       // LSH-bucketed scale path (NOT the O(n²) self-join): a positively-scaled
       // copy has identical hyperplane signs, so planted-pair recall is exactly
@@ -800,6 +809,21 @@ object SparkEntry {
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "d_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.8
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d_neardup_cosine" ->
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 100000 AS BIGINT) AS id_b
         |FROM embeddings ORDER BY id_a""".stripMargin,

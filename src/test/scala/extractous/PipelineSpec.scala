@@ -102,6 +102,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(found == expected)
   }
 
+  test("near-dup clustering: transitive closure with min-id representative") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, ids).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("near-dup clustering: long chain converges (label propagation fixpoint)") {
+    import spark.implicits._
+    val n = 12L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, ids).as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L), "whole chain must collapse to cluster 1")
+  }
+
   test("fingerprint matches scala reference implementation") {
     import spark.implicits._
     val rows = docs.select(col("doc_id"), col("text"),
