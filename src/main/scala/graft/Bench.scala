@@ -55,7 +55,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val smallCpus = math.max(1, cpus / 8)       // N for the N→4N criterion
     val midCpus = math.max(1, cpus / 2)         // 4N
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "40").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "30").toInt
     val fatten = sys.env.getOrElse("SPARK_GRAFT_BENCH_FATTEN", "80").toInt
 
     // ---- materialize the corpus once (not part of the timed extraction) ----
@@ -144,14 +144,14 @@ object Bench {
         .asScala.toSeq.sliding(2).collect {
           case Seq("--add-opens", v) => Seq("--add-opens", v)
         }.flatten.toSeq
-      def spawn(slice: Seq[String]): Process = {
+      def spawn(sliceArg: String): Process = {
         // ActiveProcessorCount pins EVERY pool the worker sizes off CPU count
         // (GC threads, ForkJoin, netty) to its core share; fixed pre-touched
         // heap keeps concurrent heap growth from page-faulting in-kernel
         // mid-measurement (30-40% system-time storms were observed)
         val cmd = Seq(javaBin, "-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch",
           "-XX:+UseParallelGC", s"-XX:ActiveProcessorCount=$coresEach") ++ moduleArgs ++
-          Seq("-cp", cp, "graft.BenchWorker", coresEach.toString, slice.mkString(","), reps.toString)
+          Seq("-cp", cp, "graft.BenchWorker", coresEach.toString, sliceArg, reps.toString)
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(false)
         pb.start()
@@ -166,18 +166,18 @@ object Bench {
       var totalDocs = 0L
       var aggSecs = 0.0
       if (concurrent) {
-        val procs = slices.map(spawn)
+        val procs = slices.map(s => spawn(s.mkString(",")))
         procs.foreach { p =>
           val (d, t) = harvest(p)
           totalDocs += d
           aggSecs = math.max(aggSecs, t) // parallel wall = slowest worker
         }
       } else {
-        slices.foreach { slice =>
-          val (d, t) = harvest(spawn(slice))
-          totalDocs += d
-          aggSecs += t // sequential wall = sum over workers
-        }
+        // sequential baseline: ONE worker JVM processes every slice back-to-
+        // back (';'-separated) — boot amortized like a long-running executor
+        val (d, t) = harvest(spawn(slices.map(_.mkString(",")).mkString(";")))
+        totalDocs += d
+        aggSecs += t
       }
       (totalDocs, aggSecs)
     }
@@ -218,10 +218,10 @@ object Bench {
     // ---- full-job throughput (incl. partitioned write + snapshot commit) ----
     val jobTput = safe("job", 0.0) {
       val s = session(cpus)
-      val secs = (1 to 2).map { _ =>
+      val secs = {
         val tableDir = java.nio.file.Files.createTempDirectory("benchtable").toString
         time(ExtractJob.run(s, corpusDir, tableDir, groupSize = 30))._2
-      }.min
+      }
       s.stop()
       docs / secs
     }
@@ -241,7 +241,7 @@ object Bench {
       "s_knn_brute" -> (() => force(Similarity.bruteKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5))),
       "s_knn_ivf" -> (() => force(Similarity.ivfKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5, 3))),
       "t_fingerprint" -> (() => force(docsDf.select(TextStats.fingerprint(col("text")))))
-    ).map { case (name, f) => name -> safe(name, -1.0)((1 to 2).map(_ => time(f())._2).min) }
+    ).map { case (name, f) => name -> safe(name, -1.0)(time(f())._2) }
     spark.stop()
 
     val mbPerSec = totalBytes / 1e6 * (tputBig / docs)

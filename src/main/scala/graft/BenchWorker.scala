@@ -5,16 +5,18 @@ import extractous.spark.{functions => xf}
 import org.apache.spark.sql.SparkSession
 
 /** One "executor" of the multi-JVM scaling measurement: a separate JVM
-  * running `local[cores]` extraction over its slice of the corpus (a set of
-  * day-partition directories). Prints one line the parent parses:
-  * `[worker] docs=<n> secs=<s>` where secs is the in-worker timed extraction
-  * (min of 2 reps) — JVM/session startup is excluded, as it would be on a
-  * long-running cluster executor.
+  * running `local[cores]` extraction over one or more corpus slices (sets of
+  * day-partition directories, ';'-separated). With one slice it times that
+  * slice (min of `reps`); with several it processes them back-to-back and
+  * reports the SUM — the sequential baseline of the scaling pair, in one JVM
+  * so its boot cost is amortized exactly like a long-running executor's.
+  * Prints one line the parent parses: `[worker] docs=<n> secs=<s>`;
+  * JVM/session startup and an untimed JIT-warmup rep are excluded.
   */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
-    val dirs = args(1).split(',')
+    val slices = args(1).split(';').map(_.split(','))
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -25,17 +27,22 @@ object BenchWorker {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = spark.read.parquet(dirs: _*).select("url", "html")
-    val docs = df.count() // also warms this JVM's page-cache mappings + codegen
-    def rep(): Double = {
+    def rep(df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       xf.extractFrame(df, CorpusGen.flagshipConfig)
         .select("url", "text", "status")
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val secs = (1 to reps).map(_ => rep()).min
-    println(s"[worker] docs=$docs secs=$secs")
+    var totalDocs = 0L
+    var totalSecs = 0.0
+    slices.zipWithIndex.foreach { case (dirs, i) =>
+      val df = spark.read.parquet(dirs.toIndexedSeq: _*).select("url", "html")
+      totalDocs += df.count() // warms page-cache mappings + codegen, untimed
+      if (i == 0) rep(df.limit(2000)) // JIT warmup, untimed
+      totalSecs += (1 to reps).map(_ => rep(df)).min
+    }
+    println(s"[worker] docs=$totalDocs secs=$totalSecs")
     spark.stop()
   }
 }
