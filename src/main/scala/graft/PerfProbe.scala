@@ -14,9 +14,14 @@ object PerfProbe {
     val kinds = Seq[(String, Array[Byte])](
       "html" -> CorpusGen.payload(0, text, "en"),
       "plain" -> CorpusGen.payload(55, text, "en"),
+      "utf16" -> CorpusGen.payload(65, text, "en"),
+      "cp1252" -> CorpusGen.payload(68, text, "en"),
       "pdf" -> CorpusGen.payload(70, text, "en"),
       "docx" -> CorpusGen.payload(82, text, "en"),
-      "image" -> CorpusGen.payload(90, text, "en"),
+      "doc" -> CorpusGen.payload(87, text, "en"),
+      "odt" -> CorpusGen.payload(88, text, "en"),
+      "bmp_ocr" -> CorpusGen.payload(90, text, "en"),
+      "jpeg_ocr" -> CorpusGen.payload(92, text, "en"),
       "scanned_pdf" -> CorpusGen.payload(96, text, "en"))
     kinds.foreach { case (kind, payload) =>
       // warmup
