@@ -216,6 +216,66 @@ object SparkEntry {
       q.stop()
       s.table(qn).orderBy(col("w_start"), col("event_type"))
     }),
+    "q_stream_sessions" -> ((s, dir) => {
+      // stateful streaming with CUSTOM state (flatMapGroupsWithState +
+      // event-time timeout): per-user sessionization, gap > 1 hour. A session
+      // emits when a later event closes it (in-batch gap) or when the
+      // watermark times it out; still-open sessions are withheld — the oracle
+      // reproduces exactly that emission rule.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val GapUs = 3600L * 1000000L
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val qn = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val streamDir = java.nio.file.Files.createTempDirectory("sessstream")
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      // state per user: (session_start_us, last_event_us, n_events)
+      def update(user: Long, evs: Iterator[Long],
+          state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+        if (state.hasTimedOut) {
+          val (st, _, n) = state.get
+          state.remove()
+          Iterator.single((user, st, n))
+        } else {
+          val sorted = evs.toArray.sorted
+          val closed = Vector.newBuilder[(Long, Long, Long)]
+          var cur = state.getOption
+          sorted.foreach { t =>
+            cur match {
+              case None => cur = Some((t, t, 1L))
+              case Some((st, last, n)) =>
+                if (t - last > GapUs) { closed += ((user, st, n)); cur = Some((t, t, 1L)) }
+                else cur = Some((st, t, n + 1))
+            }
+          }
+          cur.foreach { c =>
+            state.update(c)
+            state.setTimeoutTimestamp(c._2 / 1000 + GapUs / 1000) // last event + gap, ms
+          }
+          closed.result().iterator
+        }
+      }
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        // keep the watermarked ts column itself in the projection — the
+        // event-time metadata rides on it
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (k: Long, it: Iterator[(Long, java.sql.Timestamp, Long)], st: GroupState[(Long, Long, Long)]) =>
+            update(k, it.map(_._3), st))
+        .toDF("user_id", "start_us", "n")
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          col("n").cast("long").as("n"))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy(col("user_id"), col("s_start"))
+    }),
     "x_encoding" -> ((s, dir) => {
       // SetEncoding semantics (#10): US-ASCII output folds non-representable
       // chars to '?' — visible on the zh stopword line of html pages
@@ -773,6 +833,22 @@ object SparkEntry {
         |'extraction failed' AS message,
         |CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS chain_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+        |), isl AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM marks
+        |), sess AS (
+        |  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_last, count(*) AS n
+        |  FROM isl GROUP BY user_id, sid
+        |)
+        |SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start, CAST(n AS BIGINT) AS n
+        |FROM sess
+        |WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+        |   OR s_last + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+        |ORDER BY user_id, s_start""".stripMargin,
     "r_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
         |FROM (
