@@ -1,7 +1,6 @@
 package extractous.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -65,36 +64,50 @@ object Similarity {
 
   /** IVF top-k: assign corpus vectors to their true nearest centroid, probe
     * the `nprobe` closest cells per query, brute-force only inside those cells.
+    *
+    * Physical shape (the scale contract, asserted in SparkPlanSpec):
+    *   1. INDEX BUILD — the centroid table (cells × dim doubles,
+    *      metadata-sized) is aggregated once and materialized to the driver,
+    *      exactly like any ANN index build. This is the only driver-side
+    *      collect and it is NOT per-row data.
+    *   2. ASSIGNMENT — a narrow projection: [[extractous.spark.NearestCellsExpr]]
+    *      computes the argmax cell map-side with the centroid table embedded
+    *      in the serialized expression. Zero exchanges (the previous
+    *      `row_number() OVER (PARTITION BY vid)` formulation shuffled the full
+    *      |corpus|·|cells| product just to pick this argmax).
+    *   3. PROBE+RANK — probes broadcast, cell join stays map-side, and the
+    *      final top-k is the bounded-heap partial aggregate
+    *      ([[extractous.spark.TopKByScore]]): each map partition reduces to
+    *      |Q|·k rows before the single real exchange.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
-    val cents = broadcast(centroids(corpus, cellCol, vecCol))
+    val centRows = centroids(corpus, cellCol, vecCol).orderBy(col("cell")).collect()
+    val cells: Array[Int] = centRows.map(r => r.get(0) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => x.toString.toInt
+    })
+    val cents: Array[Array[Double]] =
+      centRows.map(_.getSeq[Double](1).toArray)
 
-    // invert: every vector assigned to its nearest centroid cell
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("csim").desc, col("cell").asc)
-    val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
-      .join(cents)
-      .withColumn("csim", cosine(col("cv"), col("centroid")))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col("vid"), col("cv"), col("cell"))
+    val vd = col(vecCol).cast("array<double>")
+    val assigned = corpus.select(
+      col(idCol).as("vid"), vd.as("cv"),
+      element_at(extractous.spark.vectors.nearest_cells(vd, cells, cents, 1), 1).as("cell"))
 
-    // probe list: nprobe closest cells per query
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cell").asc)
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .join(cents)
-        .withColumn("qsim", cosine(col("qv"), col("centroid")))
-        .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("qv"), col("cell")))
+      queries.select(col(idCol).as("query_id"), vd.as("qv"),
+        explode(extractous.spark.vectors.nearest_cells(vd, cells, cents, nprobe)).as("cell")))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vid").asc)
     probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vid").as("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(extractous.spark.topk.topk_by_score(col("sim"), col("vid").cast("long"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"), col("neighbor_id"))
   }
 
   /** Exact near-duplicate pairs by cosine ≥ threshold (brute force — the
@@ -110,33 +123,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Random-hyperplane LSH bucketing (the scale path for near-dup cosine):
-    * `nbits` deterministic hyperplanes → sign bits → bucket key; candidates
-    * share a bucket, then exact-verify. Trades recall for pruning; recall is
-    * measured against [[nearDupPairsExact]] in the test suite.
+  /** Banded multi-table random-hyperplane LSH (the scale path for near-dup
+    * cosine) — same banding shape as [[Dedup.lshCandidates]] for minhash:
+    * `bands` independent hash tables of `bitsPerBand` sign bits each; a pair
+    * is a candidate if ANY band's bits match, candidates are exact-verified
+    * by cosine. Recall at angle θ is 1 − (1 − p^r)^b with p = 1 − θ/π — at the
+    * defaults (16 bands × 12 bits) and threshold 0.99 that is ≥ 1 − 1.2e-6,
+    * and unlike a single-table scheme it holds for genuinely-near pairs, not
+    * just sign-invariant scaled copies. Recall on PERTURBED copies is measured
+    * against [[nearDupPairsExact]] in SimilaritySpec.
+    *
+    * Scale: the candidate shuffle carries `(id, band, bucket)` only — vectors
+    * re-join by id for verification. Bucket space per band is 2^bitsPerBand;
+    * size `bitsPerBand ≈ log2(n / targetBucketRows)` as the corpus grows so
+    * the within-bucket self-join stays bounded, then choose `bands` for the
+    * recall target (the two knobs are independent, which the old single-table
+    * scheme lacked). AQE's skew-join splits residual hot buckets.
     */
-  def nearDupPairsLsh(corpus: DataFrame, threshold: Double, nbits: Int = 8, dim: Int = 64,
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      bands: Int = 16, bitsPerBand: Int = 12, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    // deterministic hyperplane components in [-1, 1]
-    val planes: Seq[Seq[Double]] = (0 until nbits).map(bi =>
-      (0 until dim).map(d => (mix(bi.toLong * 131 + d).toDouble / Long.MaxValue)))
     val vd = col(vecCol).cast("array<double>")
-    val bucket = concat((0 until nbits).map { bi =>
-      val proj = aggregate(zip_with(vd, array(planes(bi).map(lit): _*), (x, p) => x * p),
-        lit(0.0), (s, v) => s + v)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
-    val withB = corpus.select(col(idCol).as("id"), col(vecCol).as("v"), bucket.as("bucket"))
-    withB.as("a").join(withB.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
-      .filter(col("sim") >= threshold)
+    val sigs = corpus.select(col(idCol).as("id"), vd.as("v"),
+      extractous.spark.vectors.hyperplane_bands(vd, bands, bitsPerBand, dim).as("bk"))
+    val buckets = sigs.select(col("id"),
+      posexplode(col("bk")).as(Seq("band", "bucket")))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = sigs.select(col("id"), col("v"))
+    cands
+      .join(vecs.as("va"), col("id_a") === col("va.id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.id"))
+      .withColumn("sim", cosine(col("va.v"), col("vb.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

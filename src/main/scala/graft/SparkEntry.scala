@@ -566,10 +566,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "d_neardup_cosine" -> ((s, dir) => {
-      // LSH-bucketed scale path (NOT the O(n²) self-join): a positively-scaled
-      // copy has identical hyperplane signs, so planted-pair recall is exactly
-      // 1.0 by construction; exact cosine ≥ 0.99 verification prunes false
-      // bucket-mates (max natural cross-sim ≈ 0.51 in this corpus).
+      // banded multi-table hyperplane LSH (16 bands × 12 bits — NOT the O(n²)
+      // self-join, NOT the old single-table bucket): planted scaled copies
+      // keep identical signs in every band (recall 1.0 by construction), and
+      // for perturbed near-dups recall ≥ 1 − 1.2e-6 at cos ≥ 0.99 — measured
+      // against the exact pair set in SimilaritySpec; exact cosine ≥ 0.99
+      // verification prunes false bucket-mates (max natural cross-sim ≈ 0.51).
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val planted = e.union(e.select(col("vec_id") + 100000,
         transform(col("embedding"), x => x * lit(1.25f))))

@@ -94,7 +94,7 @@ class PipelineSpec extends AnyFunSuite {
     val e = embs.select(col("vec_id"), col("embedding"))
     val planted = e.union(e.select(col("vec_id") + 100000,
       transform(col("embedding"), x => x * lit(1.25f))))
-    val found = Similarity.nearDupPairsLsh(planted, threshold = 0.99, nbits = 8)
+    val found = Similarity.nearDupPairsLsh(planted, threshold = 0.99)
       .as[(Long, Long)].collect().toSet
     // scaled copies have cosine 1 and identical sign patterns → always same bucket
     val expected = embs.select("vec_id").as[Long].collect()

@@ -1,0 +1,98 @@
+package extractous
+
+import extractous.pipeline.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 similarity-family contracts: banded-LSH recall on pairs whose
+  * hyperplane signs MAY flip (not just scaled copies), IVF plan shape (no
+  * window shuffles), and AQE skew-join evidence for the band-bucket joins.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("banded LSH: recall ≥ 0.95 on PERTURBED copies (hyperplane signs flip)") {
+    import spark.implicits._
+    val base = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    // deterministic gaussian noise at ~1.6% per-dim σ ⇒ planted cosine ≈ 0.992:
+    // above the 0.99 threshold but with sign flips across the 192 hyperplanes,
+    // which the old single-table 8-bit scheme missed by construction
+    val rnd = new scala.util.Random(42)
+    val perturbed = base.map { case (id, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (id + 100000L, v.map(x => x + rnd.nextGaussian() * 0.016 * norm))
+    }
+    val all = spark.createDataset(base ++ perturbed).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairsExact(all, 0.99).as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(all, 0.99).as[(Long, Long)].collect().toSet
+    assert(exact.size >= 400, s"noise too large — only ${exact.size} planted pairs survive cos≥0.99")
+    assert(lsh.subsetOf(exact), "exact verification must make precision 1.0")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"banded LSH recall $recall < 0.95 on perturbed copies")
+  }
+
+  test("ivf knn plan: no Window, assignment is a narrow projection, ≤1 shuffle") {
+    val df = Similarity.ivfKnn(embs, embs.filter(col("vec_id") < 20), k = 5, nprobe = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"row_number window crept back into the IVF plan:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 1, s"IVF plan has $shuffles shuffles (expected ≤1: the top-k agg):\n$plan")
+    assert(plan.contains("topk_by_score"), s"bounded top-k aggregate missing:\n$plan")
+    assert(plan.contains("nearest_cells"), s"map-side argmax assignment missing:\n$plan")
+  }
+
+  test("brute knn plan: bounded top-k aggregate, no Window") {
+    val df = Similarity.bruteKnn(embs, embs.filter(col("vec_id") < 20), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("topk_by_score"))
+  }
+
+  test("AQE splits a planted hot bucket in the band-bucket self-join shape") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // shrink thresholds so the planted hot bucket counts as skewed at test scale
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one hot (band, bucket) key dominating the candidate join — the shape
+      // Dedup.lshCandidates / nearDupPairsLsh produce when a bucket runs hot;
+      // the md5 payload keeps the hot shuffle partition incompressibly large
+      val hot = spark.range(0, 120000).select(
+        col("id"), (col("id") % 13).as("band"), md5(col("id").cast("string")).as("payload"),
+        when(col("id") % 100 === 0, col("id") % 7).otherwise(lit(0L)).as("bucket"))
+      val right = spark.range(0, 3000).select(
+        (col("id") % 8).as("bucket2"), col("id").as("rid"))
+      // the aggregate keys on band (≠ join key), so the join output is
+      // re-shuffled anyway and AQE is free to split the skewed partition
+      val joined = hot.join(right, col("bucket") === col("bucket2"))
+        .groupBy("band").agg(sum(length(col("payload"))).as("n"))
+      joined.collect() // AQE finalizes the plan only after execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed") || plan.contains("isSkewJoin=true") ||
+        plan.contains("skew=true"),
+        s"AQE skew handling not visible in plan:\n$plan")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
+  }
+}
