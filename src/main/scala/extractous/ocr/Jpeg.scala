@@ -107,7 +107,13 @@ object Jpeg {
     n
   }
 
-  def encode(g: Gray): Array[Byte] = {
+  def encode(g: Gray): Array[Byte] = encode(g, 0)
+
+  /** `restartInterval` > 0 emits DRI + RSTn markers every that many MCUs —
+    * real crawl JPEGs carry them, and the decoder's restart path needs an
+    * in-repo producer to round-trip against.
+    */
+  def encode(g: Gray, restartInterval: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -126,6 +132,8 @@ object Jpeg {
     // DHT: DC class0 id0, AC class1 id0
     seg(0xc4, (0 +: (DcBits ++ DcVals)).toArray)
     seg(0xc4, (0x10 +: (AcBits ++ AcVals)).toArray)
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     // SOS: 1 component, dc table 0 / ac table 0
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
 
@@ -135,6 +143,8 @@ object Jpeg {
     val blocksX = (g.width + 7) / 8
     val blocksY = (g.height + 7) / 8
     var prevDc = 0
+    var mcuCount = 0
+    var rstIdx = 0
     val px = new Array[Double](64)
     val coef = new Array[Int](64)
     var by = 0
@@ -202,6 +212,15 @@ object Jpeg {
           k += 1
         }
         if (run > 0) { val (c, l) = acTab(0x00); bw.write(c, l) } // EOB
+        // single-component scan: MCU = block; restart markers between MCUs
+        mcuCount += 1
+        if (restartInterval > 0 && mcuCount % restartInterval == 0 &&
+            !(by == blocksY - 1 && bx == blocksX - 1)) {
+          bw.flush() // byte-align (pad with 1s) before the marker
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          prevDc = 0 // predictors reset at each restart (T.81 §F.2.1.3.1)
+        }
         bx += 1
       }
       by += 1
@@ -247,12 +266,15 @@ object Jpeg {
     def readBit(): Int = {
       if (nbits == 0) {
         if (pos >= data.length) throw new IllegalArgumentException("jpeg: truncated entropy data")
-        var b = data(pos) & 0xff
+        val b = data(pos) & 0xff
         pos += 1
         if (b == 0xff) {
           val next = if (pos < data.length) data(pos) & 0xff else -1
-          if (next == 0x00) pos += 1 // stuffed byte
-          else if (next >= 0xd0 && next <= 0xd7) { pos += 1; b = data(pos) & 0xff; pos += 1 } // RSTn (no encoder emits them here)
+          // ONLY a stuffed 0x00 is entropy data; a marker here (incl. RSTn,
+          // which is legal solely at a restart boundary consumed by
+          // readRestart) means the stream and the decoder disagree — fail,
+          // never decode garbage pixels
+          if (next == 0x00) pos += 1
           else throw new IllegalArgumentException("jpeg: unexpected marker in entropy data")
         }
         acc = b; nbits = 8
@@ -265,6 +287,22 @@ object Jpeg {
       var i = 0
       while (i < n) { v = (v << 1) | readBit(); i += 1 }
       v
+    }
+    /** Consume an expected RSTn at a restart boundary: discard padding bits to
+      * the byte edge, skip optional 0xFF fill bytes, verify the marker cycles
+      * D0..D7 in order (T.81 §F.2.1.3.1 — callers also reset DC predictors).
+      */
+    def readRestart(expected: Int): Unit = {
+      nbits = 0 // byte-align: rest of the current byte is padding
+      while (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+             (data(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos + 1 >= data.length || (data(pos) & 0xff) != 0xff)
+        throw new IllegalArgumentException("jpeg: restart marker expected")
+      val m = data(pos + 1) & 0xff
+      if (m != 0xd0 + expected)
+        throw new IllegalArgumentException(
+          f"jpeg: expected RST$expected%d, got 0xff$m%02x — restart markers out of sync")
+      pos += 2
     }
   }
 
@@ -284,6 +322,7 @@ object Jpeg {
     val dcTables = scala.collection.mutable.Map.empty[Int, HuffTable]
     val acTables = scala.collection.mutable.Map.empty[Int, HuffTable]
     var width = 0; var height = 0
+    var restartInterval = 0
     var comps: Array[Component] = Array.empty
 
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
@@ -364,6 +403,8 @@ object Jpeg {
           val br = new BitReader(bytes, pos)
           val lumaComp = comps.head
           val block = new Array[Int](64)
+          var mcuCount = 0
+          var rstIdx = 0
           var my = 0
           while (my < mcusY) {
             var mx = 0
@@ -453,12 +494,26 @@ object Jpeg {
                   bv += 1
                 }
               }
+              // restart boundary: byte-align, verify RSTn order, reset
+              // every component's DC predictor — skipping the reset decodes
+              // garbage pixels from the first restarted MCU on
+              mcuCount += 1
+              if (restartInterval > 0 && mcuCount % restartInterval == 0 &&
+                  !(my == mcusY - 1 && mx == mcusX - 1)) {
+                br.readRestart(rstIdx)
+                rstIdx = (rstIdx + 1) % 8
+                comps.foreach(_.pred = 0)
+              }
               mx += 1
             }
             my += 1
           }
           // skip to EOI
           pos = br.pos
+        case 0xdd => // DRI
+          val len = u16(pos)
+          restartInterval = u16(pos + 2)
+          pos += len
         case 0x01 => // standalone marker, no payload
         case rst if rst >= 0xd0 && rst <= 0xd7 => // RSTn, no payload
         case _ =>
@@ -470,19 +525,31 @@ object Jpeg {
     Gray(width, height, luma)
   }
 
-  /** (width, height) from the SOF header only — cheap metadata parse. */
+  /** (width, height) from the SOF header only — cheap metadata parse.
+    * Mirrors the main decode() marker discipline: EOI stops the walk, fill
+    * 0xFF bytes and the no-payload markers (TEM, RSTn) are stepped over
+    * explicitly — treating them as length-prefixed segments would read a
+    * bogus length from following data and skip past the real SOF or run out
+    * of bounds (surfacing as an index error instead of "no SOF header").
+    */
   def dimensions(bytes: Array[Byte]): (Int, Int) = {
     var pos = 2
-    while (pos + 3 < bytes.length) {
+    while (pos + 1 < bytes.length) {
       if ((bytes(pos) & 0xff) != 0xff) throw new IllegalArgumentException("jpeg: marker expected")
       val m = bytes(pos + 1) & 0xff
-      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+      if (m == 0xff) pos += 1 // fill byte before a marker
+      else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (pos + 8 >= bytes.length) throw new IllegalArgumentException("jpeg: truncated SOF")
         val h = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
         val w = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
         return (w, h)
       }
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) pos += 2
-      else pos += 2 + (((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff))
+      else if (m == 0xd9) throw new IllegalArgumentException("jpeg: no SOF header") // EOI
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2 // no payload
+      else {
+        if (pos + 3 >= bytes.length) throw new IllegalArgumentException("jpeg: truncated segment")
+        pos += 2 + (((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff))
+      }
     }
     throw new IllegalArgumentException("jpeg: no SOF header")
   }

@@ -197,6 +197,16 @@ object DocExtractor {
         if (fcMin < 0 || fcMac < fcMin || fcMac > wd.length)
           return ExtractResult.fail(ExtractStatus.ExtractionFailed, "doc: bad text bounds", Mime)
         val raw = new String(wd, fcMin, fcMac - fcMin, java.nio.charset.Charset.forName("windows-1252"))
+        // A 16-bit text area (unicode pieces — legal even when fComplex is
+        // clear, and fExtChar at 0x0A is "MUST be 1" in MS-DOC so it cannot
+        // discriminate) decoded as cp1252 comes out NUL-interleaved. The
+        // contract is "fails with a status, never wrong text": reject on NUL
+        // density instead of emitting garbage — proper decoding needs the
+        // piece table, which lives with the fComplex path.
+        val nuls = raw.count(_ == '\u0000')
+        if (raw.length >= 8 && nuls * 10 > raw.length)
+          return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
+            "doc: 16-bit (unicode-piece) text area unsupported without piece table", Mime)
         val emitter = new TextEmitter(cfg.maxStringLength)
         val xe = new XmlEmitter(cfg.maxStringLength)
         // \r is the Word paragraph mark; 0x07 ends table cells/rows

@@ -129,6 +129,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // partially-propagated labels would silently split one component into
+    // several cluster_ids — fail loudly instead; a corpus that legitimately
+    // hits this has adversarial component diameters and should run the
+    // large-star/small-star variant noted above
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters: min-label propagation did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters or use large-star/small-star")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

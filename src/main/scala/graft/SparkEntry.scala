@@ -141,10 +141,16 @@ object SparkEntry {
     "x_binaryfile" -> ((s, dir) => {
       // loose-file source (reference ExtractFileToString path → binaryFile
       // datasource): html+plain payloads written as files, scanned back.
-      // Fixture files are written FROM EXECUTORS (foreachPartition) — never
-      // collected to the driver; on a cluster this targets a shared filesystem.
+      // Fixture files are written FROM EXECUTORS (foreachPartition). The
+      // staging dir must be a SHARED filesystem on a real cluster — set
+      // spark.graft.stagingDir to one; the driver-local temp-dir fallback is
+      // visible to executors only in local mode (this harness).
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("loosefiles")
+      val tmp = s.conf.getOption("spark.graft.stagingDir") match {
+        case Some(base) => java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), "loosefiles")
+        case None => java.nio.file.Files.createTempDirectory("loosefiles")
+      }
       val tmpPath = tmp.toString
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]

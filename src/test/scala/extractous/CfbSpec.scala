@@ -41,6 +41,21 @@ class CfbSpec extends AnyFunSuite {
     assert(r.status == ExtractStatus.UnsupportedFormat && r.text == "")
     assert(wd.nonEmpty)
   }
+  test(".doc with a 16-bit text area fails with a status, never NUL-garbage") {
+    // non-complex file whose fcMin..fcMac area is UTF-16LE (unicode pieces):
+    // build an 8-bit doc, then rewrite its text area in place as 16-bit —
+    // same length, half the characters, every other byte NUL
+    val ascii = "ABCDEFGHIJKLMNOPQRSTUVWXYZABCDEF" // 32 chars
+    val bytes = DocWriter.doc(Seq(ascii)).clone()
+    val probe = ascii.getBytes("windows-1252")
+    val at = (0 until bytes.length - probe.length)
+      .find(i => probe.indices.forall(j => bytes(i + j) == probe(j))).get
+    val utf16 = ascii.take(16).getBytes("UTF-16LE") // 32 bytes again
+    System.arraycopy(utf16, 0, bytes, at, utf16.length)
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.UnsupportedFormat, s"got status ${r.status}: '${r.text}'")
+    assert(r.text == "", "must not emit NUL-interleaved garbage text")
+  }
   test("CFB without a WordDocument stream is unsupported, not a crash") {
     val bytes = DocWriter.doc(Seq("x")).clone()
     // corrupt the directory name so WordDocument is not found

@@ -119,6 +119,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 1L), "whole chain must collapse to cluster 1")
   }
 
+  test("clusters: non-convergence raises instead of silently splitting components") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("id")
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] { Dedup.clusters(pairs, ids, maxIters = 2) }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("fingerprint matches scala reference implementation") {
     import spark.implicits._
     val rows = docs.select(col("doc_id"), col("text"),
