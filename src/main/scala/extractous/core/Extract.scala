@@ -73,8 +73,9 @@ object Extract {
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip |
                 MimeSniffer.Odt | MimeSniffer.Ods | MimeSniffer.Odp) =>
         OfficeExtractor.extract(bytes, m, cfg)
-      case MimeSniffer.Cfb => extractous.office.DocExtractor.extract(bytes, cfg)
-      case m @ (MimeSniffer.Bmp | MimeSniffer.Png | MimeSniffer.Jpeg) => image(bytes, m, cfg, ocr)
+      case MimeSniffer.Cfb => extractous.office.CfbExtractor.extract(bytes, cfg)
+      case m @ (MimeSniffer.Bmp | MimeSniffer.Png | MimeSniffer.Jpeg |
+                MimeSniffer.Gif | MimeSniffer.Tiff) => image(bytes, m, cfg, ocr)
       case _ =>
         // Distinguish text-like payloads with broken encoding from plain
         // binary (the charset-detection rungs — UTF-16 BOMs, windows-1252 —
@@ -140,7 +141,14 @@ object Extract {
         var s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         if (s.nonEmpty && s.charAt(0) == '﻿') s = s.substring(1) // BOM
         (s, "UTF-8")
-      } else
+      } else if (MimeSniffer.looksLikeShiftJis(bytes))
+        // CJK rung: byte-distribution detection (must run BEFORE the cp1252
+        // catch-all, which would accept almost any byte). Unlabeled
+        // ISO-8859-1 deliberately lands on the windows-1252 rung below —
+        // cp1252 is a superset of latin-1 on every printable byte, which is
+        // why real detectors (ICU/Tika) label western 8-bit text cp1252.
+        (new String(bytes, java.nio.charset.Charset.forName("Shift_JIS")), "Shift_JIS")
+      else
         (new String(bytes, java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
     plainDecoded(decoded, charset, cfg)
   }

@@ -2,7 +2,7 @@ package extractous.gen
 
 import extractous.config._
 import extractous.model.{ExtractStatus, WebPage}
-import extractous.ocr.{Bmp, GlyphFont, Jpeg, Png}
+import extractous.ocr.{Bmp, Gif, GlyphFont, Jpeg, Png, Tiff}
 import extractous.sniff.MimeSniffer
 import org.apache.spark.sql.{Dataset, SparkSession}
 import java.io.ByteArrayOutputStream
@@ -16,9 +16,11 @@ import java.sql.Timestamp
   *     `(doc_id, text, lang)` that is also expressible in ANSI SQL — which makes
   *     the flagship extraction queries DuckDB-oracle-checkable end-to-end.
   *
-  * Format mix (by `doc_id % 100`): 0-54 HTML, 55-69 plain text, 70-81 digital
-  * PDF, 82-89 DOCX, 90-95 scanned image (BMP/PNG), 96-97 scanned PDF, 98 empty,
-  * 99 corrupt — mirroring FIXTURES.md §2.
+  * Format mix (by `doc_id % 100`): 0-54 HTML; 55-60 plain UTF-8; 61 legacy
+  * .xls; 62 legacy .ppt; 63 unlabeled ISO-8859-1; 64 unlabeled Shift-JIS;
+  * 65-66 UTF-16LE; 67 UTF-16BE; 68-69 windows-1252; 70-81 digital PDF; 82-86
+  * DOCX; 87 .doc; 88 ODT; 89 ODP; 90-95 scanned image (BMP/PNG/JPEG/GIF/TIFF
+  * by doc_id % 5); 96-97 scanned PDF; 98 empty; 99 corrupt — FIXTURES.md §2.
   */
 object CorpusGen {
 
@@ -37,7 +39,11 @@ object CorpusGen {
   def kindOf(id: Long): String = {
     val m = (id % 100).toInt
     if (m < 55) "html"
-    else if (m < 65) "plain"
+    else if (m < 61) "plain"
+    else if (m < 62) "xls"
+    else if (m < 63) "ppt"
+    else if (m < 64) "latin1"
+    else if (m < 65) "sjis"
     else if (m < 67) "utf16le"
     else if (m < 68) "utf16be"
     else if (m < 70) "cp1252"
@@ -57,6 +63,20 @@ object CorpusGen {
     * the expected decode is `prefix + text` in closed form.
     */
   val Cp1252Prefix = "café € – ñ "
+
+  /** Lead-in for the unlabeled ISO-8859-1 rows: accents only from 0xA0-0xFF
+    * (where latin-1 and cp1252 agree byte-for-byte), each followed by ASCII
+    * so the Shift-JIS structural check can never match. The detector labels
+    * these windows-1252 — the superset every real detector (ICU/Tika) picks
+    * for unlabeled western 8-bit text — and the decode is identical.
+    */
+  val Latin1Prefix = "voilà señor cédille "
+
+  /** Lead-in for the unlabeled Shift-JIS rows: 8 double-byte characters
+    * (hiragana + kanji), well past the detector's 4-pair minimum, followed by
+    * the pure-ASCII seed text.
+    */
+  val SjisPrefix = "こんにちは日本語 "
 
   /** Host-skewed url: host-0 carries ~50% of pages (Zipf-ish head), the rest
     * spread over host-1..host-9 — exercises the salted-repartition path.
@@ -100,6 +120,12 @@ object CorpusGen {
   def payload(id: Long, text: String, lang: String): Array[Byte] = kindOf(id) match {
     case "html"  => htmlPayload(id, text, lang)
     case "plain" => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case "xls" => XlsWriter.xls(Seq(s"Document $id", text))
+    case "ppt" => PptWriter.ppt(Seq(s"Document $id", text))
+    case "latin1" =>
+      (Latin1Prefix + text).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    case "sjis" =>
+      (SjisPrefix + text).getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
     case "utf16le" =>
       Array[Byte](0xff.toByte, 0xfe.toByte) ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
     case "utf16be" =>
@@ -123,10 +149,12 @@ object CorpusGen {
     case "odp" => OdfWriter.odp(Seq(s"Document $id", text), titleOf(id, lang))
     case "image" =>
       val g = GlyphFont.render(Seq(s"DOC $id", text.take(40)), noiseSeed = if (id % 5 == 0) id else 0L)
-      (id % 3) match {
+      (id % 5) match {
         case 0 => Bmp.encode(g)
         case 1 => Png.encode(g)
-        case _ => Jpeg.encode(g)
+        case 2 => Jpeg.encode(g)
+        case 3 => Gif.encode(g)
+        case _ => Tiff.encode(g, packBits = id % 2 == 0)
       }
     case "scanned_pdf" =>
       val g = GlyphFont.render(Seq(s"SCAN $id", text.take(20)))
@@ -152,6 +180,9 @@ object CorpusGen {
   def expectedText(id: Long, text: String, lang: String): String = kindOf(id) match {
     case "html"                  => s"Document $id\n${stopLine(lang)}\n$text"
     case "plain"                 => text
+    case "xls" | "ppt"           => s"Document $id\n$text"
+    case "latin1"                => Latin1Prefix + text
+    case "sjis"                  => SjisPrefix + text
     case "utf16le" | "utf16be"   => text
     case "cp1252"                => Cp1252Prefix + text
     case "pdf"                   => s"Document $id\n$text" + (if (id % 3 == 0) s"\nNote $id" else "")
@@ -169,17 +200,21 @@ object CorpusGen {
 
   def expectedContentType(id: Long): String = kindOf(id) match {
     case "html"                            => MimeSniffer.Html
-    case "plain" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
+    case "plain" | "latin1" | "sjis" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
+    case "xls"                             => MimeSniffer.Xls
+    case "ppt"                             => MimeSniffer.Ppt
     case "pdf"                             => MimeSniffer.Pdf
     case "docx"                            => MimeSniffer.Docx
     case "doc"                             => MimeSniffer.Doc
     case "odt"                             => MimeSniffer.Odt
     case "odp"                             => MimeSniffer.Odp
     case "image" =>
-      (id % 3) match {
+      (id % 5) match {
         case 0 => MimeSniffer.Bmp
         case 1 => MimeSniffer.Png
-        case _ => MimeSniffer.Jpeg
+        case 2 => MimeSniffer.Jpeg
+        case 3 => MimeSniffer.Gif
+        case _ => MimeSniffer.Tiff
       }
     case "scanned_pdf" => MimeSniffer.Pdf
     case "empty"       => MimeSniffer.Empty

@@ -286,7 +286,14 @@ object DocWriter {
     sb.putInt(0x18, 512)           // fcMin
     sb.putInt(0x1c, 512 + text.length) // fcMac
     System.arraycopy(text, 0, stream, 512, text.length)
+    wrap("WordDocument", stream)
+  }
 
+  /** Wrap one application stream in a CFB container under `streamName` — the
+    * shared shell for .doc/.xls/.ppt fixtures (real MS-CFB: FAT + directory,
+    * mini-stream/miniFAT below the 4096-byte cutoff like real writers).
+    */
+  def wrap(streamName: String, stream: Array[Byte]): Array[Byte] = {
     val useMini = stream.length < 4096
     val dataSectors = if (useMini) (stream.length + 63) / 64 * 64 else stream.length
     val dataSectorCount = (dataSectors + SectorSize - 1) / SectorSize
@@ -345,10 +352,10 @@ object DocWriter {
     }
     if (useMini) {
       dirEntry(0, "Root Entry", 5, firstData, dataSectors.toLong, child = 1)
-      dirEntry(1, "WordDocument", 2, 0, stream.length.toLong, child = Free)
+      dirEntry(1, streamName, 2, 0, stream.length.toLong, child = Free)
     } else {
       dirEntry(0, "Root Entry", 5, Eoc, 0L, child = 1)
-      dirEntry(1, "WordDocument", 2, firstData, stream.length.toLong, child = Free)
+      dirEntry(1, streamName, 2, firstData, stream.length.toLong, child = Free)
     }
     // remaining two directory slots stay zeroed (objType 0 = unused)
 
@@ -361,6 +368,87 @@ object DocWriter {
     }
     System.arraycopy(stream, 0, out, sectorOff(firstData), stream.length)
     out
+  }
+}
+
+/** Legacy Excel-97 binary (.xls) writer: a CFB container holding a `Workbook`
+  * stream in BIFF8 — globals BOF, SST with the shared strings, sheet BOF,
+  * one LABELSST cell per string, EOFs. The subset every plain Excel-97 save
+  * produces for text content.
+  */
+object XlsWriter {
+  def xls(strings: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(typ: Int, payload: Array[Byte]): Unit = {
+      out.write(typ & 0xff); out.write((typ >> 8) & 0xff)
+      out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+      out.write(payload)
+    }
+    def bof(dt: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x0600.toShort).putShort(dt.toShort) // BIFF8, substream type
+      b.array()
+    }
+    rec(0x0809, bof(0x0005)) // workbook globals
+    // SST: total refs (== unique here), unique count, XLUnicodeStrings
+    val sst = new java.io.ByteArrayOutputStream()
+    val sb4 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb4.putInt(strings.length).putInt(strings.length)
+    sst.write(sb4.array())
+    strings.foreach { s =>
+      val ascii = s.forall(_ < 0x100)
+      val chars = if (ascii) s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                  else s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      sst.write(s.length & 0xff); sst.write((s.length >> 8) & 0xff) // cch
+      sst.write(if (ascii) 0x00 else 0x01)                          // fHighByte
+      sst.write(chars)
+    }
+    rec(0x00fc, sst.toByteArray)
+    rec(0x000a, Array.emptyByteArray) // EOF globals
+    rec(0x0809, bof(0x0010)) // worksheet
+    strings.indices.foreach { i =>
+      val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(i.toShort).putShort(0).putShort(0x000f).putInt(i) // row, col, ixfe, isst
+      rec(0x00fd, b.array())
+    }
+    rec(0x000a, Array.emptyByteArray) // EOF sheet
+    DocWriter.wrap("Workbook", out.toByteArray)
+  }
+}
+
+/** Legacy PowerPoint-97 binary (.ppt) writer: a CFB container holding a
+  * `PowerPoint Document` stream of PPT records — a SlideListWithText
+  * container wrapping TextHeaderAtom + TextCharsAtom/TextBytesAtom pairs,
+  * the record shapes POI's text extraction walks.
+  */
+object PptWriter {
+  private def recHeader(verInstance: Int, typ: Int, len: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(verInstance.toShort).putShort(typ.toShort).putInt(len)
+    b.array()
+  }
+
+  def ppt(lines: Seq[String]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    lines.foreach { line =>
+      body.write(recHeader(0x0000, 0x0f9f, 4)) // TextHeaderAtom: txType
+      body.write(java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(0).array())
+      val ascii = line.forall(_ < 0x100)
+      if (ascii) {
+        val bytes = line.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        body.write(recHeader(0x0000, 0x0fa8, bytes.length)) // TextBytesAtom
+        body.write(bytes)
+      } else {
+        val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        body.write(recHeader(0x0000, 0x0fa0, bytes.length)) // TextCharsAtom
+        body.write(bytes)
+      }
+    }
+    val stream = new java.io.ByteArrayOutputStream()
+    stream.write(recHeader(0x000f, 0x0ff0, body.size)) // SlideListWithText container
+    body.writeTo(stream)
+    DocWriter.wrap("PowerPoint Document", stream.toByteArray)
   }
 }
 

@@ -452,6 +452,9 @@ object GlyphTemplateOcr extends Ocr {
     val g =
       if (image.length >= 2 && image(0) == 'B' && image(1) == 'M') Bmp.decode(image)
       else if (image.length >= 3 && (image(0) & 0xff) == 0xff && (image(1) & 0xff) == 0xd8) Jpeg.decode(image)
+      else if (image.length >= 6 && new String(image, 0, 3, "US-ASCII") == "GIF") Gif.decode(image)
+      else if (image.length >= 4 && ((image(0) == 'I' && image(1) == 'I') ||
+        (image(0) == 'M' && image(1) == 'M'))) Tiff.decode(image)
       else Png.decode(image)
     recognizeGray(g, cfg)
   }

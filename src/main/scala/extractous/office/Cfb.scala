@@ -180,6 +180,10 @@ object DocExtractor {
         case e: Exception =>
           return ExtractResult.fail(ExtractStatus.ExtractionFailed, s"cfb: ${e.getMessage}", CfbMime)
       }
+    extract(container, cfg)
+  }
+
+  def extract(container: Cfb.Container, cfg: ExtractorConfig): ExtractResult = {
     container.stream("WordDocument") match {
       case None =>
         ExtractResult.fail(ExtractStatus.UnsupportedFormat,

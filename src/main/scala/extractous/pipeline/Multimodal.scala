@@ -1,7 +1,7 @@
 package extractous.pipeline
 
 import extractous.config.OcrConfig
-import extractous.ocr.{Bmp, Gray, GlyphTemplateOcr, Jpeg, Png}
+import extractous.ocr.{Bmp, Gif, Gray, GlyphTemplateOcr, Jpeg, Png, Tiff}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Multimodal columns: images/audio/video ride as opaque `binary` columns with
@@ -24,6 +24,9 @@ object Multimodal {
   private def decodeImage(bytes: Array[Byte]): (Gray, String) =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') (Bmp.decode(bytes), "bmp")
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) (Jpeg.decode(bytes), "jpeg")
+    else if (bytes.length >= 6 && new String(bytes, 0, 3, "US-ASCII") == "GIF") (Gif.decode(bytes), "gif")
+    else if (bytes.length >= 4 && ((bytes(0) == 'I' && bytes(1) == 'I') ||
+      (bytes(0) == 'M' && bytes(1) == 'M'))) (Tiff.decode(bytes), "tiff")
     else (Png.decode(bytes), "png")
 
   /** (id, image bytes) → typed metadata; partition-batched decode. */

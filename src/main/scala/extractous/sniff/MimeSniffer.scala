@@ -22,9 +22,13 @@ object MimeSniffer {
   val Rtf = "application/rtf"
   val Gzip = "application/gzip"
   val Plain = "text/plain"
+  val Xls = "application/vnd.ms-excel"
+  val Ppt = "application/vnd.ms-powerpoint"
   val Bmp = "image/bmp"
   val Png = "image/png"
   val Jpeg = "image/jpeg"
+  val Gif = "image/gif"
+  val Tiff = "image/tiff"
   val OctetStream = "application/octet-stream"
   val Empty = "application/octet-stream" // empty payload sniffs as generic binary
 
@@ -147,14 +151,44 @@ object MimeSniffer {
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
+    if (startsWith(bytes, 0, "GIF87a") || startsWith(bytes, 0, "GIF89a")) return Gif
+    if (bytes.length >= 4 && ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))) return Tiff
     // UTF-16 byte-order marks: textual payload in a non-UTF-8 encoding
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) return Plain
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) return Plain
     if (looksLikeXml(bytes)) return Xml
     if (looksLikeHtml(bytes)) return Html
     if (isValidUtf8(bytes)) return Plain
+    if (looksLikeShiftJis(bytes)) return Plain
     if (looksLikeCp1252Text(bytes)) return Plain
     OctetStream
+  }
+
+  /** Unlabeled Shift-JIS by byte distribution (the CJK rung of the charset
+    * ladder): every byte must fit SJIS structure — ASCII, single-byte katakana
+    * (0xA1-0xDF), or a lead byte (0x81-0x9F / 0xE0-0xEF) followed by a valid
+    * trail (0x40-0x7E / 0x80-0xFC) — AND at least 4 double-byte pairs must be
+    * present. The pair minimum keeps short accidental matches (e.g. a stray
+    * 0x81 0x8D in an otherwise-ASCII corrupt payload) classified as invalid
+    * rather than silently decoded as one kanji; real Japanese text has runs
+    * of pairs. cp1252 text never qualifies: isolated accents are followed by
+    * ASCII below 0x40.
+    */
+  def looksLikeShiftJis(bytes: Array[Byte]): Boolean = {
+    var pairs = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80 || (b >= 0xa1 && b <= 0xdf)) i += 1
+      else if ((b >= 0x81 && b <= 0x9f) || (b >= 0xe0 && b <= 0xef)) {
+        if (i + 1 >= bytes.length) return false
+        val t = bytes(i + 1) & 0xff
+        if ((t >= 0x40 && t <= 0x7e) || (t >= 0x80 && t <= 0xfc)) { pairs += 1; i += 2 }
+        else return false
+      } else return false
+    }
+    pairs >= 4
   }
 
   /** Clean single-byte text: ≥ 97% textual bytes, at least one high byte, and

@@ -29,17 +29,23 @@ object SparkEntry {
   private val sqlId = "CAST(doc_id AS VARCHAR)"
   private val docxMime = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
   private val cp1252Prefix = CorpusGen.Cp1252Prefix
+  private val latin1Prefix = CorpusGen.Latin1Prefix
+  private val sjisPrefix = CorpusGen.SjisPrefix
+  private val sqlImageFormat =
+    "CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'tiff' END"
   /** Expected content_type per format-mix kind (single expression, embeddable). */
   private val sqlContentType: String =
     s"""CASE
        |  WHEN $sqlKind < 55 THEN 'text/html'
+       |  WHEN $sqlKind = 61 THEN 'application/vnd.ms-excel'
+       |  WHEN $sqlKind = 62 THEN 'application/vnd.ms-powerpoint'
        |  WHEN $sqlKind < 70 THEN 'text/plain'
        |  WHEN $sqlKind < 82 THEN 'application/pdf'
        |  WHEN $sqlKind < 87 THEN '$docxMime'
        |  WHEN $sqlKind = 87 THEN 'application/msword'
        |  WHEN $sqlKind = 88 THEN 'application/vnd.oasis.opendocument.text'
        |  WHEN $sqlKind = 89 THEN 'application/vnd.oasis.opendocument.presentation'
-       |  WHEN $sqlKind < 96 THEN (CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'image/jpeg' END)
+       |  WHEN $sqlKind < 96 THEN (CASE doc_id % 5 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'image/gif' ELSE 'image/tiff' END)
        |  WHEN $sqlKind < 98 THEN 'application/pdf'
        |  WHEN $sqlKind = 98 THEN 'application/octet-stream'
        |  ELSE (CASE WHEN doc_id % 3 = 0 THEN 'application/pdf' WHEN doc_id % 3 = 1 THEN 'application/zip' ELSE 'text/plain' END)
@@ -289,6 +295,49 @@ object SparkEntry {
       xf.extractFrame(corpusDf(s, dir), cfg)
         .filter(col("content_type") === "text/html")
         .select(col("url"), col("text"))
+        .orderBy(col("url"))
+    }),
+    "x_xls" -> ((s, dir) => {
+      // legacy Excel-97 BIFF8 over the CFB container (Workbook stream:
+      // SST + LABELSST walk); every third doc fattened past the mini cutoff
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = if (id % 3 == 0) (text + " ") * 20 else text
+          (id, extractous.gen.XlsWriter.xls(Seq(s"Document $id", body)))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_ppt" -> ((s, dir) => {
+      // legacy PowerPoint-97 over the CFB container (record-header walk:
+      // TextCharsAtom/TextBytesAtom inside a SlideListWithText container)
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = if (id % 3 == 0) (text + " ") * 20 else text
+          (id, extractous.gen.PptWriter.ppt(Seq(s"Document $id", body)))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_encoding_utf16be" -> ((s, dir) => {
+      // SetEncoding UTF-16BE (#10): a BMP-safe round trip — text is unchanged
+      // and the UTF-16BE byte surface is exactly 2 bytes/char (no surrogates
+      // in the corpus), which the oracle states in closed form; the zh pages
+      // make the check non-trivial (UTF-8 bytes ≠ 2×chars there)
+      val cfg = CorpusGen.flagshipConfig.copy(encoding = CharSet.Utf16Be)
+      xf.extractFrame(corpusDf(s, dir), cfg)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), col("text"),
+          octet_length(encode(col("text"), "UTF-16BE")).cast("long").as("n_utf16be_bytes"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_utf8_bytes"))
         .orderBy(col("url"))
     }),
     "x_doc" -> ((s, dir) => {
@@ -672,6 +721,9 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url,
          |CASE
          |  WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |  WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
+         |  WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
+         |  WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |  WHEN $sqlKind < 68 THEN text
          |  WHEN $sqlKind < 70 THEN '$cp1252Prefix' || text
          |  WHEN $sqlKind < 82 THEN 'Document ' || $sqlId || chr(10) || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Note ' || $sqlId ELSE '' END
@@ -687,7 +739,7 @@ object SparkEntry {
     "x_sniff" ->
       s"""SELECT $sqlUrl AS url,
          |CASE
-         |  WHEN $sqlKind = 87 THEN 'application/x-cfb'
+         |  WHEN $sqlKind IN (61, 62, 87) THEN 'application/x-cfb'
          |  WHEN $sqlKind = 99 AND doc_id % 3 = 2 THEN 'application/octet-stream'
          |  ELSE $sqlContentType
          |END AS mime
@@ -701,8 +753,11 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url, substr(t, 1, 100) AS text,
          |CAST(length(substr(t, 1, 100)) AS BIGINT) AS n_chars
          |FROM (SELECT doc_id,
-         |  CASE WHEN $sqlKind >= 68 AND $sqlKind < 70 THEN '$cp1252Prefix' || text ELSE text END AS t
-         |  FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70)
+         |  CASE WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
+         |       WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
+         |       WHEN $sqlKind >= 68 AND $sqlKind < 70 THEN '$cp1252Prefix' || text
+         |       ELSE text END AS t
+         |  FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70 AND $sqlKind NOT IN (61, 62))
          |ORDER BY url""".stripMargin,
     "x_xml" ->
       s"""SELECT $sqlUrl AS url,
@@ -732,9 +787,15 @@ object SparkEntry {
     "x_binaryfile" ->
       s"""SELECT doc_id,
          |CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |     WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
+         |     WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
+         |     WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |     WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text
          |     ELSE text END AS text,
-         |CASE WHEN $sqlKind < 55 THEN 'text/html' ELSE 'text/plain' END AS content_type
+         |CASE WHEN $sqlKind < 55 THEN 'text/html'
+         |     WHEN $sqlKind = 61 THEN 'application/vnd.ms-excel'
+         |     WHEN $sqlKind = 62 THEN 'application/vnd.ms-powerpoint'
+         |     ELSE 'text/plain' END AS content_type
          |FROM documents WHERE $sqlKind < 70 ORDER BY doc_id""".stripMargin,
     "x_xlsx" ->
       s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
@@ -768,6 +829,24 @@ object SparkEntry {
          |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
          |'application/msword' AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_xls" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) ||
+         |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
+         |'application/vnd.ms-excel' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ppt" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) ||
+         |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
+         |'application/vnd.ms-powerpoint' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_encoding_utf16be" ->
+      s"""SELECT $sqlUrl AS url,
+         |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text AS text,
+         |CAST(2 * length('Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text) AS BIGINT) AS n_utf16be_bytes,
+         |CAST(strlen('Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text) AS BIGINT) AS n_utf8_bytes
+         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
     "x_odt" ->
       s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
          |'application/vnd.oasis.opendocument.text' AS content_type,
@@ -780,13 +859,16 @@ object SparkEntry {
     "x_charset" ->
       s"""SELECT $sqlUrl AS url,
          |'text/plain; charset=' || CASE
-         |  WHEN $sqlKind < 65 THEN 'UTF-8'
+         |  WHEN $sqlKind < 61 THEN 'UTF-8'
+         |  WHEN $sqlKind = 63 THEN 'windows-1252'
+         |  WHEN $sqlKind = 64 THEN 'Shift_JIS'
          |  WHEN $sqlKind < 67 THEN 'UTF-16LE'
          |  WHEN $sqlKind < 68 THEN 'UTF-16BE'
          |  ELSE 'windows-1252'
          |END AS detected,
          |CAST(0 AS BIGINT) AS status
-         |FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind >= 55 AND $sqlKind < 70 AND $sqlKind NOT IN (61, 62)
+         |ORDER BY url""".stripMargin,
     "x_version" ->
       s"""SELECT $sqlUrl AS url, 'extractous-spark/0.1.0' AS extractor_version
          |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
@@ -796,6 +878,9 @@ object SparkEntry {
          |CAST(strlen(t) AS BIGINT) AS n_bytes
          |FROM (SELECT doc_id,
          |  CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |       WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
+         |       WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
+         |       WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |       WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text
          |       ELSE text END AS t
          |  FROM documents WHERE $sqlKind < 70)
@@ -1003,7 +1088,7 @@ object SparkEntry {
       s"""SELECT doc_id AS id,
          |CAST(8 + 8 * greatest(length('DOC ' || $sqlId), least(40, length(text))) AS BIGINT) AS width,
          |CAST(32 AS BIGINT) AS height,
-         |CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'png' ELSE 'jpeg' END AS format
+         |$sqlImageFormat AS format
          |FROM documents WHERE $sqlKind BETWEEN 90 AND 95 ORDER BY id""".stripMargin,
     "m_resize" ->
       s"""SELECT doc_id AS id,

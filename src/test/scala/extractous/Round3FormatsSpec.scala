@@ -1,0 +1,159 @@
+package extractous
+
+import extractous.core.Extract
+import extractous.gen.{CorpusGen, PptWriter, XlsWriter}
+import extractous.model.ExtractStatus
+import extractous.ocr.{Gif, GlyphFont, Tiff}
+import extractous.sniff.MimeSniffer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 format additions: legacy .xls/.ppt over CFB, GIF/TIFF codecs, and
+  * the unlabeled latin-1 / Shift-JIS charset rungs.
+  */
+class Round3FormatsSpec extends AnyFunSuite {
+
+  // ---- legacy .xls ----
+  test(".xls BIFF8 SST/LABELSST roundtrip (mini-stream and FAT paths)") {
+    val r = Extract(XlsWriter.xls(Seq("Document 7", "hello legacy sheet")))
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == "Document 7\nhello legacy sheet")
+    assert(r.contentType == "application/vnd.ms-excel")
+    val big = "cell content " * 500 // past the 4096 mini cutoff
+    val r2 = Extract(XlsWriter.xls(Seq("Head", big)))
+    assert(r2.status == ExtractStatus.Ok && r2.text == "Head\n" + big.trim)
+  }
+  test(".xls wide (UTF-16) SST strings survive") {
+    val r = Extract(XlsWriter.xls(Seq("Überschrift 日本", "ascii row")))
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == "Überschrift 日本\nascii row")
+  }
+  test(".xls corrupt LABELSST index fails the row, never wrong text") {
+    val bytes = XlsWriter.xls(Seq("a", "b"))
+    // find the LABELSST record (type 0x00fd) and point its isst out of range
+    val c = extractous.office.Cfb.parse(bytes)
+    val wb = c.stream("Workbook").get
+    var pos = 0
+    var labelAt = -1
+    while (pos + 4 <= wb.length && labelAt < 0) {
+      val typ = (wb(pos) & 0xff) | ((wb(pos + 1) & 0xff) << 8)
+      val len = (wb(pos + 2) & 0xff) | ((wb(pos + 3) & 0xff) << 8)
+      if (typ == 0x00fd) labelAt = pos
+      else pos += 4 + len
+    }
+    assert(labelAt > 0)
+    // isst lives at +4(header)+6 — corrupt it IN THE CONTAINER (stream data
+    // is a contiguous copy; find the byte pattern instead)
+    val mut = bytes.clone()
+    val probe = wb.slice(labelAt, labelAt + 14)
+    val at = (0 until mut.length - probe.length)
+      .find(i => probe.indices.forall(j => mut(i + j) == probe(j))).get
+    mut(at + 10) = 0x7f.toByte // isst -> huge
+    val r = Extract(mut)
+    assert(r.status == ExtractStatus.ExtractionFailed && r.text == "")
+  }
+
+  // ---- legacy .ppt ----
+  test(".ppt TextBytesAtom/TextCharsAtom walk (container descent)") {
+    val r = Extract(PptWriter.ppt(Seq("Document 9", "slide body text")))
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == "Document 9\nslide body text")
+    assert(r.contentType == "application/vnd.ms-powerpoint")
+  }
+  test(".ppt wide text (TextCharsAtom) survives") {
+    val r = Extract(PptWriter.ppt(Seq("Präsentation 第一", "ascii slide")))
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == "Präsentation 第一\nascii slide")
+  }
+  test("CFB with no known application stream is unsupported, not a crash") {
+    val bytes = extractous.gen.DocWriter.wrap("SomeOtherStream", Array.fill[Byte](64)(7))
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.UnsupportedFormat)
+  }
+
+  // ---- GIF ----
+  test("GIF LZW roundtrip is pixel-exact (incl. dictionary reset on big images)") {
+    for (lines <- Seq(Seq("x"), Seq("The quick brown fox", "jumps over 13 dogs!"),
+        Seq("A" * 40, "B" * 40, "C" * 40))) {
+      val g = GlyphFont.render(lines)
+      val g2 = Gif.decode(Gif.encode(g))
+      assert(g2.width == g.width && g2.height == g.height)
+      assert(g2.pixels.sameElements(g.pixels), s"GIF drift on $lines")
+    }
+  }
+  test("GIF sniffs and OCRs through the full pipeline") {
+    val img = Gif.encode(GlyphFont.render(Seq("GIF 77 scan")))
+    assert(MimeSniffer.sniff(img) == MimeSniffer.Gif)
+    val r = Extract(img, CorpusGen.flagshipConfig)
+    assert(r.status == ExtractStatus.Ok && r.text == "GIF 77 scan")
+  }
+  test("truncated/corrupt GIF fails the row") {
+    val img = Gif.encode(GlyphFont.render(Seq("t")))
+    val r = Extract(img.take(img.length / 2), CorpusGen.flagshipConfig)
+    assert(r.status == ExtractStatus.OcrFailed)
+  }
+
+  // ---- TIFF ----
+  test("TIFF roundtrip: uncompressed and PackBits, both pixel-exact") {
+    val g = GlyphFont.render(Seq("TIFF check line", "and another one"))
+    assert(Tiff.decode(Tiff.encode(g, packBits = false)).pixels.sameElements(g.pixels))
+    assert(Tiff.decode(Tiff.encode(g, packBits = true)).pixels.sameElements(g.pixels))
+  }
+  test("TIFF big-endian and 1-bit bilevel decode") {
+    val g = GlyphFont.render(Seq("MM order"))
+    // hand-build a big-endian 1-bit WhiteIsZero variant
+    val rowBytes = (g.width + 7) / 8
+    val data = new Array[Byte](rowBytes * g.height)
+    for (y <- 0 until g.height; x <- 0 until g.width)
+      if (g(x, y) != 0) data(y * rowBytes + x / 8) = (data(y * rowBytes + x / 8) | (1 << (7 - x % 8))).toByte
+    val nEntries = 8
+    val dataOff = 8 + 2 + nEntries * 12 + 4
+    val bb = java.nio.ByteBuffer.allocate(dataOff + data.length).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8).putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit =
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    def entryShort(tag: Int, value: Int): Unit = {
+      // SHORT inline value is left-justified in the 4-byte field
+      bb.putShort(tag.toShort).putShort(3).putInt(1).putShort(value.toShort).putShort(0)
+    }
+    entryShort(256, g.width); entryShort(257, g.height); entryShort(258, 1)
+    entryShort(259, 1); entryShort(262, 0) // WhiteIsZero: 1 = black
+    entry(273, 4, 1, dataOff); entryShort(278, g.height); entry(279, 4, 1, data.length)
+    bb.putInt(0); bb.put(data)
+    val dec = Tiff.decode(bb.array())
+    assert(dec.width == g.width && dec.height == g.height)
+    assert(dec.pixels.sameElements(g.pixels))
+  }
+  test("TIFF with unsupported compression fails cleanly") {
+    val g = GlyphFont.render(Seq("z"))
+    val enc = Tiff.encode(g)
+    // compression tag value offset: entry 4 (259) value at 8+2+3*12+8
+    val off = 8 + 2 + 3 * 12 + 8
+    enc(off) = 5 // LZW
+    val e = intercept[IllegalArgumentException] { Tiff.decode(enc) }
+    assert(e.getMessage.contains("compression"))
+  }
+
+  // ---- charset rungs ----
+  test("unlabeled ISO-8859-1 decodes on the cp1252 rung (superset, same bytes)") {
+    val payload = (CorpusGen.Latin1Prefix + "plain body").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = Extract(payload)
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == CorpusGen.Latin1Prefix + "plain body")
+    assert(r.metadata("Content-Type").head == "text/plain; charset=windows-1252")
+  }
+  test("unlabeled Shift-JIS detected by byte distribution and decoded") {
+    val payload = (CorpusGen.SjisPrefix + "ascii tail").getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    val r = Extract(payload)
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == CorpusGen.SjisPrefix + "ascii tail")
+    assert(r.metadata("Content-Type").head == "text/plain; charset=Shift_JIS")
+  }
+  test("SJIS detector: cp1252 text and short accidental pairs never qualify") {
+    val cp = (CorpusGen.Cp1252Prefix + "tail").getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    assert(!MimeSniffer.looksLikeShiftJis(cp))
+    // the corrupt-kind payload: one accidental pair, stays invalid (-2)
+    val corrupt = ("corrupt text document " * 4).getBytes("US-ASCII") ++ Array[Byte](0x81.toByte, 0x8d.toByte)
+    assert(!MimeSniffer.looksLikeShiftJis(corrupt))
+    assert(Extract(corrupt).status == ExtractStatus.InvalidUtf8)
+  }
+}
