@@ -307,8 +307,9 @@ object CorpusGen {
     */
   def videoPayload(id: Long): Array[Byte] = {
     val n = 1 + (id % 3).toInt
-    extractous.pipeline.Multimodal.VideoStub.encode(
-      (0 until n).map(j => Bmp.encode(GlyphFont.render(Seq(s"F$j $id")))))
+    val frames = (0 until n).map(j => Jpeg.encode(GlyphFont.render(Seq(s"F$j $id"))))
+    val g0 = GlyphFont.render(Seq(s"F0 $id"))
+    extractous.pipeline.Multimodal.Avi.encode(frames, g0.width, g0.height)
   }
 
   def audioPayload(id: Long): Array[Byte] =

@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * analogue of a `mapInPandas` decode stage: one iterator pass per partition,
   * decode in-JVM, emit typed rows — no shuffle, no driver collect).
   *
-  * Image decode (BMP/PNG headers + pixels) and resize are REAL (our own codecs)
-  * The video/audio containers are DETERMINISTIC SYNTHETIC STUBS — the real
-  * decoders (ffmpeg et al.) are not in this container; the container parsing,
-  * schema, partitioning and batch shape are the production-shaped parts.
+  * Image decode (BMP/PNG/JPEG/GIF/TIFF) and resize are REAL (our own codecs).
+  * Video is REAL MJPEG-in-AVI: a RIFF container walk (`hdrl`/`movi`/`00dc`)
+  * whose frames are baseline JPEGs decoded by [[extractous.ocr.Jpeg]] — no
+  * ffmpeg in this sandbox, but RIFF + MJPEG needs none. Audio is a real
+  * RIFF/WAVE PCM header codec.
   */
 object Multimodal {
 
@@ -58,33 +59,71 @@ object Multimodal {
     })
   }
 
-  // ---- synthetic video container ("GVID"): magic, i32 nFrames, then
-  // [i32 len][BMP frame bytes] * nFrames. Deterministic stub format. ----
-  object VideoStub {
-    val Magic = "GVID".getBytes("US-ASCII")
+  /** MJPEG-in-AVI: a real RIFF container — `RIFF('AVI ')` holding
+    * `LIST('hdrl')` with an `avih` main header and `LIST('movi')` with one
+    * `00dc` chunk per JPEG frame (the classic MJPEG layout every camera and
+    * ffmpeg emit). The walker is a plain RIFF chunk scan; frames decode with
+    * the in-repo baseline JPEG codec.
+    */
+  object Avi {
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
-    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(Magic)
-      val b4 = java.nio.ByteBuffer.allocate(4)
-      def i32(v: Int): Unit = { b4.clear(); b4.putInt(v); out.write(b4.array(), 0, 4) }
-      i32(frames.length)
-      frames.foreach { f => i32(f.length); out.write(f) }
-      out.toByteArray
+    def encode(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+        val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+        val bb = java.nio.ByteBuffer.allocate(8 + padded.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(fourcc(id)).putInt(payload.length).put(padded)
+        bb.array()
+      }
+      def list(typ: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(12 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(fourcc("LIST")).putInt(4 + body.length).put(fourcc(typ)).put(body)
+        bb.array()
+      }
+      val avih = {
+        val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(100000)          // usec per frame (10 fps)
+        bb.putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, flags (HASINDEX off)
+        bb.putInt(frames.length)   // total frames
+        bb.putInt(0).putInt(1)     // initial frames, streams
+        bb.putInt(0)               // suggested buffer
+        bb.putInt(width).putInt(height)
+        bb.putInt(0).putInt(0).putInt(0).putInt(0)
+        chunk("avih", bb.array())
+      }
+      val hdrl = list("hdrl", avih)
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("RIFF")).putInt(body.length).put(body)
+      bb.array()
     }
 
+    /** All `00dc`/`00db` frame payloads from the `movi` list, document order. */
     def decode(bytes: Array[Byte]): Seq[Array[Byte]] = {
-      require(bytes.length >= 8 && bytes.take(4).sameElements(Magic), "not a GVID container")
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      bb.position(4)
-      val n = bb.getInt
-      require(n >= 0 && n < 10000, "bad frame count")
-      (0 until n).map { _ =>
-        val len = bb.getInt
-        val f = new Array[Byte](len)
-        bb.get(f)
-        f
+      require(bytes.length >= 12 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI")
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = new String(bytes, pos, 4, "US-ASCII")
+          val len = bb.getInt(pos + 4)
+          require(len >= 0 && pos + 8 + len <= to, s"avi: chunk '$id' overruns container")
+          if (id == "LIST") {
+            val typ = new String(bytes, pos + 8, 4, "US-ASCII")
+            walk(pos + 12, pos + 8 + len, inMovi || typ == "movi")
+          } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+          }
+          pos += 8 + len + (len & 1) // chunks are word-aligned
+        }
       }
+      val riffEnd = 8 + bb.getInt(4)
+      require(riffEnd <= bytes.length, "avi: truncated RIFF payload")
+      walk(12, riffEnd, inMovi = false)
+      frames.result()
     }
   }
 
@@ -95,7 +134,7 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { case (id, bytes) =>
-      val frames = VideoStub.decode(bytes)
+      val frames = Avi.decode(bytes)
       val sampled = frames.indices.filter(_ % step == 0)
       val t = if (sampled.nonEmpty) GlyphTemplateOcr.recognize(frames(sampled.head), OcrConfig()) else ""
       VideoFrames(id, frames.length, sampled, t)

@@ -150,14 +150,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("video container roundtrip + frame sampling") {
+  test("MJPEG-in-AVI roundtrip + frame sampling") {
     val payload = CorpusGen.videoPayload(7) // 2 frames
-    val frames = Multimodal.VideoStub.decode(payload)
+    assert(new String(payload, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(payload, 8, 4, "US-ASCII") == "AVI ")
+    val frames = Multimodal.Avi.decode(payload)
     assert(frames.length == 2)
+    // every movi chunk is a real baseline JPEG our codec decodes
+    frames.foreach(f => assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8))
     import spark.implicits._
     val ds = spark.createDataset(Seq((7L, payload)))
     val out = Multimodal.frameSample(ds, 2).collect().head
     assert(out.n_frames == 2 && out.sampled_frames == Seq(0) && out.first_frame_text == "F0 7")
+  }
+
+  test("AVI walker: odd-length frames word-align, truncation fails cleanly") {
+    val f1 = Array.tabulate[Byte](33)(i => i.toByte) // odd length → pad byte
+    val f2 = Array.tabulate[Byte](8)(i => (100 + i).toByte)
+    val avi = Multimodal.Avi.encode(Seq(f1, f2), 16, 16)
+    val back = Multimodal.Avi.decode(avi)
+    assert(back.length == 2)
+    assert(back(0).sameElements(f1) && back(1).sameElements(f2))
+    intercept[Exception] { Multimodal.Avi.decode(avi.take(avi.length - 6)) }
   }
 
   test("audio WAV header roundtrip") {
