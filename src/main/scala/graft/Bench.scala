@@ -184,16 +184,31 @@ object Bench {
     def safePair(label: String)(f: => (Long, Double)): (Long, Double) =
       try f catch { case e: Throwable =>
         System.err.println(s"[bench] $label failed: ${e.getMessage}"); (1L, Double.MaxValue) }
-    // three tight (sequential, concurrent) pairs over the SAME slices; the
+    // N tight (sequential, concurrent) pairs over the SAME slices; the
     // HEADLINE is the median pair efficiency (the round-1 advice's standard:
-    // median, not best-of-N, against a pass/fail bar). Individual pairs swing
-    // with the host's minute-scale speed drift — every pair is logged.
-    val pairs = (1 to 3).map { i =>
-      val seq = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 1))
-      val par = safePair(s"exec-par-$i")(launchWorkers(4, smallCpus, concurrent = true, reps = 2))
-      System.err.println(f"[bench] pair$i seq=${seq._1}/${seq._2}%.1fs par=${par._1}/${par._2}%.1fs eff=${seq._2 / (4 * par._2)}%.3f")
+    // median, not best-of-N, against a pass/fail bar). BENCH_r02's pair log
+    // showed the host slowing ~2× across sustained pairs (seq 18.4s →
+    // 38-41s), so (a) the order inside each pair ALTERNATES — with monotone
+    // drift, seq-first pairs overestimate efficiency and par-first pairs
+    // underestimate it, and the median over alternating pairs centers — and
+    // (b) the default is 5 pairs, every one reported in the JSON so the
+    // spread is visible, not hidden behind one number.
+    val pairCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    val pairs = (1 to pairCount).map { i =>
+      val (seq, par) =
+        if (i % 2 == 1) {
+          val s = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 1))
+          val p = safePair(s"exec-par-$i")(launchWorkers(4, smallCpus, concurrent = true, reps = 2))
+          (s, p)
+        } else {
+          val p = safePair(s"exec-par-$i")(launchWorkers(4, smallCpus, concurrent = true, reps = 2))
+          val s = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 1))
+          (s, p)
+        }
+      System.err.println(f"[bench] pair$i(${if (i % 2 == 1) "seq-first" else "par-first"}) seq=${seq._1}/${seq._2}%.1fs par=${par._1}/${par._2}%.1fs eff=${seq._2 / (4 * par._2)}%.3f")
       (seq, par)
     }
+    val pairEffs = pairs.map { case (s, p) => s._2 / (4 * p._2) }
     val ((docsN, secsN), (docs4N, secs4N)) =
       pairs.sortBy { case (s, p) => s._2 / (4 * p._2) }.apply(pairs.size / 2)
     // full-machine deployment shape: 8 executors × 4 cores = all 32 cores
@@ -256,6 +271,7 @@ object Bench {
         s""""scaling":{"mode":"executor JVMs (k x local[$smallCpus] over disjoint day slices)",""" +
         s""""cores_n":$smallCpus,"cores_4n":$midCpus,"docs_per_sec_n":${"%.1f".format(tputSmall)},""" +
         s""""docs_per_sec_4n":${"%.1f".format(tputMid)},"efficiency":${"%.3f".format(efficiency)},""" +
+        s""""pair_efficiencies":[${pairEffs.map(e => "%.3f".format(e)).mkString(",")}],""" +
         s""""cores_full":$cpus,"docs_per_sec_full":${"%.1f".format(tputFullExec)},""" +
         s""""efficiency_n_to_full":${"%.3f".format(efficiencyExecFull)}},""" +
         s""""scaling_single_jvm":{"mode":"one JVM, local[k] threads, shared GC",""" +
