@@ -33,6 +33,11 @@ object ExplainDump {
       SparkEntry.queries("r_join")(spark, sf))
     dump("4. hash dedup (short-key shuffle)",
       Dedup.byHash(spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id"))
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    dump("5. IVF knn (narrow nearest_cells assignment + topk_by_score, no windows)",
+      extractous.pipeline.Similarity.ivfKnn(embs, embs.filter(col("vec_id") < 20), 5, 3))
+    dump("6. banded hyperplane LSH near-dup (band-key shuffle + verify joins)",
+      extractous.pipeline.Similarity.nearDupPairsLsh(embs, 0.99))
     spark.stop()
   }
 }
