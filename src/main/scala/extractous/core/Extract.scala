@@ -52,6 +52,9 @@ object Extract {
       case MimeSniffer.Html => HtmlExtractor.extract(bytes, cfg)
       case MimeSniffer.Xml => xmlDoc(bytes, cfg)
       case MimeSniffer.Rtf => extractous.rtf.RtfExtractor.extract(bytes, cfg)
+      case MimeSniffer.Eml => extractous.mail.MailExtractor.extract(bytes, cfg)
+      case MimeSniffer.Markdown => extractous.mail.MarkdownExtractor.extract(bytes, cfg)
+      case MimeSniffer.Epub => extractous.epub.EpubExtractor.extract(bytes, cfg)
       case MimeSniffer.Gzip =>
         // gzip-wrapped payload (common in crawls): inflate (bounded, bomb-safe)
         // and re-dispatch on the inner bytes; depth-capped

@@ -16,11 +16,12 @@ import java.sql.Timestamp
   *     `(doc_id, text, lang)` that is also expressible in ANSI SQL — which makes
   *     the flagship extraction queries DuckDB-oracle-checkable end-to-end.
   *
-  * Format mix (by `doc_id % 100`): 0-54 HTML; 55-60 plain UTF-8; 61 legacy
-  * .xls; 62 legacy .ppt; 63 unlabeled ISO-8859-1; 64 unlabeled Shift-JIS;
-  * 65-66 UTF-16LE; 67 UTF-16BE; 68-69 windows-1252; 70-81 digital PDF; 82-86
-  * DOCX; 87 .doc; 88 ODT; 89 ODP; 90-95 scanned image (BMP/PNG/JPEG/GIF/TIFF
-  * by doc_id % 5); 96-97 scanned PDF; 98 empty; 99 corrupt — FIXTURES.md §2.
+  * Format mix (by `doc_id % 100`): 0-51 HTML; 52 Markdown; 53 RFC-822 email;
+  * 54 EPUB; 55-60 plain UTF-8; 61 legacy .xls; 62 legacy .ppt; 63 unlabeled
+  * ISO-8859-1; 64 unlabeled Shift-JIS; 65-66 UTF-16LE; 67 UTF-16BE; 68-69
+  * windows-1252; 70-81 digital PDF; 82-86 DOCX; 87 .doc; 88 ODT; 89 ODP;
+  * 90-95 scanned image (BMP/PNG/JPEG/GIF/TIFF by doc_id % 5); 96-97 scanned
+  * PDF; 98 empty; 99 corrupt — FIXTURES.md §2.
   */
 object CorpusGen {
 
@@ -38,7 +39,10 @@ object CorpusGen {
 
   def kindOf(id: Long): String = {
     val m = (id % 100).toInt
-    if (m < 55) "html"
+    if (m < 52) "html"
+    else if (m < 53) "markdown"
+    else if (m < 54) "eml"
+    else if (m < 55) "epub"
     else if (m < 61) "plain"
     else if (m < 62) "xls"
     else if (m < 63) "ppt"
@@ -117,8 +121,50 @@ object CorpusGen {
     page.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Quoted-printable: '=' escaped, soft line breaks at ~70 chars placed so
+    * an escape sequence is never split — decodes back to the input exactly.
+    */
+  private def qp(s: String): String = {
+    val sb = new StringBuilder
+    var lineLen = 0
+    s.foreach { c =>
+      val tok = if (c == '=') "=3D" else c.toString
+      if (lineLen + tok.length > 70) { sb.append("=\r\n"); lineLen = 0 }
+      sb.append(tok); lineLen += tok.length
+    }
+    sb.toString
+  }
+
+  def mdPayload(id: Long, text: String): Array[Byte] =
+    (s"# Document $id\n\n$text\n\n- alpha $id\n- beta $id\n\n" +
+      s"[Link $id](https://example.com/$id) with `inline` and **bold** text\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Even ids: multipart/alternative with a quoted-printable text/plain part
+    * and a base64 text/html alternative. Odd ids: bare single-part message.
+    * Both extract to "Document <id>\n<text>".
+    */
+  def emlPayload(id: Long, text: String): Array[Byte] = {
+    val msg =
+      if (id % 2 == 0) {
+        val b = s"b$id"
+        s"From: crawler@example.com\r\nTo: archive@example.com\r\nSubject: Document $id\r\n" +
+          s"MIME-Version: 1.0\r\nContent-Type: multipart/alternative; boundary=\"$b\"\r\n\r\n" +
+          s"--$b\r\nContent-Type: text/plain; charset=utf-8\r\nContent-Transfer-Encoding: quoted-printable\r\n\r\n" +
+          qp(text) + s"\r\n--$b\r\nContent-Type: text/html\r\nContent-Transfer-Encoding: base64\r\n\r\n" +
+          java.util.Base64.getMimeEncoder.encodeToString(
+            s"<p>${htmlEsc(text)}</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8)) +
+          s"\r\n--$b--\r\n"
+      } else
+        s"From: crawler@example.com\r\nSubject: Document $id\r\n\r\n$text\r\n"
+    msg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   def payload(id: Long, text: String, lang: String): Array[Byte] = kindOf(id) match {
     case "html"  => htmlPayload(id, text, lang)
+    case "markdown" => mdPayload(id, text)
+    case "eml" => emlPayload(id, text)
+    case "epub" => EpubWriter.epub(s"Document $id", Seq(text), s"Second chapter $id", titleOf(id, lang))
     case "plain" => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     case "xls" => XlsWriter.xls(Seq(s"Document $id", text))
     case "ppt" => PptWriter.ppt(Seq(s"Document $id", text))
@@ -179,6 +225,9 @@ object CorpusGen {
     */
   def expectedText(id: Long, text: String, lang: String): String = kindOf(id) match {
     case "html"                  => s"Document $id\n${stopLine(lang)}\n$text"
+    case "markdown"              => s"Document $id\n$text\nalpha $id\nbeta $id\nLink $id with inline and bold text"
+    case "eml"                   => s"Document $id\n$text"
+    case "epub"                  => s"Document $id\n$text\nSecond chapter $id"
     case "plain"                 => text
     case "xls" | "ppt"           => s"Document $id\n$text"
     case "latin1"                => Latin1Prefix + text
@@ -200,6 +249,9 @@ object CorpusGen {
 
   def expectedContentType(id: Long): String = kindOf(id) match {
     case "html"                            => MimeSniffer.Html
+    case "markdown"                        => MimeSniffer.Markdown
+    case "eml"                             => MimeSniffer.Eml
+    case "epub"                            => MimeSniffer.Epub
     case "plain" | "latin1" | "sjis" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
     case "xls"                             => MimeSniffer.Xls
     case "ppt"                             => MimeSniffer.Ppt

@@ -371,6 +371,33 @@ object DocWriter {
   }
 }
 
+/** EPUB writer: zip with STORED `mimetype` first (like ODF), container.xml →
+  * OPF → two XHTML chapters. The chapters are stored in REVERSE order in the
+  * zip while the spine orders them forward — an extractor that walks entries
+  * instead of the spine emits them backwards and fails the oracle.
+  */
+object EpubWriter {
+  import DocxWriter.{xmlEsc, zip}
+
+  def epub(heading: String, paragraphs: Seq[String], secondChapter: String, title: String): Array[Byte] = {
+    val ch1 =
+      s"""<?xml version="1.0" encoding="UTF-8"?><html xmlns="http://www.w3.org/1999/xhtml"><body><h1>${xmlEsc(heading)}</h1>${paragraphs.map(p => s"<p>${xmlEsc(p)}</p>").mkString}</body></html>"""
+    val ch2 =
+      s"""<?xml version="1.0" encoding="UTF-8"?><html xmlns="http://www.w3.org/1999/xhtml"><body><p>${xmlEsc(secondChapter)}</p></body></html>"""
+    val container =
+      """<?xml version="1.0"?><container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container"><rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/></rootfiles></container>"""
+    val opf =
+      s"""<?xml version="1.0"?><package version="3.0" xmlns="http://www.idpf.org/2007/opf"><metadata xmlns:dc="http://purl.org/dc/elements/1.1/"><dc:title>${xmlEsc(title)}</dc:title></metadata><manifest><item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/><item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/></manifest><spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>"""
+    zip(Seq(
+      "mimetype" -> "application/epub+zip".getBytes("US-ASCII"),
+      "META-INF/container.xml" -> container.getBytes("UTF-8"),
+      "OEBPS/ch2.xhtml" -> ch2.getBytes("UTF-8"), // reversed on purpose
+      "OEBPS/ch1.xhtml" -> ch1.getBytes("UTF-8"),
+      "OEBPS/content.opf" -> opf.getBytes("UTF-8")),
+      storedNames = Set("mimetype"))
+  }
+}
+
 /** Legacy Excel-97 binary (.xls) writer: a CFB container holding a `Workbook`
   * stream in BIFF8 — globals BOF, SST with the shared strings, sheet BOF,
   * one LABELSST cell per string, EOFs. The subset every plain Excel-97 save

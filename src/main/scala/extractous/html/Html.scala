@@ -26,7 +26,9 @@ object HtmlTokenizer {
     * head metadata; office XML: cell type `t`). Values of other attributes are
     * skipped without allocation.
     */
-  val keptAttrs: Set[String] = Set("class", "id", "href", "name", "property", "content", "charset", "t")
+  val keptAttrs: Set[String] = Set("class", "id", "href", "name", "property", "content", "charset", "t",
+    // EPUB packaging attributes (container.xml rootfile + OPF manifest/spine)
+    "full-path", "idref")
 
   def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
     private var i = 0

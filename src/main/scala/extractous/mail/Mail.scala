@@ -1,0 +1,158 @@
+package extractous.mail
+
+import extractous.config.ExtractorConfig
+import extractous.model.{ExtractResult, ExtractStatus}
+import extractous.sniff.MimeSniffer
+import extractous.text.{TextEmitter, XmlEmitter}
+
+/** RFC-822 / MIME email (.eml) extraction — the reference covers email through
+  * Tika (/root/reference/README.md:14 "60+ formats"; crawls carry mailing-list
+  * archives). Scope: header block with folding, multipart bodies split on
+  * the declared boundary, Content-Transfer-Encoding 7bit/8bit/quoted-printable/
+  * base64, best-body selection (first text/plain part, else first text/html
+  * part's text, else the raw body). Subject emits as the first block;
+  * Subject/From/To land in metadata. Structural violations fail the row.
+  */
+object MailExtractor {
+  val Mime = "message/rfc822"
+
+  private def splitHeadersBody(s: String): (Map[String, String], String) = {
+    val norm = s.replace("\r\n", "\n")
+    val at = norm.indexOf("\n\n")
+    val (head, body) = if (at < 0) (norm, "") else (norm.substring(0, at), norm.substring(at + 2))
+    // unfold continuation lines, then split on first ':'
+    val unfolded = head.replaceAll("\n[ \t]+", " ")
+    val headers = unfolded.split("\n").iterator.flatMap { line =>
+      val c = line.indexOf(':')
+      if (c <= 0) None else Some(line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim)
+    }.toMap
+    (headers, body)
+  }
+
+  private def decodeBody(body: String, cte: String): String = cte.toLowerCase match {
+    case "base64" =>
+      new String(java.util.Base64.getMimeDecoder.decode(body), java.nio.charset.StandardCharsets.UTF_8)
+    case "quoted-printable" =>
+      val sb = new java.lang.StringBuilder(body.length)
+      val bytes = new java.io.ByteArrayOutputStream()
+      var i = 0
+      def flushBytes(): Unit = {
+        if (bytes.size > 0) { sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)); bytes.reset() }
+      }
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '=') {
+          if (i + 1 < body.length && body.charAt(i + 1) == '\n') i += 2 // soft break
+          else if (i + 2 < body.length) {
+            bytes.write(Integer.parseInt(body.substring(i + 1, i + 3), 16))
+            i += 3
+          } else throw new IllegalArgumentException("eml: truncated quoted-printable escape")
+        } else { flushBytes(); sb.append(c); i += 1 }
+      }
+      flushBytes()
+      sb.toString
+    case _ => body // 7bit / 8bit / binary
+  }
+
+  /** (headers, decoded text body) of the best body part. */
+  private def bestBody(headers: Map[String, String], body: String): String = {
+    val ct = headers.getOrElse("content-type", "text/plain")
+    if (ct.toLowerCase.startsWith("multipart/")) {
+      val b = "boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ct)
+        .getOrElse(throw new IllegalArgumentException("eml: multipart without boundary"))
+        .group(1)
+      val parts = body.split(java.util.regex.Pattern.quote("--" + b)).toSeq
+        .drop(1).takeWhile(p => !p.startsWith("--"))
+        .map(p => splitHeadersBody(p.dropWhile(c => c == '\n' || c == '\r')))
+      def partOf(typ: String) = parts.find(_._1.getOrElse("content-type", "").toLowerCase.startsWith(typ))
+      partOf("text/plain").orElse(partOf("text/html")) match {
+        case Some((ph, pb)) =>
+          val decoded = decodeBody(pb, ph.getOrElse("content-transfer-encoding", "7bit"))
+          if (ph.getOrElse("content-type", "").toLowerCase.startsWith("text/html"))
+            htmlText(decoded)
+          else decoded
+        case None => throw new IllegalArgumentException("eml: no text part in multipart body")
+      }
+    } else decodeBody(body, headers.getOrElse("content-transfer-encoding", "7bit"))
+  }
+
+  private def htmlText(s: String): String = {
+    def walk(n: extractous.html.HNode): String = n match {
+      case extractous.html.HText(t) => t
+      case e: extractous.html.HElem => e.children.map(walk).mkString(" ")
+    }
+    walk(extractous.html.HtmlDom.parse(s))
+  }
+
+  def extract(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
+    try {
+      val (headers, body) = splitHeadersBody(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val text = bestBody(headers, body)
+      val emitter = new TextEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength)
+      headers.get("subject").foreach { s =>
+        emitter.addBlock(s)
+        if (cfg.xmlOutput) xe.addElement("h1", s)
+      }
+      text.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { line =>
+        emitter.addBlock(line)
+        if (cfg.xmlOutput) xe.addElement("p", line)
+      }
+      val meta = Map("Content-Type" -> Seq(Mime)) ++
+        headers.get("subject").map("subject" -> Seq(_)) ++
+        headers.get("from").map("from" -> Seq(_)) ++
+        headers.get("to").map("to" -> Seq(_))
+      ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, Mime)
+    } catch {
+      case e: Exception =>
+        ExtractResult.fail(ExtractStatus.ExtractionFailed, s"eml: ${e.getMessage}", Mime)
+    }
+  }
+}
+
+/** Markdown text extraction: syntax stripped to the canonical block policy —
+  * headings/paragraphs/list items become blocks; emphasis, inline code,
+  * links ([text](url) keeps text), and code fences are unwrapped.
+  */
+object MarkdownExtractor {
+  val Mime = "text/markdown"
+
+  private val LinkRe = """\[([^\]]*)\]\([^)]*\)""".r
+
+  def stripInline(s: String): String = {
+    val noLinks = LinkRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    noLinks.replace("**", "").replace("__", "")
+      .replace("`", "").replace("*", "").trim
+  }
+
+  def extract(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val emitter = new TextEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength)
+    var inFence = false
+    s.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { raw =>
+      val line = raw.stripLineEnd
+      if (line.trim.startsWith("```")) inFence = !inFence
+      else if (inFence) { emitter.addBlock(line); if (cfg.xmlOutput) xe.addElement("pre", line) }
+      else {
+        val t = line.trim
+        if (t.startsWith("#")) {
+          val level = math.min(6, t.takeWhile(_ == '#').length)
+          val body = stripInline(t.dropWhile(_ == '#'))
+          emitter.addBlock(body)
+          if (cfg.xmlOutput) xe.addElement(s"h$level", body)
+        } else if (t.startsWith("- ") || t.startsWith("* ") || t.matches("""\d+\. .*""")) {
+          val body = stripInline(t.replaceFirst("""^([-*]|\d+\.) """, ""))
+          emitter.addBlock(body)
+          if (cfg.xmlOutput) xe.addElement("p", body)
+        } else if (t.nonEmpty) {
+          val body = stripInline(t)
+          emitter.addBlock(body)
+          if (cfg.xmlOutput) xe.addElement("p", body)
+        }
+      }
+    }
+    ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
+      Map("Content-Type" -> Seq(Mime)), Mime)
+  }
+}

@@ -17,6 +17,9 @@ object MimeSniffer {
   val Ods = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp = "application/vnd.oasis.opendocument.presentation"
   val Zip = "application/zip"
+  val Epub = "application/epub+zip"
+  val Eml = "message/rfc822"
+  val Markdown = "text/markdown"
   val Html = "text/html"
   val Xml = "application/xml"
   val Rtf = "application/rtf"
@@ -141,6 +144,7 @@ object MimeSniffer {
       if (zipContains(bytes, Odt, 256)) return Odt
       if (zipContains(bytes, Ods, 256)) return Ods
       if (zipContains(bytes, Odp, 256)) return Odp
+      if (zipContains(bytes, Epub, 256)) return Epub // EPUB stores mimetype first, like ODF
       if (zipContains(bytes, "word/")) return Docx
       if (zipContains(bytes, "xl/")) return Xlsx
       if (zipContains(bytes, "ppt/")) return Pptx
@@ -159,10 +163,34 @@ object MimeSniffer {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) return Plain
     if (looksLikeXml(bytes)) return Xml
     if (looksLikeHtml(bytes)) return Html
+    if (looksLikeEmail(bytes)) return Eml
+    if (looksLikeMarkdown(bytes)) return Markdown
     if (isValidUtf8(bytes)) return Plain
     if (looksLikeShiftJis(bytes)) return Plain
     if (looksLikeCp1252Text(bytes)) return Plain
     OctetStream
+  }
+
+  /** RFC-822 message: starts with a canonical trace/origin header AND carries
+    * a Subject header in the first KB — strict enough that prose never
+    * qualifies (prose does not start with "From: "/"Received: ").
+    */
+  def looksLikeEmail(bytes: Array[Byte]): Boolean = {
+    val head = new String(bytes, 0, math.min(1024, bytes.length), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val starts = Seq("From: ", "Return-Path: ", "Received: ", "Message-ID: ")
+    starts.exists(head.startsWith) &&
+      (head.startsWith("Subject: ") || head.contains("\nSubject: ") || head.contains("\r\nSubject: "))
+  }
+
+  /** Markdown: begins with an ATX heading ("# "), the shape every generated
+    * or hand-written document leads with. Deliberately narrow — ambiguous
+    * list-only fragments stay text/plain, which extracts identically.
+    */
+  def looksLikeMarkdown(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) i = 3
+    while (i < bytes.length && (bytes(i) == '\n' || bytes(i) == '\r')) i += 1
+    i + 1 < bytes.length && bytes(i) == '#' && (bytes(i + 1) == ' ' || bytes(i + 1) == '#')
   }
 
   /** Unlabeled Shift-JIS by byte distribution (the CJK rung of the charset

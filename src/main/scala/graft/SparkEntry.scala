@@ -36,7 +36,10 @@ object SparkEntry {
   /** Expected content_type per format-mix kind (single expression, embeddable). */
   private val sqlContentType: String =
     s"""CASE
-       |  WHEN $sqlKind < 55 THEN 'text/html'
+       |  WHEN $sqlKind < 52 THEN 'text/html'
+       |  WHEN $sqlKind = 52 THEN 'text/markdown'
+       |  WHEN $sqlKind = 53 THEN 'message/rfc822'
+       |  WHEN $sqlKind = 54 THEN 'application/epub+zip'
        |  WHEN $sqlKind = 61 THEN 'application/vnd.ms-excel'
        |  WHEN $sqlKind = 62 THEN 'application/vnd.ms-powerpoint'
        |  WHEN $sqlKind < 70 THEN 'text/plain'
@@ -325,6 +328,45 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_md" -> ((s, dir) => {
+      // Markdown syntax-strip over every doc (heading/list/link/emphasis/code)
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.mdPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_eml" -> ((s, dir) => {
+      // RFC-822: even ids multipart (QP plain + base64 html alt), odd ids
+      // single-part — both extract subject + body; subject rides metadata
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.emlPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"),
+          coalesce(try_element_at(try_element_at(col("r.metadata"), lit("subject")), lit(1)), lit("")).as("subject"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_epub" -> ((s, dir) => {
+      // EPUB: container.xml → OPF → spine-ordered XHTML chapters (zip stores
+      // them reversed — an entry-order walk fails this oracle)
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, extractous.gen.EpubWriter.epub(s"Document $id", Seq(text), s"Second chapter $id", CorpusGen.titleOf(id, "en")))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"),
+          coalesce(try_element_at(try_element_at(col("r.metadata"), lit("dc:title")), lit(1)), lit("")).as("title"))
         .orderBy(col("doc_id"))
     }),
     "x_encoding_utf16be" -> ((s, dir) => {
@@ -720,7 +762,10 @@ object SparkEntry {
     "x_extract" ->
       s"""SELECT $sqlUrl AS url,
          |CASE
-         |  WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |  WHEN $sqlKind < 52 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |  WHEN $sqlKind = 52 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'alpha ' || $sqlId || chr(10) || 'beta ' || $sqlId || chr(10) || 'Link ' || $sqlId || ' with inline and bold text'
+         |  WHEN $sqlKind = 53 THEN 'Document ' || $sqlId || chr(10) || text
+         |  WHEN $sqlKind = 54 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId
          |  WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
          |  WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |  WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
@@ -747,7 +792,7 @@ object SparkEntry {
     "x_metadata" ->
       s"""SELECT $sqlUrl AS url, 'Document ' || $sqlId || ' (' || lang || ')' AS title
          |FROM documents
-         |WHERE $sqlKind < 55 OR ($sqlKind >= 70 AND $sqlKind < 87)
+         |WHERE $sqlKind < 52 OR ($sqlKind >= 70 AND $sqlKind < 87)
          |ORDER BY url""".stripMargin,
     "x_truncate" ->
       s"""SELECT $sqlUrl AS url, substr(t, 1, 100) AS text,
@@ -765,7 +810,7 @@ object SparkEntry {
          | || '<h1>Document ' || $sqlId || '</h1>' || chr(10)
          | || '<p>' || $sqlStop || '</p>' || chr(10)
          | || '<p>' || text || '</p>' || chr(10) || '</doc>' AS xml
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "x_alltext" ->
       s"""SELECT $sqlUrl AS url,
          |'Document ' || $sqlId || ' (' || lang || ')' || chr(10)
@@ -773,7 +818,7 @@ object SparkEntry {
          | || 'Subscribe now limited offer click here' || chr(10)
          | || 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
          | || 'Copyright 2024 Example Corp Terms of Service Privacy' AS text
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "x_office_deleted" ->
       s"""SELECT $sqlUrl AS url,
          |'Document ' || $sqlId || chr(10) || text || chr(10) || 'DELETED ' || $sqlId
@@ -786,13 +831,19 @@ object SparkEntry {
          |FROM documents WHERE $sqlKind IN (98, 99) ORDER BY url""".stripMargin,
     "x_binaryfile" ->
       s"""SELECT doc_id,
-         |CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |CASE WHEN $sqlKind < 52 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |     WHEN $sqlKind = 52 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'alpha ' || $sqlId || chr(10) || 'beta ' || $sqlId || chr(10) || 'Link ' || $sqlId || ' with inline and bold text'
+         |     WHEN $sqlKind = 53 THEN 'Document ' || $sqlId || chr(10) || text
+         |     WHEN $sqlKind = 54 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId
          |     WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
          |     WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |     WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |     WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text
          |     ELSE text END AS text,
-         |CASE WHEN $sqlKind < 55 THEN 'text/html'
+         |CASE WHEN $sqlKind < 52 THEN 'text/html'
+         |     WHEN $sqlKind = 52 THEN 'text/markdown'
+         |     WHEN $sqlKind = 53 THEN 'message/rfc822'
+         |     WHEN $sqlKind = 54 THEN 'application/epub+zip'
          |     WHEN $sqlKind = 61 THEN 'application/vnd.ms-excel'
          |     WHEN $sqlKind = 62 THEN 'application/vnd.ms-powerpoint'
          |     ELSE 'text/plain' END AS content_type
@@ -808,7 +859,7 @@ object SparkEntry {
     "x_meta_ops" ->
       s"""SELECT $sqlUrl AS url, CAST(3 AS BIGINT) AS n_keys, CAST(1 AS BIGINT) AS has_desc,
          |'Synthetic page ' || $sqlId AS description
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "q_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |event_type, CAST(count(*) AS BIGINT) AS n
@@ -822,7 +873,7 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) ||
          |CASE lang WHEN 'de' THEN 'der die und nicht das' WHEN 'es' THEN 'el la los y no' WHEN 'fr' THEN 'le la les et ne' WHEN 'zh' THEN '? ? ? ? ?' ELSE 'the and of to in' END
          | || chr(10) || text AS text
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "x_doc" ->
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) ||
@@ -841,12 +892,29 @@ object SparkEntry {
          |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
          |'application/vnd.ms-powerpoint' AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_md" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text || chr(10) || 'alpha ' || $sqlId || chr(10) || 'beta ' || $sqlId || chr(10) || 'Link ' || $sqlId || ' with inline and bold text' AS text,
+         |'text/markdown' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_eml" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text AS text,
+         |'message/rfc822' AS content_type,
+         |'Document ' || $sqlId AS subject
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_epub" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId AS text,
+         |'application/epub+zip' AS content_type,
+         |'Document ' || $sqlId || ' (en)' AS title
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_encoding_utf16be" ->
       s"""SELECT $sqlUrl AS url,
          |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text AS text,
          |CAST(2 * length('Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text) AS BIGINT) AS n_utf16be_bytes,
          |CAST(strlen('Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text) AS BIGINT) AS n_utf8_bytes
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "x_odt" ->
       s"""SELECT doc_id, 'Document ' || $sqlId || chr(10) || text AS text,
          |'application/vnd.oasis.opendocument.text' AS content_type,
@@ -871,13 +939,16 @@ object SparkEntry {
          |ORDER BY url""".stripMargin,
     "x_version" ->
       s"""SELECT $sqlUrl AS url, 'extractous-spark/0.1.0' AS extractor_version
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "x_stream" ->
       s"""SELECT doc_id, t AS text,
          |CAST(ceil(strlen(t) / 64.0) AS BIGINT) AS n_chunks,
          |CAST(strlen(t) AS BIGINT) AS n_bytes
          |FROM (SELECT doc_id,
-         |  CASE WHEN $sqlKind < 55 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |  CASE WHEN $sqlKind < 52 THEN 'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text
+         |       WHEN $sqlKind = 52 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'alpha ' || $sqlId || chr(10) || 'beta ' || $sqlId || chr(10) || 'Link ' || $sqlId || ' with inline and bold text'
+         |       WHEN $sqlKind = 53 THEN 'Document ' || $sqlId || chr(10) || text
+         |       WHEN $sqlKind = 54 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId
          |       WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
          |       WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |       WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
@@ -1078,7 +1149,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_langid" ->
       s"""SELECT $sqlUrl AS url, lang AS pred_lang
-         |FROM documents WHERE $sqlKind < 55 ORDER BY url""".stripMargin,
+         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),

@@ -133,6 +133,50 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compression"))
   }
 
+  // ---- markdown / email / epub ----
+  test("markdown: syntax stripped to blocks, fences kept verbatim") {
+    val md = "# Title Here\n\nplain paragraph\n\n- item one\n- item two\n\n```\ncode line\n```\n\n[txt](http://x) `c` **b**\n"
+    val r = Extract(md.getBytes("UTF-8"))
+    assert(r.contentType == "text/markdown")
+    assert(r.text == "Title Here\nplain paragraph\nitem one\nitem two\ncode line\ntxt c b")
+  }
+  test("eml: multipart QP part preferred, subject first; single-part too") {
+    val even = Extract(CorpusGen.emlPayload(52, "body text here"))
+    assert(even.contentType == "message/rfc822")
+    assert(even.text == "Document 52\nbody text here")
+    assert(even.metadata("subject").head == "Document 52")
+    val odd = Extract(CorpusGen.emlPayload(53, "plain body"))
+    assert(odd.text == "Document 53\nplain body")
+  }
+  test("eml: QP soft breaks and = escapes decode exactly") {
+    val long = ("equation a=b " * 12).trim // forces =3D escapes + soft wraps
+    val r = Extract(CorpusGen.emlPayload(52, long))
+    assert(r.text == s"Document 52\n$long")
+  }
+  test("eml: base64 html part used when no text/plain alternative") {
+    val b64 = java.util.Base64.getMimeEncoder.encodeToString("<p>only html body</p>".getBytes("UTF-8"))
+    val msg = "From: a@b\r\nSubject: S\r\nContent-Type: multipart/alternative; boundary=\"XX\"\r\n\r\n" +
+      "--XX\r\nContent-Type: text/html\r\nContent-Transfer-Encoding: base64\r\n\r\n" + b64 + "\r\n--XX--\r\n"
+    val r = Extract(msg.getBytes("UTF-8"))
+    assert(r.status == ExtractStatus.Ok && r.text == "S\nonly html body")
+  }
+  test("epub: chapters emit in SPINE order despite reversed zip entry order") {
+    val bytes = extractous.gen.EpubWriter.epub("Document 5", Seq("first chapter text"), "Second chapter 5", "T5")
+    assert(MimeSniffer.sniff(bytes) == MimeSniffer.Epub)
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == "Document 5\nfirst chapter text\nSecond chapter 5")
+    assert(r.metadata("dc:title").head == "T5")
+  }
+  test("epub: missing container.xml fails the row") {
+    val bad = extractous.gen.DocxWriter.zip(Seq(
+      "mimetype" -> "application/epub+zip".getBytes("US-ASCII"),
+      "OEBPS/ch1.xhtml" -> "<html><body><p>x</p></body></html>".getBytes("UTF-8")),
+      Set("mimetype"))
+    val r = Extract(bad)
+    assert(r.status == ExtractStatus.ExtractionFailed && r.error.contains("container.xml"))
+  }
+
   // ---- charset rungs ----
   test("unlabeled ISO-8859-1 decodes on the cp1252 rung (superset, same bytes)") {
     val payload = (CorpusGen.Latin1Prefix + "plain body").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
