@@ -140,13 +140,14 @@ object CorpusGen {
       s"[Link $id](https://example.com/$id) with `inline` and **bold** text\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Even ids: multipart/alternative with a quoted-printable text/plain part
-    * and a base64 text/html alternative. Odd ids: bare single-part message.
-    * Both extract to "Document <id>\n<text>".
+  /** Alternating ids (by id/100, because ids ≡ k mod 100 share parity):
+    * multipart/alternative with a quoted-printable text/plain part and a
+    * base64 text/html alternative, vs a bare single-part message. Both
+    * extract to "Document <id>\n<text>".
     */
   def emlPayload(id: Long, text: String): Array[Byte] = {
     val msg =
-      if (id % 2 == 0) {
+      if ((id / 100) % 2 == 0) {
         val b = s"b$id"
         s"From: crawler@example.com\r\nTo: archive@example.com\r\nSubject: Document $id\r\n" +
           s"MIME-Version: 1.0\r\nContent-Type: multipart/alternative; boundary=\"$b\"\r\n\r\n" +
@@ -200,7 +201,9 @@ object CorpusGen {
         case 1 => Png.encode(g)
         case 2 => Jpeg.encode(g)
         case 3 => Gif.encode(g)
-        case _ => Tiff.encode(g, packBits = id % 2 == 0)
+        // id/100 parity: ids ≡ 94 mod 100 are all even, so id % 2 would pin
+        // one compression forever — this way both TIFF paths ride the corpus
+        case _ => Tiff.encode(g, packBits = (id / 100) % 2 == 0)
       }
     case "scanned_pdf" =>
       val g = GlyphFont.render(Seq(s"SCAN $id", text.take(20)))

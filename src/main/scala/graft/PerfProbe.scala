@@ -13,7 +13,13 @@ object PerfProbe {
     val text = (seed * fat).trim
     val kinds = Seq[(String, Array[Byte])](
       "html" -> CorpusGen.payload(0, text, "en"),
+      "markdown" -> CorpusGen.payload(52, text, "en"),
+      "eml" -> CorpusGen.payload(53, text, "en"), // id/100 even: multipart QP+base64
+      "epub" -> CorpusGen.payload(54, text, "en"),
       "plain" -> CorpusGen.payload(55, text, "en"),
+      "xls" -> CorpusGen.payload(61, text, "en"),
+      "ppt" -> CorpusGen.payload(62, text, "en"),
+      "sjis" -> CorpusGen.payload(64, text, "en"),
       "utf16" -> CorpusGen.payload(65, text, "en"),
       "cp1252" -> CorpusGen.payload(68, text, "en"),
       "pdf" -> CorpusGen.payload(70, text, "en"),
@@ -22,6 +28,8 @@ object PerfProbe {
       "odt" -> CorpusGen.payload(88, text, "en"),
       "bmp_ocr" -> CorpusGen.payload(90, text, "en"),
       "jpeg_ocr" -> CorpusGen.payload(92, text, "en"),
+      "gif_ocr" -> CorpusGen.payload(93, text, "en"),
+      "tiff_ocr" -> CorpusGen.payload(94, text, "en"), // id/100 even: PackBits
       "scanned_pdf" -> CorpusGen.payload(96, text, "en"))
     kinds.foreach { case (kind, payload) =>
       // warmup

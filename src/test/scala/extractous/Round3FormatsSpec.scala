@@ -145,8 +145,8 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(even.contentType == "message/rfc822")
     assert(even.text == "Document 52\nbody text here")
     assert(even.metadata("subject").head == "Document 52")
-    val odd = Extract(CorpusGen.emlPayload(53, "plain body"))
-    assert(odd.text == "Document 53\nplain body")
+    val single = Extract(CorpusGen.emlPayload(153, "plain body")) // id/100 odd → single-part
+    assert(single.text == "Document 153\nplain body")
   }
   test("eml: QP soft breaks and = escapes decode exactly") {
     val long = ("equation a=b " * 12).trim // forces =3D escapes + soft wraps
