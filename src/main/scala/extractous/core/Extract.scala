@@ -145,12 +145,15 @@ object Extract {
         if (s.nonEmpty && s.charAt(0) == '﻿') s = s.substring(1) // BOM
         (s, "UTF-8")
       } else if (MimeSniffer.looksLikeShiftJis(bytes))
-        // CJK rung: byte-distribution detection (must run BEFORE the cp1252
-        // catch-all, which would accept almost any byte). Unlabeled
+        // CJK rungs: byte-distribution detection (must run BEFORE the cp1252
+        // catch-all, which would accept almost any byte). SJIS before GBK —
+        // see looksLikeGbk for why the order disambiguates. Unlabeled
         // ISO-8859-1 deliberately lands on the windows-1252 rung below —
         // cp1252 is a superset of latin-1 on every printable byte, which is
         // why real detectors (ICU/Tika) label western 8-bit text cp1252.
         (new String(bytes, java.nio.charset.Charset.forName("Shift_JIS")), "Shift_JIS")
+      else if (MimeSniffer.looksLikeGbk(bytes))
+        (new String(bytes, java.nio.charset.Charset.forName("GBK")), "GBK")
       else
         (new String(bytes, java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
     plainDecoded(decoded, charset, cfg)

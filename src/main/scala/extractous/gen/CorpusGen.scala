@@ -17,7 +17,7 @@ import java.sql.Timestamp
   *     the flagship extraction queries DuckDB-oracle-checkable end-to-end.
   *
   * Format mix (by `doc_id % 100`): 0-51 HTML; 52 Markdown; 53 RFC-822 email;
-  * 54 EPUB; 55-60 plain UTF-8; 61 legacy .xls; 62 legacy .ppt; 63 unlabeled
+  * 54 EPUB; 55-59 plain UTF-8; 60 unlabeled GBK; 61 legacy .xls; 62 legacy .ppt; 63 unlabeled
   * ISO-8859-1; 64 unlabeled Shift-JIS; 65-66 UTF-16LE; 67 UTF-16BE; 68-69
   * windows-1252; 70-81 digital PDF; 82-86 DOCX; 87 .doc; 88 ODT; 89 ODP;
   * 90-95 scanned image (BMP/PNG/JPEG/GIF/TIFF by doc_id % 5); 96-97 scanned
@@ -43,7 +43,8 @@ object CorpusGen {
     else if (m < 53) "markdown"
     else if (m < 54) "eml"
     else if (m < 55) "epub"
-    else if (m < 61) "plain"
+    else if (m < 60) "plain"
+    else if (m < 61) "gbk"
     else if (m < 62) "xls"
     else if (m < 63) "ppt"
     else if (m < 64) "latin1"
@@ -81,6 +82,13 @@ object CorpusGen {
     * the pure-ASCII seed text.
     */
   val SjisPrefix = "こんにちは日本語 "
+
+  /** Lead-in for the unlabeled GBK rows: 7 hanzi whose GBK lead bytes sit in
+    * Shift-JIS's single-byte katakana range — the payload is structurally
+    * valid SJIS with ZERO pairs, so it falls through the SJIS rung (pair
+    * minimum) and the GBK rung catches it. Order-dependence by design.
+    */
+  val GbkPrefix = "中文语料库处理 "
 
   /** Host-skewed url: host-0 carries ~50% of pages (Zipf-ish head), the rest
     * spread over host-1..host-9 — exercises the salted-repartition path.
@@ -173,6 +181,8 @@ object CorpusGen {
       (Latin1Prefix + text).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     case "sjis" =>
       (SjisPrefix + text).getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    case "gbk" =>
+      (GbkPrefix + text).getBytes(java.nio.charset.Charset.forName("GBK"))
     case "utf16le" =>
       Array[Byte](0xff.toByte, 0xfe.toByte) ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
     case "utf16be" =>
@@ -235,6 +245,7 @@ object CorpusGen {
     case "xls" | "ppt"           => s"Document $id\n$text"
     case "latin1"                => Latin1Prefix + text
     case "sjis"                  => SjisPrefix + text
+    case "gbk"                   => GbkPrefix + text
     case "utf16le" | "utf16be"   => text
     case "cp1252"                => Cp1252Prefix + text
     case "pdf"                   => s"Document $id\n$text" + (if (id % 3 == 0) s"\nNote $id" else "")
@@ -255,7 +266,7 @@ object CorpusGen {
     case "markdown"                        => MimeSniffer.Markdown
     case "eml"                             => MimeSniffer.Eml
     case "epub"                            => MimeSniffer.Epub
-    case "plain" | "latin1" | "sjis" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
+    case "plain" | "latin1" | "sjis" | "gbk" | "utf16le" | "utf16be" | "cp1252" => MimeSniffer.Plain
     case "xls"                             => MimeSniffer.Xls
     case "ppt"                             => MimeSniffer.Ppt
     case "pdf"                             => MimeSniffer.Pdf

@@ -167,6 +167,7 @@ object MimeSniffer {
     if (looksLikeMarkdown(bytes)) return Markdown
     if (isValidUtf8(bytes)) return Plain
     if (looksLikeShiftJis(bytes)) return Plain
+    if (looksLikeGbk(bytes)) return Plain
     if (looksLikeCp1252Text(bytes)) return Plain
     OctetStream
   }
@@ -213,6 +214,32 @@ object MimeSniffer {
         if (i + 1 >= bytes.length) return false
         val t = bytes(i + 1) & 0xff
         if ((t >= 0x40 && t <= 0x7e) || (t >= 0x80 && t <= 0xfc)) { pairs += 1; i += 2 }
+        else return false
+      } else return false
+    }
+    pairs >= 4
+  }
+
+  /** Unlabeled GBK, checked AFTER Shift-JIS: every high byte must open a
+    * valid GBK pair (lead 0x81-0xFE, trail 0x40-0xFE except 0x7F) and ≥ 4
+    * pairs must be present. Order matters and disambiguates: Japanese SJIS
+    * text passes the SJIS structural check first; Chinese GBK text falls
+    * THROUGH it because common hanzi leads (0xB0-0xF7) sit in SJIS's
+    * single-byte katakana range (0xA1-0xDF) or its invalid-lead range
+    * (0xF0+), leaving SJIS with < 4 pairs. cp1252 never qualifies (isolated
+    * accents are followed by ASCII below 0x40); the corrupt 0x81,0x8D
+    * payload has 1 pair and stays invalid-UTF-8.
+    */
+  def looksLikeGbk(bytes: Array[Byte]): Boolean = {
+    var pairs = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) i += 1
+      else if (b >= 0x81 && b <= 0xfe) {
+        if (i + 1 >= bytes.length) return false
+        val t = bytes(i + 1) & 0xff
+        if (t >= 0x40 && t <= 0xfe && t != 0x7f) { pairs += 1; i += 2 }
         else return false
       } else return false
     }

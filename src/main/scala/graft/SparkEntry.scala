@@ -31,6 +31,7 @@ object SparkEntry {
   private val cp1252Prefix = CorpusGen.Cp1252Prefix
   private val latin1Prefix = CorpusGen.Latin1Prefix
   private val sjisPrefix = CorpusGen.SjisPrefix
+  private val gbkPrefix = CorpusGen.GbkPrefix
   private val sqlImageFormat =
     "CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'tiff' END"
   /** Expected content_type per format-mix kind (single expression, embeddable). */
@@ -768,6 +769,7 @@ object SparkEntry {
          |  WHEN $sqlKind = 54 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId
          |  WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
          |  WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
+         |  WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
          |  WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |  WHEN $sqlKind < 68 THEN text
          |  WHEN $sqlKind < 70 THEN '$cp1252Prefix' || text
@@ -798,7 +800,9 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url, substr(t, 1, 100) AS text,
          |CAST(length(substr(t, 1, 100)) AS BIGINT) AS n_chars
          |FROM (SELECT doc_id,
-         |  CASE WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
+         |  CASE WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
+         |       WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
+         |       WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |       WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |       WHEN $sqlKind >= 68 AND $sqlKind < 70 THEN '$cp1252Prefix' || text
          |       ELSE text END AS t
@@ -836,6 +840,7 @@ object SparkEntry {
          |     WHEN $sqlKind = 53 THEN 'Document ' || $sqlId || chr(10) || text
          |     WHEN $sqlKind = 54 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId
          |     WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
+         |     WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
          |     WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |     WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |     WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text
@@ -927,7 +932,8 @@ object SparkEntry {
     "x_charset" ->
       s"""SELECT $sqlUrl AS url,
          |'text/plain; charset=' || CASE
-         |  WHEN $sqlKind < 61 THEN 'UTF-8'
+         |  WHEN $sqlKind < 60 THEN 'UTF-8'
+         |  WHEN $sqlKind = 60 THEN 'GBK'
          |  WHEN $sqlKind = 63 THEN 'windows-1252'
          |  WHEN $sqlKind = 64 THEN 'Shift_JIS'
          |  WHEN $sqlKind < 67 THEN 'UTF-16LE'
@@ -950,6 +956,7 @@ object SparkEntry {
          |       WHEN $sqlKind = 53 THEN 'Document ' || $sqlId || chr(10) || text
          |       WHEN $sqlKind = 54 THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Second chapter ' || $sqlId
          |       WHEN $sqlKind IN (61, 62) THEN 'Document ' || $sqlId || chr(10) || text
+         |       WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
          |       WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |       WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |       WHEN $sqlKind >= 68 THEN '$cp1252Prefix' || text

@@ -40,7 +40,7 @@ class GoldenSpec extends AnyFunSuite {
   test("every format kind appears in the golden corpus") {
     val kinds = rows.map(r => CorpusGen.kindOf(r._1)).toSet
     assert(kinds == Set("html", "markdown", "eml", "epub", "plain",
-      "xls", "ppt", "latin1", "sjis",
+      "gbk", "xls", "ppt", "latin1", "sjis",
       "utf16le", "utf16be", "cp1252", "pdf", "docx",
       "doc", "odt", "odp", "image", "scanned_pdf", "empty", "corrupt"))
   }

@@ -192,6 +192,19 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(r.text == CorpusGen.SjisPrefix + "ascii tail")
     assert(r.metadata("Content-Type").head == "text/plain; charset=Shift_JIS")
   }
+  test("unlabeled GBK detected after SJIS falls through (hanzi leads = katakana singles)") {
+    val payload = (CorpusGen.GbkPrefix + "ascii tail").getBytes(java.nio.charset.Charset.forName("GBK"))
+    // structurally valid SJIS (all katakana singles) but zero pairs → not SJIS
+    assert(!MimeSniffer.looksLikeShiftJis(payload))
+    assert(MimeSniffer.looksLikeGbk(payload))
+    val r = Extract(payload)
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == CorpusGen.GbkPrefix + "ascii tail")
+    assert(r.metadata("Content-Type").head == "text/plain; charset=GBK")
+    // and the SJIS doc still classifies SJIS (order dependence, not overlap)
+    val sjis = (CorpusGen.SjisPrefix + "t").getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    assert(MimeSniffer.looksLikeShiftJis(sjis))
+  }
   test("SJIS detector: cp1252 text and short accidental pairs never qualify") {
     val cp = (CorpusGen.Cp1252Prefix + "tail").getBytes(java.nio.charset.Charset.forName("windows-1252"))
     assert(!MimeSniffer.looksLikeShiftJis(cp))
