@@ -140,6 +140,92 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components in O(log n) ROUNDS — the alternating large-star /
+    * small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the scale path for adversarial component
+    * diameters where [[clusters]]' min-label propagation would need
+    * O(diameter) rounds:
+    *
+    *   large-star(u): m = min(N(u) ∪ {u}); for every neighbor v > u emit
+    *     edge (v, m) — strictly-larger neighbors re-hang under the local min;
+    *   small-star(u): over edges oriented high→low, m = min(N≤(u) ∪ {u});
+    *     re-hang u and its ≤-neighbors under m.
+    *
+    * Each phase is one groupBy + join on long pairs (same shuffle shape as a
+    * [[clusters]] round); the alternation contracts every component to a
+    * star centered at its minimum in O(log n) alternations. Convergence =
+    * the edge set reaches a fixpoint (count + order-free hash compare);
+    * `localCheckpoint` truncates lineage per round like [[clusters]].
+    *
+    * Returns `(id, cluster_id)` for every id — identical contract to
+    * [[clusters]]; the equivalence is asserted in PipelineSpec on both the
+    * corpus pair set and a deep path graph that min-label cannot finish.
+    */
+  def clustersLargeSmallStar(pairs: DataFrame, ids: DataFrame, idCol: String = "id",
+      maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .union(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // order-free fixpoint check: count + xor-fold of edge hashes (xor never
+      // overflows — ANSI mode rejects a sum() fold)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // m(u) = min over N(u) ∪ {u}
+      val m = e.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      e.join(m, "u")
+        .filter(col("v") > col("u")) // larger neighbors re-hang under m
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(e.join(m, "u").filter(col("v") > col("u"))
+          .select(col("m").as("u"), col("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient high → low: keep (h, l) with l < h
+      val oriented = e.filter(col("v") < col("u"))
+      val m = oriented.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      val hung = oriented.join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(oriented.join(m, "u").select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      hung.select(col("a").as("u"), col("b").as("v"))
+        .union(hung.select(col("b").as("u"), col("a").as("v")))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      converged = nsig == sig
+      sig = nsig
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersLargeSmallStar: no fixpoint in $maxIters alternations (O(log n) expected)")
+    // fixpoint = stars centered at component minima: root(v) = min neighbor
+    val roots = edges.groupBy(col("u")).agg(min(col("v")).as("r"))
+      .select(col("u").as("nid"), least(col("r"), col("u")).as("root"))
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(roots, col("id") === col("nid"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+  }
+
   /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of the
     * sum over tokens of ±1 by bit i of hash(token). Imperative custom
     * expression (extractous.spark.SimHashExpr) — narrow, allocation-free.

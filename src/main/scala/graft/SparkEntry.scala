@@ -663,6 +663,16 @@ object SparkEntry {
         .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
         .orderBy(col("doc_id"))
     }),
+    "d_clusters_star" -> ((s, dir) => {
+      // same contract as d_clusters via the O(log n)-round large-star /
+      // small-star alternation — the scale path for components whose diameter
+      // exceeds what min-label propagation can traverse in its round budget
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.8)
+      Dedup.clustersLargeSmallStar(pairs, d, idCol = "doc_id")
+        .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     "d_neardup_cosine" -> ((s, dir) => {
       // banded multi-table hyperplane LSH (16 bands × 12 bits — NOT the O(n²)
       // self-join, NOT the old single-table bucket): planted scaled copies
@@ -1057,6 +1067,21 @@ object SparkEntry {
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "d_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.8
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d_clusters_star" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

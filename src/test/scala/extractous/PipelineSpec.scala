@@ -119,6 +119,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 1L), "whole chain must collapse to cluster 1")
   }
 
+  test("large-star/small-star: deep path graph converges in O(log n) alternations") {
+    import spark.implicits._
+    // a 200-node path: min-label propagation needs ~199 rounds (would throw
+    // at maxIters=25); the star alternation finishes inside 25
+    val n = 200L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clustersLargeSmallStar(pairs, ids).as[(Long, Long)].collect()
+    assert(out.length == 200 && out.forall(_._2 == 1L))
+    intercept[IllegalStateException] { Dedup.clusters(pairs, ids, maxIters = 25) }
+  }
+
+  test("large-star/small-star ≡ min-label clusters on random graphs + singletons") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ids = (1L to 60L).toDF("id")
+    val pairs = (1 to 50).map(_ => (1L + rnd.nextInt(60), 1L + rnd.nextInt(60)))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val a = Dedup.clusters(pairs, ids).as[(Long, Long)].collect().toMap
+    val b = Dedup.clustersLargeSmallStar(pairs, ids).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("clusters: non-convergence raises instead of silently splitting components") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("id")
