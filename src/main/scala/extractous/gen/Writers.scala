@@ -371,6 +371,143 @@ object DocWriter {
   }
 }
 
+/** General multi-stream CFB writer — the shell for .msg fixtures (several
+  * root-level property streams in one container). Real MS-CFB: single FAT
+  * sector, multi-sector directory chain, miniFAT + root mini-stream for
+  * streams under the 4096 cutoff, regular FAT chains above it. Streams are
+  * linked root→child→right-sibling (a legal, if degenerate, red-black tree).
+  */
+object CfbWriter {
+  private val SectorSize = 512
+  private val Free = 0xffffffff
+  private val Eoc = 0xfffffffe
+  private val FatSect = 0xfffffffd
+
+  def multi(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val nDir = 1 + streams.length
+    val dirSectors = (nDir * 128 + SectorSize - 1) / SectorSize
+    val isMini: ((String, Array[Byte])) => Boolean = _._2.length < 4096
+    val miniSectorsOf = (b: Array[Byte]) => (b.length + 63) / 64
+    val miniTotal = streams.filter(isMini).map(s => miniSectorsOf(s._2) * 64).sum
+    val useMini = miniTotal > 0
+    val miniContainerSectors = (miniTotal + SectorSize - 1) / SectorSize
+
+    val firstDir = 1
+    val miniFatSector = firstDir + dirSectors // only meaningful if useMini
+    val firstMiniData = miniFatSector + 1
+    val firstBig = if (useMini) firstMiniData + miniContainerSectors else firstDir + dirSectors
+    val bigSizes = streams.map(s => if (isMini(s)) 0 else (s._2.length + SectorSize - 1) / SectorSize)
+    val totalSectors = firstBig + bigSizes.sum
+    require(totalSectors <= SectorSize / 4, "cfb writer: single FAT sector exceeded")
+    require(miniTotal / 64 <= SectorSize / 4, "cfb writer: single miniFAT sector exceeded")
+
+    val out = new Array[Byte]((totalSectors + 1) * SectorSize)
+    val ob = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    // ---- header ----
+    ob.put(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    ob.putShort(0x18, 0x003e)
+    ob.putShort(0x1a, 0x0003)
+    ob.putShort(0x1c, 0xfffe.toShort)
+    ob.putShort(0x1e, 9)
+    ob.putShort(0x20, 6)
+    ob.putInt(0x2c, 1)
+    ob.putInt(0x30, firstDir)
+    ob.putInt(0x38, 4096)
+    ob.putInt(0x3c, if (useMini) miniFatSector else Eoc)
+    ob.putInt(0x40, if (useMini) 1 else 0)
+    ob.putInt(0x44, Eoc)
+    ob.putInt(0x48, 0)
+    ob.putInt(0x4c, 0)
+    (1 until 109).foreach(i => ob.putInt(0x4c + i * 4, Free))
+
+    def sectorOff(s: Int) = (s + 1) * SectorSize
+
+    // ---- FAT (sector 0) ----
+    val fatOff = sectorOff(0)
+    (0 until SectorSize / 4).foreach(i => ob.putInt(fatOff + i * 4, Free))
+    ob.putInt(fatOff, FatSect)
+    (0 until dirSectors).foreach { i =>
+      ob.putInt(fatOff + (firstDir + i) * 4, if (i == dirSectors - 1) Eoc else firstDir + i + 1)
+    }
+    if (useMini) {
+      ob.putInt(fatOff + miniFatSector * 4, Eoc)
+      (0 until miniContainerSectors).foreach { i =>
+        ob.putInt(fatOff + (firstMiniData + i) * 4,
+          if (i == miniContainerSectors - 1) Eoc else firstMiniData + i + 1)
+      }
+    }
+    var bigCursor = firstBig
+    streams.zip(bigSizes).foreach { case (_, n) =>
+      (0 until n).foreach { i =>
+        ob.putInt(fatOff + (bigCursor + i) * 4, if (i == n - 1) Eoc else bigCursor + i + 1)
+      }
+      bigCursor += n
+    }
+
+    // ---- directory ----
+    def dirEntry(idx: Int, name: String, objType: Int, start: Int, size: Long,
+        child: Int, right: Int): Unit = {
+      val base = sectorOff(firstDir) + idx * 128
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      require(nameBytes.length <= 62, s"cfb writer: name too long: $name")
+      System.arraycopy(nameBytes, 0, out, base, nameBytes.length)
+      ob.putShort(base + 64, ((name.length + 1) * 2).toShort)
+      out(base + 66) = objType.toByte
+      out(base + 67) = 1 // black
+      ob.putInt(base + 68, Free)  // left sibling
+      ob.putInt(base + 72, right) // right sibling
+      ob.putInt(base + 76, child)
+      ob.putInt(base + 116, start)
+      ob.putLong(base + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5,
+      if (useMini) firstMiniData else Eoc, miniTotal.toLong,
+      child = if (streams.nonEmpty) 1 else Free, right = Free)
+
+    // ---- stream data + per-stream start sectors ----
+    var miniIdx = 0   // running mini-sector index inside the mini stream
+    var bigSector = firstBig
+    val mfOff = sectorOff(miniFatSector)
+    if (useMini) (0 until SectorSize / 4).foreach(i => ob.putInt(mfOff + i * 4, Free))
+    streams.zipWithIndex.foreach { case ((name, data), k) =>
+      val right = if (k == streams.length - 1) Free else k + 2
+      if (isMini((name, data))) {
+        val n = miniSectorsOf(data)
+        (0 until n).foreach { i =>
+          ob.putInt(mfOff + (miniIdx + i) * 4, if (i == n - 1) Eoc else miniIdx + i + 1)
+        }
+        System.arraycopy(data, 0, out, sectorOff(firstMiniData) + miniIdx * 64, data.length)
+        dirEntry(k + 1, name, 2, miniIdx, data.length.toLong, child = Free, right = right)
+        miniIdx += n
+      } else {
+        System.arraycopy(data, 0, out, sectorOff(bigSector), data.length)
+        dirEntry(k + 1, name, 2, bigSector, data.length.toLong, child = Free, right = right)
+        bigSector += (data.length + SectorSize - 1) / SectorSize
+      }
+    }
+    out
+  }
+}
+
+/** Outlook MSG (MS-OXMSG) fixture writer: root-level `__substg1.0_PPPPTTTT`
+  * property streams — subject 0x0037, sender name 0x0C1A, plain-text body
+  * 0x1000 — typed 001F (UTF-16LE) or 001E (windows-1252). The two on-disk
+  * variants every real Outlook save produces for text properties.
+  */
+object MsgWriter {
+  def msg(subject: String, sender: String, body: String, unicode: Boolean): Array[Byte] = {
+    def enc(s: String): Array[Byte] =
+      if (unicode) s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      else s.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val t = if (unicode) "001F" else "001E"
+    CfbWriter.multi(Seq(
+      s"__substg1.0_0037$t" -> enc(subject),
+      s"__substg1.0_0C1A$t" -> enc(sender),
+      s"__substg1.0_1000$t" -> enc(body)))
+  }
+}
+
 /** EPUB writer: zip with STORED `mimetype` first (like ODF), container.xml →
   * OPF → two XHTML chapters. The chapters are stored in REVERSE order in the
   * zip while the spine orders them forward — an extractor that walks entries

@@ -29,8 +29,58 @@ object CfbExtractor {
     if (has("WordDocument")) DocExtractor.extract(container, cfg)
     else if (has("Workbook") || has("Book")) XlsExtractor.extract(container, cfg)
     else if (has("PowerPoint Document")) PptExtractor.extract(container, cfg)
+    else if (container.dir.exists(e => e.objType == 2 && e.name.startsWith("__substg1.0_")) ||
+             container.dir.exists(e => e.name.equalsIgnoreCase("__properties_version1.0")))
+      MsgExtractor.extract(container, cfg)
     else ExtractResult.fail(ExtractStatus.UnsupportedFormat,
-      "cfb: no known application stream (.doc/.xls/.ppt)", DocExtractor.CfbMime)
+      "cfb: no known application stream (.doc/.xls/.ppt/.msg)", DocExtractor.CfbMime)
+  }
+}
+
+/** Outlook MSG (MS-OXMSG): the mail properties live in root-level
+  * `__substg1.0_PPPPTTTT` streams, one per property — PPPP is the MAPI
+  * property id (subject 0x0037, sender name 0x0C1A, plain-text body 0x1000),
+  * TTTT the type (001F = UTF-16LE, 001E = 8-bit code page, cp1252 here).
+  * Emitted in reading order: subject, sender, body. Unknown property types
+  * and attachments/recipient substorages are skipped structurally; a .msg
+  * with none of the three text properties fails the row with a status.
+  */
+object MsgExtractor {
+  val Mime = "application/vnd.ms-outlook"
+
+  def extract(container: Cfb.Container, cfg: ExtractorConfig): ExtractResult = {
+    try {
+      def prop(pid: String): Option[String] =
+        container.dir.collectFirst {
+          case e if e.objType == 2 &&
+              e.name.toUpperCase.startsWith(s"__SUBSTG1.0_$pid") &&
+              (e.name.toUpperCase.endsWith("001F") || e.name.toUpperCase.endsWith("001E")) =>
+            val raw = container.stream(e.name).getOrElse(Array.emptyByteArray)
+            if (e.name.toUpperCase.endsWith("001F"))
+              new String(raw, java.nio.charset.StandardCharsets.UTF_16LE)
+            else new String(raw, java.nio.charset.Charset.forName("windows-1252"))
+        }
+      val subject = prop("0037")
+      val sender = prop("0C1A")
+      val body = prop("1000")
+      val parts = Seq(subject, sender, body).flatten
+      if (parts.isEmpty)
+        return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
+          "msg: no subject/sender/body property streams", Mime)
+      val emitter = new TextEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength)
+      parts.iterator.takeWhile(_ => !emitter.isFull).foreach { p =>
+        emitter.addBlock(p)
+        if (cfg.xmlOutput) xe.addElement("p", p)
+      }
+      val meta = Map("Content-Type" -> Seq(Mime)) ++
+        subject.map(s => "subject" -> Seq(s)) ++
+        sender.map(s => "message:from-name" -> Seq(s))
+      ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "", meta, Mime)
+    } catch {
+      case e: Exception =>
+        ExtractResult.fail(ExtractStatus.ExtractionFailed, s"msg: ${e.getMessage}", Mime)
+    }
   }
 }
 

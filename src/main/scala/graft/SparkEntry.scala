@@ -331,6 +331,24 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("doc_id"))
     }),
+    "x_msg" -> ((s, dir) => {
+      // Outlook .msg (MS-OXMSG property streams over CFB): variant alternates
+      // UTF-16LE (001F) vs cp1252 (001E) properties by id/100 parity (ids ≡ k
+      // mod 100 share id%2 parity — see the tiff note); every third doc
+      // fattened past the mini cutoff to exercise the regular-chain path
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = if (id % 3 == 0) (text + " ") * 20 else text
+          (id, extractous.gen.MsgWriter.msg(
+            s"Document $id", s"Sender $id", body, unicode = (id / 100) % 2 == 0))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
     "x_md" -> ((s, dir) => {
       // Markdown syntax-strip over every doc (heading/list/link/emphasis/code)
       import s.implicits._
@@ -906,6 +924,12 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) ||
          |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
          |'application/vnd.ms-powerpoint' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_msg" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || 'Sender ' || $sqlId || chr(10) ||
+         |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
+         |'application/vnd.ms-outlook' AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_md" ->
       s"""SELECT doc_id,

@@ -70,6 +70,40 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(r.status == ExtractStatus.UnsupportedFormat)
   }
 
+  // ---- Outlook .msg ----
+  test(".msg unicode (001F) and ansi (001E) property streams extract subject/sender/body") {
+    for (uni <- Seq(true, false)) {
+      val r = Extract(extractous.gen.MsgWriter.msg("Document 3", "Sender 3", "mail body café", uni))
+      assert(r.status == ExtractStatus.Ok, r.error)
+      assert(r.text == "Document 3\nSender 3\nmail body café")
+      assert(r.contentType == "application/vnd.ms-outlook")
+      assert(r.metadata("subject") == Seq("Document 3"))
+    }
+  }
+  test(".msg body past the mini cutoff takes the regular FAT chain") {
+    val big = ("mail paragraph " * 400).trim // > 4096 bytes, > 8192 as UTF-16
+    val r = Extract(extractous.gen.MsgWriter.msg("S", "F", big, unicode = true))
+    assert(r.status == ExtractStatus.Ok && r.text == s"S\nF\n$big")
+  }
+  test(".msg with no text property streams fails the row, never wrong text") {
+    val bytes = extractous.gen.CfbWriter.multi(Seq(
+      "__substg1.0_30070040" -> Array.fill[Byte](8)(1), // PT_SYSTIME — not text
+      "__properties_version1.0" -> Array.fill[Byte](32)(0)))
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.UnsupportedFormat && r.text == "")
+  }
+  test("CfbWriter.multi containers re-parse with every stream byte-identical") {
+    val streams = Seq(
+      "small" -> Array.tabulate[Byte](100)(_.toByte),
+      "exact64" -> Array.tabulate[Byte](64)(i => (i * 3).toByte),
+      "big" -> Array.tabulate[Byte](9000)(i => (i * 7).toByte),
+      "empty-ish" -> Array[Byte](42))
+    val c = extractous.office.Cfb.parse(extractous.gen.CfbWriter.multi(streams))
+    streams.foreach { case (name, data) =>
+      assert(c.stream(name).get.toSeq == data.toSeq, name)
+    }
+  }
+
   // ---- GIF ----
   test("GIF LZW roundtrip is pixel-exact (incl. dictionary reset on big images)") {
     for (lines <- Seq(Seq("x"), Seq("The quick brown fox", "jumps over 13 dogs!"),
