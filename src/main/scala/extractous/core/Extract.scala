@@ -41,7 +41,7 @@ object Extract {
   private def dispatch(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr): ExtractResult =
     dispatch(bytes, cfg, ocr, depth = 0)
 
-  private def dispatch(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+  private[core] def dispatch(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
     // Empty/null fast path: empty text, non-null metadata, status OK
     // (/root/reference/extractor.go:457-459, integration_test.go:317-339).
     if (bytes == null || bytes.isEmpty)
@@ -73,9 +73,11 @@ object Extract {
         }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
-      case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx | MimeSniffer.Zip |
+      case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx |
                 MimeSniffer.Odt | MimeSniffer.Ods | MimeSniffer.Odp) =>
         OfficeExtractor.extract(bytes, m, cfg)
+      case MimeSniffer.Zip => ArchiveExtractor.zip(bytes, cfg, ocr, depth)
+      case MimeSniffer.Tar => ArchiveExtractor.tar(bytes, cfg, ocr, depth)
       case MimeSniffer.Cfb => extractous.office.CfbExtractor.extract(bytes, cfg)
       case m @ (MimeSniffer.Bmp | MimeSniffer.Png | MimeSniffer.Jpeg |
                 MimeSniffer.Gif | MimeSniffer.Tiff) => image(bytes, m, cfg, ocr)

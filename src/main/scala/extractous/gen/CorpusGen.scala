@@ -368,6 +368,26 @@ object CorpusGen {
     } else corrupt
   }
 
+  /** Archive-recursion payload (x_archive): a 3-member archive — an HTML
+    * page, a plain-text note, and a gzip-wrapped text (nested wrapper, depth
+    * 2) — as ZIP or ustar TAR by id/100 parity (ids ≡ k mod 100 share id%2
+    * parity). Expected text is the members' extractions concatenated in
+    * archive order, all closed-form.
+    */
+  def archivePayload(id: Long, text: String, lang: String): Array[Byte] = {
+    val gz = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)); g.close()
+      bos.toByteArray
+    }
+    val members = Seq(
+      "page.html" -> htmlPayload(id, text, lang),
+      "note.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "extra.txt.gz" -> gz)
+    if ((id / 100) % 2 == 0) DocxWriter.zip(members) else TarWriter.tar(members)
+  }
+
   /** Synthetic multimodal payloads — pure functions of doc_id so expectations
     * stay SQL-expressible (see pipeline.Multimodal for the container formats).
     */

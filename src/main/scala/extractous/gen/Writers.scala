@@ -490,6 +490,42 @@ object CfbWriter {
   }
 }
 
+/** ustar (POSIX.1-1988) TAR writer: 512-byte headers with octal size/mtime,
+  * correct checksum (field-as-spaces sum), data padded to 512, two zero
+  * blocks at the end — the shape every `tar cf` produces for regular files.
+  */
+object TarWriter {
+  def tar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      def put(s: String, off: Int): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      require(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII).length < 100, "tar name too long")
+      put(name, 0)
+      put("0000644", 100)              // mode
+      put("0000000", 108)              // uid
+      put("0000000", 116)              // gid
+      put(f"${data.length}%011o", 124) // size (11 octal digits + NUL)
+      put("00000000000", 136)          // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces while summing
+      h(156) = '0'                     // typeflag: regular file
+      put("ustar", 257); h(262) = 0    // magic
+      put("00", 263)                   // version
+      var sum = 0L
+      (0 until 512).foreach(i => sum += h(i) & 0xff)
+      put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive marker
+    out.toByteArray
+  }
+}
+
 /** Outlook MSG (MS-OXMSG) fixture writer: root-level `__substg1.0_PPPPTTTT`
   * property streams — subject 0x0037, sender name 0x0C1A, plain-text body
   * 0x1000 — typed 001F (UTF-16LE) or 001E (windows-1252). The two on-disk

@@ -17,6 +17,7 @@ object MimeSniffer {
   val Ods = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp = "application/vnd.oasis.opendocument.presentation"
   val Zip = "application/zip"
+  val Tar = "application/x-tar"
   val Epub = "application/epub+zip"
   val Eml = "message/rfc822"
   val Markdown = "text/markdown"
@@ -136,6 +137,11 @@ object MimeSniffer {
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
         (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0 && (bytes(4) & 0xff) == 0xa1 &&
         (bytes(5) & 0xff) == 0xb1 && (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0xe1) return Cfb
+    // ustar TAR: magic at offset 257 — checked before any prefix heuristic
+    // because the header BEGINS with the first member's filename, which could
+    // otherwise collide with a prefix rung (a member named "BM…", "GIF87a…")
+    if (bytes.length >= 262 && (0 until 5).forall(i => bytes(257 + i) == "ustar".charAt(i).toByte))
+      return Tar
     if (startsWith(bytes, 0, "PK")) {
       // ODF stores its `mimetype` entry uncompressed first, so the document
       // type is readable as raw bytes right after the local file header

@@ -331,6 +331,20 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("doc_id"))
     }),
+    "x_archive" -> ((s, dir) => {
+      // archive recursion (Tika-style): ZIP / ustar TAR members re-enter the
+      // full sniff→dispatch pipeline in archive order; the 3rd member is a
+      // gzip-wrapped text (nested wrapper, recursion depth 2). Container
+      // alternates zip/tar by id/100 parity.
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+        .map { case (id, text, lang) => (id, CorpusGen.archivePayload(id, text, lang)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
     "x_msg" -> ((s, dir) => {
       // Outlook .msg (MS-OXMSG property streams over CFB): variant alternates
       // UTF-16LE (001F) vs cp1252 (001E) properties by id/100 parity (ids ≡ k
@@ -924,6 +938,12 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) ||
          |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
          |'application/vnd.ms-powerpoint' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_archive" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
+         | || text || chr(10) || text AS text,
+         |CASE WHEN (doc_id // 100) % 2 = 0 THEN 'application/zip' ELSE 'application/x-tar' END AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_msg" ->
       s"""SELECT doc_id,

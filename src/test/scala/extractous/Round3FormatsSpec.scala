@@ -92,6 +92,52 @@ class Round3FormatsSpec extends AnyFunSuite {
     val r = Extract(bytes)
     assert(r.status == ExtractStatus.UnsupportedFormat && r.text == "")
   }
+  // ---- archive recursion (zip / ustar tar) ----
+  test("zip archive recurses members in order: html + txt + nested gzip") {
+    val html = CorpusGen.htmlPayload(7, "spec body text", "en")
+    val gz = { val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b); g.write("zipped note".getBytes("UTF-8")); g.close(); b.toByteArray }
+    val bytes = extractous.gen.DocxWriter.zip(Seq(
+      "a.html" -> html, "b.txt" -> "plain note".getBytes("UTF-8"), "c.txt.gz" -> gz))
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "Document 7\nthe and of to in\nspec body text\nplain note\nzipped note")
+    assert(r.contentType == "application/zip")
+    assert(r.metadata("zip:member-count") == Seq("3"))
+  }
+  test("ustar tar walks headers with checksum verification; tar.gz nests through gzip") {
+    val tar = extractous.gen.TarWriter.tar(Seq(
+      "one.txt" -> "first member".getBytes("UTF-8"),
+      "two.txt" -> "second member".getBytes("UTF-8")))
+    assert(MimeSniffer.sniff(tar) == "application/x-tar")
+    val r = Extract(tar)
+    assert(r.status == ExtractStatus.Ok && r.text == "first member\nsecond member")
+    assert(r.contentType == "application/x-tar")
+    val tgz = { val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b); g.write(tar); g.close(); b.toByteArray }
+    val r2 = Extract(tgz)
+    assert(r2.status == ExtractStatus.Ok && r2.text == "first member\nsecond member")
+  }
+  test("corrupt tar (flipped checksum byte) fails the row, never wrong text") {
+    val tar = extractous.gen.TarWriter.tar(Seq("a.txt" -> "x".getBytes("UTF-8")))
+    val mut = tar.clone(); mut(0) = 'Z'.toByte // name change breaks the stored checksum
+    val r = Extract(mut)
+    assert(r.status == ExtractStatus.ExtractionFailed && r.text == "")
+  }
+  test("archive whose members all fail extracts nothing and fails the row") {
+    val junk = Array.tabulate[Byte](64)(i => ((i * 89 + 3) % 251).toByte)
+    val bytes = extractous.gen.DocxWriter.zip(Seq("blob.bin" -> junk))
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.ExtractionFailed && r.text == "")
+    assert(r.error.contains("zip member 'blob.bin'"))
+  }
+  test("archive nesting past the depth cap fails the member, not the executor") {
+    var inner = extractous.gen.TarWriter.tar(Seq("leaf.txt" -> "deep".getBytes("UTF-8")))
+    (1 to 4).foreach { _ => inner = extractous.gen.TarWriter.tar(Seq("wrap.tar" -> inner)) }
+    val r = Extract(inner)
+    assert(r.status != ExtractStatus.Ok && r.text == "")
+  }
+
   test("CfbWriter.multi containers re-parse with every stream byte-identical") {
     val streams = Seq(
       "small" -> Array.tabulate[Byte](100)(_.toByte),
