@@ -388,6 +388,32 @@ object CorpusGen {
     if ((id / 100) % 2 == 0) DocxWriter.zip(members) else TarWriter.tar(members)
   }
 
+  /** Delimited-text payload (x_csv): CSV vs TSV by id/100 parity; the first
+    * data cell is quoted with an embedded delimiter and a doubled quote (the
+    * RFC 4180 corners), so a naive line-split parser fails the oracle.
+    * Expected text for BOTH variants: `title body` then
+    * `Document $id, part "A" $text` (cells joined by single spaces).
+    */
+  def csvPayload(id: Long, text: String): Array[Byte] = {
+    val s =
+      if ((id / 100) % 2 == 0)
+        s"title,body\r\n\"Document $id, part \"\"A\"\"\",$text\r\n"
+      else
+        s"title\tbody\nDocument $id, part \"A\"\t$text\n"
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Unix mbox payload (x_mbox): two messages behind `From ` envelope lines;
+    * the second body carries a `>From`-stuffed line the reader must unstuff.
+    */
+  def mboxPayload(id: Long, text: String): Array[Byte] = {
+    (s"From crawler@example.com Thu Jan  1 00:00:00 2026\n" +
+      s"From: crawler@example.com\nSubject: Document $id\n\n$text\n" +
+      s"From archiver@example.com Thu Jan  1 00:00:01 2026\n" +
+      s"From: archiver@example.com\nSubject: Re: Document $id\n\n$text\n" +
+      s">From the archive of $id\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Synthetic multimodal payloads — pure functions of doc_id so expectations
     * stay SQL-expressible (see pipeline.Multimodal for the container formats).
     */

@@ -18,6 +18,8 @@ object MimeSniffer {
   val Odp = "application/vnd.oasis.opendocument.presentation"
   val Zip = "application/zip"
   val Tar = "application/x-tar"
+  val Csv = "text/csv"
+  val Mbox = "application/mbox"
   val Epub = "application/epub+zip"
   val Eml = "message/rfc822"
   val Markdown = "text/markdown"
@@ -169,9 +171,16 @@ object MimeSniffer {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) return Plain
     if (looksLikeXml(bytes)) return Xml
     if (looksLikeHtml(bytes)) return Html
+    if (extractous.mail.MboxExtractor.looksLikeMbox(bytes)) return Mbox
     if (looksLikeEmail(bytes)) return Eml
     if (looksLikeMarkdown(bytes)) return Markdown
-    if (isValidUtf8(bytes)) return Plain
+    if (isValidUtf8(bytes)) {
+      // delimited-text subtype of plain (Tika's TextAndCSVParser shape):
+      // uniform out-of-quote delimiter count across sampled lines
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      if (extractous.mail.CsvExtractor.looksLikeDelimited(s)) return Csv
+      return Plain
+    }
     if (looksLikeShiftJis(bytes)) return Plain
     if (looksLikeGbk(bytes)) return Plain
     if (looksLikeCp1252Text(bytes)) return Plain

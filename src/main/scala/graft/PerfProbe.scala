@@ -30,7 +30,10 @@ object PerfProbe {
       "jpeg_ocr" -> CorpusGen.payload(92, text, "en"),
       "gif_ocr" -> CorpusGen.payload(93, text, "en"),
       "tiff_ocr" -> CorpusGen.payload(94, text, "en"), // id/100 even: PackBits
-      "scanned_pdf" -> CorpusGen.payload(96, text, "en"))
+      "scanned_pdf" -> CorpusGen.payload(96, text, "en"),
+      "msg" -> extractous.gen.MsgWriter.msg("Subject 1", "Sender 1", text, unicode = true),
+      "zip_archive" -> CorpusGen.archivePayload(0, text, "en"),
+      "tar_archive" -> CorpusGen.archivePayload(100, text, "en"))
     kinds.foreach { case (kind, payload) =>
       // warmup
       (1 to 200).foreach(_ => Extract(payload, CorpusGen.flagshipConfig))

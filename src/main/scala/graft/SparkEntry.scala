@@ -331,6 +331,30 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("doc_id"))
     }),
+    "x_csv" -> ((s, dir) => {
+      // delimited text (RFC 4180): CSV vs TSV variant by id/100 parity; the
+      // quoted first cell embeds the delimiter and a doubled quote
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.csvPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_mbox" -> ((s, dir) => {
+      // Unix mbox: two messages split on `From ` envelope lines, second body
+      // carries a >From-stuffed line that must be unstuffed
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.mboxPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
     "x_archive" -> ((s, dir) => {
       // archive recursion (Tika-style): ZIP / ustar TAR members re-enter the
       // full sniff→dispatch pipeline in archive order; the 3rd member is a
@@ -938,6 +962,18 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) ||
          |CASE WHEN doc_id % 3 = 0 THEN rtrim(repeat(text || ' ', 20)) ELSE text END AS text,
          |'application/vnd.ms-powerpoint' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_csv" ->
+      s"""SELECT doc_id,
+         |'title body' || chr(10) || 'Document ' || $sqlId || ', part "A" ' || text AS text,
+         |'text/csv' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mbox" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text || chr(10)
+         | || 'Re: Document ' || $sqlId || chr(10) || text || chr(10)
+         | || 'From the archive of ' || $sqlId AS text,
+         |'application/mbox' AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_archive" ->
       s"""SELECT doc_id,

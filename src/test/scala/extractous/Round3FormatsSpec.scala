@@ -138,6 +138,36 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(r.status != ExtractStatus.Ok && r.text == "")
   }
 
+  // ---- delimited text (csv/tsv) + mbox ----
+  test("csv: quoted cells with embedded delimiter, doubled quotes, and spanning newlines") {
+    val csv = "a,b\r\n\"x, y\",\"say \"\"hi\"\"\"\r\n\"line1\nline2\",last\r\n".getBytes("UTF-8")
+    assert(MimeSniffer.sniff(csv) == "text/csv")
+    val r = Extract(csv)
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "a b\nx, y say \"hi\"\nline1 line2 last")
+    assert(r.metadata("csv:delimiter") == Seq(","))
+  }
+  test("tsv detected by uniform tab count; prose with commas stays plain") {
+    val tsv = "col1\tcol2\nv1\tv2\n".getBytes("UTF-8")
+    assert(MimeSniffer.sniff(tsv) == "text/csv")
+    assert(Extract(tsv).text == "col1 col2\nv1 v2")
+    val prose = "hello, world, again\ngoodbye now\n".getBytes("UTF-8") // non-uniform commas
+    assert(MimeSniffer.sniff(prose) == "text/plain")
+    val single = "one line, with commas".getBytes("UTF-8") // < 2 lines
+    assert(MimeSniffer.sniff(single) == "text/plain")
+  }
+  test("mbox: two messages split on envelope lines, >From unstuffed") {
+    val r = Extract(CorpusGen.mboxPayload(5, "body text"))
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "Document 5\nbody text\nRe: Document 5\nbody text\nFrom the archive of 5")
+    assert(r.contentType == "application/mbox")
+    assert(r.metadata("mbox:message-count") == Seq("2"))
+  }
+  test("mbox requires a header line after the envelope; bare 'From ' prose stays plain") {
+    val prose = "From a certain point of view\nthe story changes\n".getBytes("UTF-8")
+    assert(MimeSniffer.sniff(prose) == "text/plain")
+  }
+
   test("CfbWriter.multi containers re-parse with every stream byte-identical") {
     val streams = Seq(
       "small" -> Array.tabulate[Byte](100)(_.toByte),
