@@ -29,6 +29,35 @@ object Dedup {
     df.groupBy(md5(col(keyCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
 
+  /** CCNet/RefinedWeb-style repeated-line removal: drop every line whose
+    * EXACT text occurs more than `maxOccurrences` times across the corpus —
+    * the standard line-level boilerplate filter (nav bars, cookie banners,
+    * shared footers survive per-document boilerplate stripping but repeat
+    * across pages; genuine content lines do not).
+    *
+    * Scale shape: lines explode as a narrow transform; the count aggregates
+    * on `xxhash64(line)` (8-byte shuffle key, never the line text); kept
+    * lines reassemble per document with a sort_array over (pos, line) —
+    * one aggregate exchange on the id. Hash collisions at 64 bits are
+    * ~n²/2⁶⁵ — at 10^12 lines that is ~3% of one false drop corpus-wide,
+    * and a collision only ever REMOVES a line (conservative for training
+    * data). Returns `(id, text)` with surviving lines in original order.
+    */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+      .withColumn("lh", xxhash64(col("line")))
+    val hot = lines.groupBy(col("lh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxOccurrences)
+      .select(col("lh"))
+    lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("text"))
+  }
+
   /** Distinct word n-gram shingles of a single-space-tokenized text column. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = split(trim(textCol), "\\s+")

@@ -719,6 +719,18 @@ object SparkEntry {
         .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
         .orderBy(col("doc_id"))
     }),
+    "d_dedup_lines" -> ((s, dir) => {
+      // CCNet/RefinedWeb line-level boilerplate removal over the REAL
+      // extraction output: the per-language stopword line repeats across
+      // every html page of that language (> 2 occurrences ⇒ dropped); the
+      // title and content lines are unique and survive in order
+      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
+        .filter(col("content_type") === "text/html")
+        .select(col("url"), col("text"))
+        .transform(d => Dedup.dropRepeatedLines(d, "url", "text", maxOccurrences = 2))
+        .select(col("id").as("url"), col("text"))
+        .orderBy(col("url"))
+    }),
     "d_clusters_star" -> ((s, dir) => {
       // same contract as d_clusters via the O(log n)-round large-star /
       // small-star alternation — the scale path for components whose diameter
@@ -1161,6 +1173,20 @@ object SparkEntry {
          |)
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d_dedup_lines" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $sqlUrl AS url, $sqlStop AS stop, text FROM documents WHERE $sqlKind < 52
+         |), lines AS (
+         |  SELECT url, 1 AS pos, 'Document ' || $sqlId AS line FROM h
+         |  UNION ALL SELECT url, 2, stop FROM h
+         |  UNION ALL SELECT url, 3, text FROM h
+         |), counts AS (
+         |  SELECT line, count(*) AS c FROM lines GROUP BY line
+         |)
+         |SELECT url, string_agg(line, chr(10) ORDER BY pos) AS text
+         |FROM lines JOIN counts USING (line)
+         |WHERE c <= 2
+         |GROUP BY url ORDER BY url""".stripMargin,
     "d_clusters_star" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
          |p AS (
