@@ -29,6 +29,40 @@ object Dedup {
     df.groupBy(md5(col(keyCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
 
+  /** Canonical-URL normalization — crawl pipelines dedup re-fetches of the
+    * same resource behind URL variation: case-insensitive scheme/host,
+    * default ports (:80 http / :443 https), trailing path slashes, fragments,
+    * and tracking query params (utm_*, fbclid, gclid, msclkid). Pure
+    * codegen'd expression chain (regexp + array HOFs), narrow per-row; a URL
+    * without a scheme passes through unchanged.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rest = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)$", 1)
+    val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(q, "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)=") || p === lit("")))
+    val query = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
+  /** URL-level dedup: group on the canonical form, keep the min id. The
+    * canonical string is short (shuffle-key-sized); at extreme scale swap the
+    * group key for `xxhash64(canonical)` like [[byHash]].
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.withColumn("canonical_url", normalizeUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
+
   /** CCNet/RefinedWeb-style repeated-line removal: drop every line whose
     * EXACT text occurs more than `maxOccurrences` times across the corpus —
     * the standard line-level boilerplate filter (nav bars, cookie banners,

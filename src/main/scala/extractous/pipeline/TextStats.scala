@@ -59,6 +59,27 @@ object TextStats {
     (nt >= 5 && nt <= 100000 && punctCount(c) * 10 <= nc && nc >= 20).cast("int")
   }
 
+  /** PII scrubbing — the standard pre-training redaction pass (emails, phone
+    * numbers, IPv4 addresses → typed placeholders). Pure codegen'd
+    * regexp_replace chain, narrow per-row; patterns are deliberately
+    * word-boundary-anchored so prose hyphens/dots don't false-positive. The
+    * DuckDB oracle mirrors the same three patterns 1:1.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "(?:\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailRe, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "[PHONE]")
+    regexp_replace(noPhone, Ipv4Re, "[IP]")
+  }
+
+  /** Count of PII hits by kind, for pipeline metrics (same patterns). */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))),
+     size(regexp_extract_all(regexp_replace(c, EmailRe, " "), lit(PhoneRe), lit(0))),
+     size(regexp_extract_all(c, lit(Ipv4Re), lit(0))))
+
   /** Polynomial rolling-hash fingerprint over characters:
     * h = fold(h * 31 + codepoint) mod 1e9+7 — implementable identically in any
     * SQL engine with higher-order list functions (the DuckDB oracle mirrors it).

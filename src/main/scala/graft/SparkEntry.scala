@@ -791,6 +791,35 @@ object SparkEntry {
         .select(col("url"), TextStats.predLang(col("text")).as("pred_lang"))
         .orderBy(col("url"))
     }),
+    "t_pii" -> ((s, dir) => {
+      // PII scrubbing (emails / phones / IPv4 → typed placeholders): the
+      // input plants one of each after the seed text in closed form, so the
+      // oracle is the redacted string — over-redaction of the seed text would
+      // mismatch just as surely as a missed hit
+      val d = docs(s, dir)
+      val raw = concat(col("text"), lit(" contact doc"), col("doc_id"),
+        lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256)),
+        lit(".1 call (555) 123-4567"))
+      val (ne, np, ni) = TextStats.piiCounts(raw)
+      d.select(col("doc_id"), TextStats.scrubPii(raw).as("text"),
+          ne.cast("long").as("n_email"), np.cast("long").as("n_phone"), ni.cast("long").as("n_ip"))
+        .orderBy(col("doc_id"))
+    }),
+    "d_dedup_url" -> ((s, dir) => {
+      // canonical-URL dedup: two variants of every resource — mixed-case
+      // host + default port + trailing slash + tracking params + fragment —
+      // must collapse to ONE canonical group of size 2
+      val d = docs(s, dir).select(col("doc_id"))
+      val a = d.select(col("doc_id").as("id"),
+        concat(lit("https://Host-"), pmod(col("doc_id"), lit(9)), lit(".Example/path"),
+          col("doc_id"), lit("/?utm_source=x&q="), col("doc_id"), lit("#frag")).as("url"))
+      val b = d.select((col("doc_id") + 100000).as("id"),
+        concat(lit("https://host-"), pmod(col("doc_id"), lit(9)), lit(".example:443/path"),
+          col("doc_id"), lit("?q="), col("doc_id")).as("url"))
+      Dedup.dedupByUrl(a.union(b), "url", "id")
+        .select(col("canonical_url"), col("keep_id").cast("long"), col("cnt").cast("long"))
+        .orderBy(col("canonical_url"))
+    }),
     "t_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))
@@ -1288,6 +1317,16 @@ object SparkEntry {
     "t_langid" ->
       s"""SELECT $sqlUrl AS url, lang AS pred_lang
          |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
+    "t_pii" ->
+      s"""SELECT doc_id,
+         |text || ' contact [EMAIL] or [IP] call [PHONE]' AS text,
+         |CAST(1 AS BIGINT) AS n_email, CAST(1 AS BIGINT) AS n_phone, CAST(1 AS BIGINT) AS n_ip
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_dedup_url" ->
+      s"""SELECT 'https://host-' || CAST(doc_id % 9 AS VARCHAR) || '.example/path' || $sqlId
+         | || '?q=' || $sqlId AS canonical_url,
+         |CAST(doc_id AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS cnt
+         |FROM documents ORDER BY canonical_url""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),

@@ -163,6 +163,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1L) == "twice line" && kept(2L) == "twice line")
   }
 
+  test("scrubPii: emails/phones/ipv4 redacted, prose with hyphens and dots untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at alice.b+spam@sub.example.co.uk today",
+      "call (555) 123-4567 or 555-123-4567 now",
+      "server at 192.168.0.1 responded",
+      "well-known state-of-the-art v1.2.3 costs 12.50 in 2026",
+      "no pii here at all").toDF("t")
+    val out = rows.select(TextStats.scrubPii(col("t"))).as[String].collect()
+    assert(out(0) == "mail me at [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE] now")
+    assert(out(2) == "server at [IP] responded")
+    assert(out(3) == "well-known state-of-the-art v1.2.3 costs 12.50 in 2026")
+    assert(out(4) == "no pii here at all")
+  }
+
+  test("normalizeUrl: case, default ports, tracking params, fragments, trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://Host.Example:443/Path/Sub/?utm_source=a&x=1&fbclid=z#frag" ->
+        "https://host.example/Path/Sub?x=1",
+      "http://example.com:80/" -> "http://example.com/",
+      "https://example.com" -> "https://example.com/",
+      "https://example.com/a?utm_campaign=only" -> "https://example.com/a",
+      "not-a-url plain text" -> "not-a-url plain text", // schemeless: passthrough
+      "https://example.com:8443/a" -> "https://example.com:8443/a") // non-default port kept
+    val out = cases.map(_._1).toDF("u")
+      .select(Dedup.normalizeUrl(col("u"))).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (exp, got) => assert(got == exp, s"exp=$exp got=$got") }
+  }
+
   test("clusters: non-convergence raises instead of silently splitting components") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("id")
