@@ -232,6 +232,28 @@ object SparkEntry {
       q.stop()
       s.table(qn).orderBy(col("w_start"), col("event_type"))
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // streaming stateful dedup (dropDuplicatesWithinWatermark): first sight
+      // of each (user_id, event_type) pair emits once, later duplicates are
+      // absorbed by keyed state that the watermark eventually evicts — the
+      // streaming twin of exact dedup. Output selects only the key columns,
+      // so WHICH physical row wins a tie is irrelevant to the result set.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val qn = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val streamDir = java.nio.file.Files.createTempDirectory("dedupstream")
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id").cast("long"), col("event_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy(col("user_id"), col("event_type"))
+    }),
     "q_stream_sessions" -> ((s, dir) => {
       // stateful streaming with CUSTOM state (flatMapGroupsWithState +
       // event-time timeout): per-user sessionization, gap > 1 hour. A session
@@ -1135,6 +1157,9 @@ object SparkEntry {
         |'extraction failed' AS message,
         |CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS chain_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin,
     "q_stream_sessions" ->
       """WITH marks AS (
         |  SELECT user_id, ts,
