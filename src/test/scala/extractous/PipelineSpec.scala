@@ -194,6 +194,35 @@ class PipelineSpec extends AnyFunSuite {
     cases.map(_._2).zip(out).foreach { case (exp, got) => assert(got == exp, s"exp=$exp got=$got") }
   }
 
+  test("dropRepeatedLines plan: count key is xxhash64, no full-text shuffle for counting") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"title $i\nSHARED\nbody $i")).toDF("id", "text")
+    val df = Dedup.dropRepeatedLines(docs, "id", "text", 2)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    // AQE's toString repeats the tree under "== Initial Plan ==" — audit the
+    // final plan only
+    val plan = whole.split("== Initial Plan ==")(0)
+    assert(plan.contains("xxhash64"), s"hash shuffle key missing:\n$plan")
+    // exchanges: count-aggregate on lh + reassembly on id (+ broadcast for
+    // the anti-join, which is not a hash shuffle)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"line-dedup has $shuffles hash shuffles (expected ≤2):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("SortMergeJoin"), s"anti-join missing:\n$plan")
+  }
+
+  test("normalizeUrl/scrubPii plans are narrow: zero exchanges") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i => (i, s"https://EX.com:443/p$i/?utm_source=x&q=$i", s"text $i a@b.co"))
+      .toDF("id", "url", "text")
+    val df = d.select(Dedup.normalizeUrl(col("url")), TextStats.scrubPii(col("text")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow ops must not shuffle:\n$plan")
+  }
+
   test("clusters: non-convergence raises instead of silently splitting components") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("id")
