@@ -778,6 +778,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     // ---------- similarity search ----------
+    "s_quantize" -> ((s, dir) => {
+      // int8 symmetric quantization: scalars derived from the quantized
+      // vector (sum, self-dot, clip count, scale fingerprint) keep the
+      // oracle compare integer-exact while pinning every q_i
+      val q = Similarity.quantizeInt8(embs(s, dir))
+      q.select(col("vec_id").cast("long"),
+          round(col("scale") * 1e9).cast("long").as("scale_fp"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_dot"),
+          size(filter(col("q"), x => abs(x) > 127)).cast("long").as("n_clipped"))
+        .orderBy(col("vec_id"))
+    }),
     "s_knn_brute" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteKnn(e, e.filter(col("vec_id") < 20), k = 5)
@@ -1283,6 +1295,23 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "s_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS qv
+        |  FROM s
+        |)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(round(scale * 1e9) AS BIGINT) AS scale_fp,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_dot,
+        |  CAST(len(list_filter(qv, x -> abs(x) > 127)) AS BIGINT) AS n_clipped
+        |FROM q ORDER BY vec_id""".stripMargin,
     "s_knn_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),

@@ -13,6 +13,25 @@ class SimilaritySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("int8 quantization: bounds, max-element saturation, dequant error ≤ scale/2") {
+    import spark.implicits._
+    val rows = Similarity.quantizeInt8(embs)
+      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+      .as[(Long, Double, Seq[Long], Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, q, v) =>
+      assert(q.forall(x => math.abs(x) <= 127), s"vec $id out of int8 range")
+      assert(q.exists(x => math.abs(x) == 127), s"vec $id max element must saturate")
+      v.map(_.toDouble).zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12, s"vec $id dequant error > scale/2")
+      }
+    }
+    // all-zero vector: scale 0, all-zero q, no division blowup
+    val z = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z).as[(Long, Double, Seq[Long])].head()
+    assert(zq._2 == 0.0 && zq._3.forall(_ == 0L))
+  }
+
   test("banded LSH: recall ≥ 0.95 on PERTURBED copies (hyperplane signs flip)") {
     import spark.implicits._
     val base = embs.select(col("vec_id"),
