@@ -80,6 +80,8 @@ object Extract {
         OfficeExtractor.extract(bytes, m, cfg)
       case MimeSniffer.Zip => ArchiveExtractor.zip(bytes, cfg, ocr, depth)
       case MimeSniffer.Tar => ArchiveExtractor.tar(bytes, cfg, ocr, depth)
+      case MimeSniffer.Warc => WarcExtractor.extract(bytes, cfg, ocr, depth)
+      case MimeSniffer.Iwork => extractous.iwork.IworkExtractor.extract(bytes, cfg)
       case MimeSniffer.Cfb => extractous.office.CfbExtractor.extract(bytes, cfg)
       case m @ (MimeSniffer.Bmp | MimeSniffer.Png | MimeSniffer.Jpeg |
                 MimeSniffer.Gif | MimeSniffer.Tiff) => image(bytes, m, cfg, ocr)
@@ -119,7 +121,7 @@ object Extract {
   /** Bounded gunzip — a decompression bomb hits the cap and fails the row,
     * never the executor.
     */
-  private def gunzip(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+  private[extractous] def gunzip(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
     val buf = new Array[Byte](65536)

@@ -388,6 +388,92 @@ object CorpusGen {
     if ((id / 100) % 2 == 0) DocxWriter.zip(members) else TarWriter.tar(members)
   }
 
+  /** WARC payload (x_warc): a 5-record Common-Crawl-shaped file — warcinfo +
+    * request (both skipped structurally), an HTTP response carrying the HTML
+    * page (gzip Content-Encoding every 3rd doc — crawls store raw wire
+    * bytes), a text/plain conversion record, and a chunked-transfer HTTP
+    * response. Whole-file variant by id/100 parity: plain `.warc` vs
+    * Common-Crawl-style per-record gzip members concatenated (`.warc.gz`).
+    * Expected text (both variants, closed form):
+    * `Document $id\n$stop\n$text\n$text\nCrawl note $id`.
+    */
+  def warcPayload(id: Long, text: String, lang: String): Array[Byte] = {
+    val records = warcRecords(id, text, lang)
+    val out = new ByteArrayOutputStream()
+    if ((id / 100) % 2 == 0) records.foreach(r => out.write(r))
+    else {
+      // Common-Crawl member-per-record gzip: concatenated members must
+      // inflate as ONE stream through the gzip wrapper rung
+      records.foreach(r => out.write(gzMember(r)))
+    }
+    out.toByteArray
+  }
+
+  def gzMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  /** The individual records of [[warcPayload]], so the ingest query can pack
+    * many documents' records into one `.warc.gz` file per task — the shape a
+    * real crawl ships (thousands of pages per file).
+    */
+  def warcRecords(id: Long, text: String, lang: String): Seq[Array[Byte]] = {
+    val CRLF = "\r\n"
+    def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+      val head = new StringBuilder("WARC/1.0").append(CRLF)
+      headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+      head.append("Content-Length: ").append(block.length).append(CRLF).append(CRLF)
+      val hb = head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new ByteArrayOutputStream(hb.length + block.length + 4)
+      out.write(hb); out.write(block); out.write(CRLF.getBytes); out.write(CRLF.getBytes)
+      out.toByteArray
+    }
+    def http(contentType: String, body: Array[Byte], extra: Seq[String] = Nil): Array[Byte] = {
+      val head = (Seq(s"HTTP/1.1 200 OK", s"Content-Type: $contentType") ++ extra)
+        .mkString("", CRLF, CRLF) + CRLF
+      val hb = head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new ByteArrayOutputStream(hb.length + body.length)
+      out.write(hb); out.write(body)
+      out.toByteArray
+    }
+    val date = "2024-01-01T00:00:00Z"
+    val uri = s"https://host-${id % 7}.example/doc/$id"
+    val html = htmlPayload(id, text, lang)
+    val htmlResp =
+      if (id % 3 == 0) http("text/html", gzMember(html), Seq("Content-Encoding: gzip"))
+      else http("text/html", html)
+    val note = s"Crawl note $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // two chunks: split the note at byte 6 ("Crawl ")
+    val chunked = {
+      val out = new ByteArrayOutputStream()
+      def chunk(b: Array[Byte], from: Int, len: Int): Unit = {
+        out.write(Integer.toHexString(len).getBytes); out.write(CRLF.getBytes)
+        out.write(b, from, len); out.write(CRLF.getBytes)
+      }
+      chunk(note, 0, 6); chunk(note, 6, note.length - 6)
+      out.write("0".getBytes); out.write(CRLF.getBytes); out.write(CRLF.getBytes)
+      http("text/plain", out.toByteArray, Seq("Transfer-Encoding: chunked"))
+    }
+    val records = Seq(
+      record(Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date,
+        "Content-Type" -> "application/warc-fields"),
+        s"software: extractousgospark$CRLF".getBytes),
+      record(Seq("WARC-Type" -> "request", "WARC-Target-URI" -> s"<$uri>", "WARC-Date" -> date,
+        "Content-Type" -> "application/http; msgtype=request"),
+        s"GET /doc/$id HTTP/1.1${CRLF}Host: host-${id % 7}.example$CRLF$CRLF".getBytes),
+      record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> s"<$uri>", "WARC-Date" -> date,
+        "Content-Type" -> "application/http; msgtype=response"), htmlResp),
+      record(Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> s"<$uri>", "WARC-Date" -> date,
+        "Content-Type" -> "text/plain"),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> s"<${uri}note>", "WARC-Date" -> date,
+        "Content-Type" -> "application/http; msgtype=response"), chunked))
+    records
+  }
+
   /** Delimited-text payload (x_csv): CSV vs TSV by id/100 parity; the first
     * data cell is quoted with an embedded delimiter and a doubled quote (the
     * RFC 4180 corners), so a naive line-split parser fails the oracle.

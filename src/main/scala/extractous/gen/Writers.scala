@@ -490,6 +490,30 @@ object CfbWriter {
   }
 }
 
+/** iWork Pages '09 package writer: zip with the content in `index.xml`
+  * (namespaced `sl:document` → `sf:text-storage` → `sf:text-body` → `sf:p`
+  * paragraphs) plus the `QuickLook/Thumbnail.jpg` member every real '09
+  * package carries (the sniffer keys on index.xml + QuickLook/ together).
+  */
+object PagesWriter {
+  def pages(paragraphs: Seq[String]): Array[Byte] = {
+    val body = paragraphs.map(p => s"<sf:p>${DocxWriter.xmlEsc(p)}</sf:p>").mkString("\n")
+    val index =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<sl:document xmlns:sl="http://developer.apple.com/namespaces/sl" xmlns:sf="http://developer.apple.com/namespaces/sf">
+<sf:text-storage sf:kind="body">
+<sf:text-body>
+$body
+</sf:text-body>
+</sf:text-storage>
+</sl:document>
+"""
+    DocxWriter.zip(Seq(
+      "index.xml" -> index.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "QuickLook/Thumbnail.jpg" -> Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
+  }
+}
+
 /** ustar (POSIX.1-1988) TAR writer: 512-byte headers with octal size/mtime,
   * correct checksum (field-as-spaces sum), data padded to 512, two zero
   * blocks at the end — the shape every `tar cf` produces for regular files.

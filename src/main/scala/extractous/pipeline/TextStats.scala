@@ -90,4 +90,60 @@ object TextStats {
       transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
       lit(0L),
       (acc, ch) => pmod(acc * 31 + ch, lit(FingerprintMod)))
+
+  /** Gopher-style document quality report (Rae et al. 2021 §A1.1 heuristics,
+    * the standard crawl-corpus quality gate): word-count bounds, mean word
+    * length, symbol-to-word ratio (# and ellipsis), bullet-/ellipsis-line
+    * fractions, within-document duplicate-line fractions (by line count AND
+    * by character mass), alphabetic-word fraction, and stopword presence.
+    *
+    * Everything is codegen'd higher-order functions over the split arrays —
+    * narrow per-row, no shuffle, no UDFs — and every signal is emitted as an
+    * INTEGER (×100/×1000 fixed-point) so a SQL oracle can reproduce it
+    * bit-exactly. CJK codepoints count as alphabetic (the English-only
+    * original would fail every zh document on alpha-fraction alone; with CJK
+    * counted, zh documents instead fail on the English stopword gate —
+    * which IS Gopher's documented behavior).
+    */
+  def gopherReport(content: Column, minWords: Int = 50): Seq[(String, Column)] = {
+    val lines = split(content, "\n")
+    val nLines = size(lines)
+    val words = filter(split(content, "\\s+"), w => w =!= "")
+    val nWords = size(words)
+    val sumWordLen = aggregate(words, lit(0), (a, w) => a + length(w))
+    val meanWordLen = floor(lit(100.0) * sumWordLen / nWords).cast("long")
+    val nHash = length(content) - length(regexp_replace(content, "#", ""))
+    val nEll = (length(content) - length(regexp_replace(content, "\\.\\.\\.", ""))) / 3 +
+      (length(content) - length(regexp_replace(content, "…", "")))
+    val symbolRatio = floor(lit(1000.0) * (nHash + nEll) / nWords).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+    val bulletFrac = floor(lit(1000.0) * nBullet / nLines).cast("long")
+    val nEllLine = size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+    val ellipsisFrac = floor(lit(1000.0) * nEllLine / nLines).cast("long")
+    val distinctLines = array_distinct(lines)
+    val dupLineFrac = floor(lit(1000.0) * (nLines - size(distinctLines)) / nLines).cast("long")
+    val charsAll = aggregate(lines, lit(0), (a, l) => a + length(l))
+    val charsDistinct = aggregate(distinctLines, lit(0), (a, l) => a + length(l))
+    val dupCharFrac = floor(lit(1000.0) * (charsAll - charsDistinct) / greatest(charsAll, lit(1))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z一-鿿]")))
+    val alphaFrac = floor(lit(1000.0) * nAlpha / nWords).cast("long")
+    val stops = stopHits(words, langStops.head._2) // English gate, as in the paper
+    val pass = (nWords >= minWords && nWords <= 100000 &&
+      meanWordLen >= 300 && meanWordLen <= 1000 &&
+      symbolRatio <= 100 && bulletFrac <= 900 && ellipsisFrac <= 300 &&
+      dupLineFrac <= 300 && dupCharFrac <= 200 &&
+      alphaFrac >= 800 && stops >= 2).cast("long")
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len_x100" -> meanWordLen,
+      "symbol_ratio_x1000" -> symbolRatio,
+      "bullet_frac_x1000" -> bulletFrac,
+      "ellipsis_frac_x1000" -> ellipsisFrac,
+      "dup_line_frac_x1000" -> dupLineFrac,
+      "dup_char_frac_x1000" -> dupCharFrac,
+      "alpha_frac_x1000" -> alphaFrac,
+      "stop_hits" -> stops.cast("long"),
+      "gopher_pass" -> pass)
+  }
 }

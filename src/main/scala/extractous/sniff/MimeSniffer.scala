@@ -18,6 +18,8 @@ object MimeSniffer {
   val Odp = "application/vnd.oasis.opendocument.presentation"
   val Zip = "application/zip"
   val Tar = "application/x-tar"
+  val Warc = "application/warc"
+  val Iwork = "application/vnd.apple.iwork"
   val Csv = "text/csv"
   val Mbox = "application/mbox"
   val Epub = "application/epub+zip"
@@ -156,6 +158,10 @@ object MimeSniffer {
       if (zipContains(bytes, "word/")) return Docx
       if (zipContains(bytes, "xl/")) return Xlsx
       if (zipContains(bytes, "ppt/")) return Pptx
+      // iWork '09 package: index.xml + QuickLook/ together (either alone is
+      // too generic); the application (Pages/Numbers/Keynote) is only
+      // knowable from index.xml's root, which is the parser's job
+      if (zipContains(bytes, "index.xml") && zipContains(bytes, "QuickLook/")) return Iwork
       return Zip
     }
     if (startsWith(bytes, 0, "{\\rtf")) return Rtf
@@ -164,6 +170,8 @@ object MimeSniffer {
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
     if (startsWith(bytes, 0, "GIF87a") || startsWith(bytes, 0, "GIF89a")) return Gif
+    // WARC (ISO 28500): every file begins with its first record's version line
+    if (startsWith(bytes, 0, "WARC/1.")) return Warc
     if (bytes.length >= 4 && ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
         (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))) return Tiff
     // UTF-16 byte-order marks: textual payload in a non-UTF-8 encoding

@@ -119,6 +119,71 @@ final case class ExtractStreamExpr(child: Expression, cfg: ExtractorConfig, chun
   override protected def withNewChildInternal(newChild: Expression): ExtractStreamExpr = copy(child = newChild)
 }
 
+/** WARC ingest surface: one Common-Crawl `.warc`/`.warc.gz` file → the array
+  * of its records as `(url, warc_date, rec_type, content_type, payload)`
+  * structs, HTTP responses already decoded to their entity bytes (chunked
+  * framing removed, gzip Content-Encoding inflated). `explode(warc_records(
+  * content))` over a `binaryFile` scan is the ingest plan that POPULATES the
+  * corpus table the rest of the engine reads (north rule: "Iceberg table of
+  * Common-Crawl-style web pages") — a narrow per-file transform: no shuffle,
+  * parallel over files, each file decoded once on the executor that read it.
+  *
+  * Error posture matches ingest reality: a structurally corrupt file yields
+  * an EMPTY array (the file contributes zero pages; per-file errors belong to
+  * the scan's bad-record accounting, not a task failure), and a record whose
+  * HTTP message is malformed is skipped while the rest of the file survives.
+  */
+final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(WarcRecordsExpr.recordType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "warc_records"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"warc_records expects BINARY input, got ${child.dataType.sql}")
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null || bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val plain =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        try extractous.core.Extract.gunzip(bytes, maxOut = 1 << 30)
+        catch { case _: Exception => return new GenericArrayData(Array.empty[Any]) }
+      else bytes
+    val recs =
+      try extractous.core.WarcExtractor.records(plain)
+      catch { case _: Exception => return new GenericArrayData(Array.empty[Any]) }
+    val rows = recs.flatMap { rec =>
+      val payload: Option[Array[Byte]] = rec.warcType match {
+        case "response" if rec.contentType.startsWith("application/http") =>
+          try Some(extractous.core.WarcExtractor.httpBody(rec.block))
+          catch { case _: Exception => None }
+        case "resource" | "conversion" => Some(rec.block)
+        case _ => None
+      }
+      payload.map { body =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(rec.targetUri),
+          UTF8String.fromString(rec.date),
+          UTF8String.fromString(rec.warcType),
+          UTF8String.fromString(rec.contentType),
+          body))
+      }
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): WarcRecordsExpr = copy(child = newChild)
+}
+
+object WarcRecordsExpr {
+  val recordType: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("rec_type", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+}
+
 /** Column-level API + typed Dataset API + SQL registration. */
 object functions {
   def extract_doc(c: Column, cfg: ExtractorConfig = ExtractorConfig.default): Column =
@@ -141,12 +206,17 @@ object functions {
   def sniff_mime(c: Column): Column =
     ColumnBridge.column(SniffMimeExpr(ColumnBridge.expression(c)))
 
+  def warc_records(c: Column): Column =
+    ColumnBridge.column(WarcRecordsExpr(ColumnBridge.expression(c)))
+
   /** Register `extract_doc` / `sniff_mime` for SQL use with a fixed config. */
   def register(spark: SparkSession, cfg: ExtractorConfig = ExtractorConfig.default): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_doc", exprs => ExtractDocExpr(exprs.head, cfg), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sniff_mime", exprs => SniffMimeExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "warc_records", exprs => WarcRecordsExpr(exprs.head), "scala_udf")
   }
 
   /** Typed flagship map stage: `Dataset[WebPage] → Dataset[ExtractedDoc]` — a

@@ -2,7 +2,7 @@ package graft
 
 import extractous.gen.CorpusGen
 import extractous.jobs.{CorpusWriter, ExtractJob}
-import extractous.pipeline.{Dedup, Similarity, TextStats}
+import extractous.pipeline.{Decontam, Dedup, Similarity, TextStats}
 import extractous.spark.{functions => xf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -255,7 +255,11 @@ object Bench {
       "d_simhash" -> (() => force(Dedup.simhashNearDups(docsDf, "doc_id", "text", 3))),
       "s_knn_brute" -> (() => force(Similarity.bruteKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5))),
       "s_knn_ivf" -> (() => force(Similarity.ivfKnn(embsDf, embsDf.filter(col("vec_id") < 20), 5, 3))),
-      "t_fingerprint" -> (() => force(docsDf.select(TextStats.fingerprint(col("text")))))
+      "t_fingerprint" -> (() => force(docsDf.select(TextStats.fingerprint(col("text"))))),
+      "d_decontam" -> (() => force(Decontam.flag(docsDf,
+        docsDf.filter(col("doc_id") % 50 === 0).select("text"), "text", "doc_id", n = 3))),
+      "t_gopher" -> (() => force(docsDf.select(col("doc_id") +:
+        TextStats.gopherReport(col("text"), minWords = 10).map { case (n, c) => c.as(n) }: _*)))
     ).map { case (name, f) => name -> safe(name, -1.0)(time(f())._2) }
     spark.stop()
 

@@ -391,6 +391,73 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("doc_id"))
     }),
+    "x_pages" -> ((s, dir) => {
+      // iWork Pages '09 package: zip → index.xml → namespaced sf:p walk;
+      // every 3rd doc gains a second section (multi-paragraph order check)
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val paras =
+            if (id % 3 == 0) Seq(s"Document $id", text, s"Second section $id")
+            else Seq(s"Document $id", text)
+          (id, extractous.gen.PagesWriter.pages(paras))
+        }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_warc" -> ((s, dir) => {
+      // WARC (ISO 28500) — the Common-Crawl container: warcinfo/request
+      // records skipped, HTTP response records parsed (incl. gzip
+      // Content-Encoding every 3rd doc and a chunked-transfer response),
+      // conversion record dispatched directly; whole file alternates plain
+      // .warc vs per-record-gzip-member .warc.gz by id/100 parity
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+        .map { case (id, text, lang) => (id, CorpusGen.warcPayload(id, text, lang)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"),
+          coalesce(try_element_at(try_element_at(col("r.metadata"), lit("warc:response-count")), lit(1)), lit("")).as("responses"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_warc_ingest" -> ((s, dir) => {
+      // THE INGEST PLAN: `.warc.gz` files (many documents' records packed per
+      // file, per-record gzip members — the exact Common Crawl shape) scanned
+      // via binaryFile → explode(warc_records) → extract_doc per response.
+      // Narrow per-file decode, no shuffle until the final harness orderBy.
+      // Fixture files written FROM EXECUTORS (one file per input partition);
+      // see the x_binaryfile staging-dir note for cluster semantics.
+      import s.implicits._
+      val tmp = s.conf.getOption("spark.graft.stagingDir") match {
+        case Some(base) => java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), "warcingest")
+        case None => java.nio.file.Files.createTempDirectory("warcingest")
+      }
+      val tmpPath = tmp.toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          val out = new java.io.ByteArrayOutputStream()
+          it.foreach { case (id, text, lang) =>
+            CorpusGen.warcRecords(id, text, lang).foreach(r => out.write(CorpusGen.gzMember(r)))
+          }
+          if (out.size() > 0) {
+            java.nio.file.Files.write(java.nio.file.Paths.get(tmpPath,
+              f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc.gz"), out.toByteArray)
+            ()
+          }
+        }
+      s.read.format("binaryFile").load(s"$tmp/*.warc.gz")
+        .select(explode(xf.warc_records(col("content"))).as("rec"))
+        .filter(col("rec.rec_type") === "response")
+        .select(col("rec.url").as("url"), xf.extract_doc(col("rec.payload")).as("r"))
+        .select(col("url"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("url"))
+    }),
     "x_msg" -> ((s, dir) => {
       // Outlook .msg (MS-OXMSG property streams over CFB): variant alternates
       // UTF-16LE (001F) vs cp1252 (001E) properties by id/100 parity (ids ≡ k
@@ -825,6 +892,27 @@ object SparkEntry {
         .select(col("url"), TextStats.predLang(col("text")).as("pred_lang"))
         .orderBy(col("url"))
     }),
+    "t_gopher" -> ((s, dir) => {
+      // Gopher-style quality gate (Rae et al. §A1.1) over a multi-line doc
+      // with deterministic bullet/ellipsis/duplicate-line rungs planted by
+      // doc_id arithmetic; every signal is fixed-point integer so the oracle
+      // reproduces it bit-exactly
+      val stopCol = TextStats.langStops.tail.foldLeft(
+        lit(TextStats.langStops.head._2.mkString(" ")): org.apache.spark.sql.Column) {
+        case (acc, (l, ws)) => when(col("lang") === l, lit(ws.mkString(" "))).otherwise(acc)
+      }
+      val content = concat(
+        lit("Document "), col("doc_id").cast("string"), lit("\n"), stopCol, lit("\n"), col("text"),
+        when(col("doc_id") % 4 === 0, concat(lit("\n"), stopCol)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\n- bullet one\n- bullet two")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("\nto be continued...")).otherwise(lit("")))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("content", content)
+        .select(col("doc_id") +:
+          TextStats.gopherReport(col("content"), minWords = 10).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     "t_pii" -> ((s, dir) => {
       // PII scrubbing (emails / phones / IPv4 → typed placeholders): the
       // input plants one of each after the seed text in closed form, so the
@@ -837,6 +925,22 @@ object SparkEntry {
       val (ne, np, ni) = TextStats.piiCounts(raw)
       d.select(col("doc_id"), TextStats.scrubPii(raw).as("text"),
           ne.cast("long").as("n_email"), np.cast("long").as("n_phone"), ni.cast("long").as("n_ip"))
+        .orderBy(col("doc_id"))
+    }),
+    "d_decontam" -> ((s, dir) => {
+      // Benchmark decontamination (GPT-3/Llama-style n-gram overlap):
+      // benchmark = the id%50==0 docs' original texts; every 7th doc gets its
+      // block's benchmark text appended (planted contamination). Broadcast
+      // semi-join on xxhash64 gram keys; the oracle joins on gram STRINGS, so
+      // the hash-keyed plan is verified against exact string matching.
+      val docs0 = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val bench = docs0.filter(col("doc_id") % 50 === 0).select(col("text"))
+      val planted = docs0.alias("d")
+        .join(docs0.alias("b"), col("b.doc_id") === col("d.doc_id") - (col("d.doc_id") % 50))
+        .select(col("d.doc_id").as("doc_id"),
+          when(col("d.doc_id") % 7 === 0, concat(col("d.text"), lit(" "), col("b.text")))
+            .otherwise(col("d.text")).as("text"))
+      extractous.pipeline.Decontam.flag(planted, bench, "text", "doc_id", n = 3, pctThreshold = 30)
         .orderBy(col("doc_id"))
     }),
     "d_dedup_url" -> ((s, dir) => {
@@ -1056,6 +1160,29 @@ object SparkEntry {
          | || text || chr(10) || text AS text,
          |CASE WHEN (doc_id // 100) % 2 = 0 THEN 'application/zip' ELSE 'application/x-tar' END AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pages" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text ||
+         |CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Second section ' || $sqlId ELSE '' END AS text,
+         |'application/vnd.apple.pages' AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_warc" ->
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
+         | || text || chr(10) || 'Crawl note ' || $sqlId AS text,
+         |'application/warc' AS content_type,
+         |'2' AS responses
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_warc_ingest" ->
+      s"""SELECT url, text, content_type FROM (
+         |  SELECT 'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/' || $sqlId AS url,
+         |         'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text AS text,
+         |         'text/html' AS content_type FROM documents
+         |  UNION ALL
+         |  SELECT 'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/' || $sqlId || 'note',
+         |         'Crawl note ' || $sqlId,
+         |         'text/plain' FROM documents
+         |) ORDER BY url""".stripMargin,
     "x_msg" ->
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) || 'Sender ' || $sqlId || chr(10) ||
@@ -1371,11 +1498,80 @@ object SparkEntry {
     "t_langid" ->
       s"""SELECT $sqlUrl AS url, lang AS pred_lang
          |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
+    "t_gopher" ->
+      raw"""WITH d AS (SELECT doc_id, text, lang, $sqlStop AS stop FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || stop || chr(10) || text
+         |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || stop ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two' ELSE '' END
+         |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS content
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, content,
+         |    string_split(content, chr(10)) AS lines,
+         |    list_filter(regexp_split_to_array(content, '\s+'), w -> w <> '') AS words
+         |  FROM c),
+         |x AS (
+         |  SELECT doc_id,
+         |    len(words) AS n_words, len(lines) AS n_lines,
+         |    list_aggregate(list_transform(words, w -> length(w)), 'sum') AS sumwl,
+         |    length(content) - length(regexp_replace(content, '#', '', 'g')) AS nhash,
+         |    (length(content) - length(regexp_replace(content, '\.\.\.', '', 'g'))) / 3
+         |      + (length(content) - length(regexp_replace(content, '…', '', 'g'))) AS nell,
+         |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS nbullet,
+         |    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS nellline,
+         |    len(list_distinct(lines)) AS ndl,
+         |    list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS charsall,
+         |    list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS charsdistinct,
+         |    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z一-鿿]'))) AS nalpha,
+         |    len(list_intersect(list_distinct(words), ['the','and','of','to','in'])) AS stops
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(floor(100.0 * sumwl / n_words) AS BIGINT) AS mean_word_len_x100,
+         |  CAST(floor(1000.0 * (nhash + nell) / n_words) AS BIGINT) AS symbol_ratio_x1000,
+         |  CAST(floor(1000.0 * nbullet / n_lines) AS BIGINT) AS bullet_frac_x1000,
+         |  CAST(floor(1000.0 * nellline / n_lines) AS BIGINT) AS ellipsis_frac_x1000,
+         |  CAST(floor(1000.0 * (n_lines - ndl) / n_lines) AS BIGINT) AS dup_line_frac_x1000,
+         |  CAST(floor(1000.0 * (charsall - charsdistinct) / greatest(charsall, 1)) AS BIGINT) AS dup_char_frac_x1000,
+         |  CAST(floor(1000.0 * nalpha / n_words) AS BIGINT) AS alpha_frac_x1000,
+         |  CAST(stops AS BIGINT) AS stop_hits,
+         |  CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
+         |    AND floor(100.0*sumwl/n_words) >= 300 AND floor(100.0*sumwl/n_words) <= 1000
+         |    AND floor(1000.0*(nhash+nell)/n_words) <= 100 AND floor(1000.0*nbullet/n_lines) <= 900
+         |    AND floor(1000.0*nellline/n_lines) <= 300 AND floor(1000.0*(n_lines-ndl)/n_lines) <= 300
+         |    AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
+         |    AND floor(1000.0*nalpha/n_words) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM x ORDER BY doc_id""".stripMargin,
     "t_pii" ->
       s"""SELECT doc_id,
          |text || ' contact [EMAIL] or [IP] call [PHONE]' AS text,
          |CAST(1 AS BIGINT) AS n_email, CAST(1 AS BIGINT) AS n_phone, CAST(1 AS BIGINT) AS n_ip
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_decontam" ->
+      // joins on gram STRINGS (the Spark plan joins on xxhash64 keys — the
+      // oracle would catch any collision-induced miscount)
+      raw"""WITH planted AS (
+         |  SELECT d.doc_id, CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' ' || b.text ELSE d.text END AS text
+         |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 50)),
+         |toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9\x{4e00}-\x{9fff}]+'), x -> x <> '') AS ts
+         |  FROM planted),
+         |benchtoks AS (
+         |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9\x{4e00}-\x{9fff}]+'), x -> x <> '') AS ts
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |grami AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks WHERE len(ts) >= 3),
+         |grams AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM grami),
+         |benchi AS (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM benchtoks WHERE len(ts) >= 3),
+         |bench AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS g FROM benchi),
+         |counts AS (
+         |  SELECT gr.doc_id, count(*) AS n_grams, count(b.g) AS n_matched
+         |  FROM grams gr LEFT JOIN bench b ON gr.g = b.g GROUP BY gr.doc_id)
+         |SELECT p.doc_id AS doc_id, coalesce(c.n_grams, 0) AS n_grams, coalesce(c.n_matched, 0) AS n_matched,
+         |  CAST(CASE WHEN coalesce(c.n_matched,0)*100 >= coalesce(c.n_grams,0)*30 AND coalesce(c.n_grams,0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM planted p LEFT JOIN counts c ON p.doc_id = c.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "d_dedup_url" ->
       s"""SELECT 'https://host-' || CAST(doc_id % 9 AS VARCHAR) || '.example/path' || $sqlId
          | || '?q=' || $sqlId AS canonical_url,

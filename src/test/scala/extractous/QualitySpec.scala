@@ -1,0 +1,73 @@
+package extractous
+
+import extractous.pipeline.{Decontam, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decontamination (benchmark n-gram overlap) and the Gopher-style quality
+  * report: closed-form hand cases + plan-shape assertions (the benchmark side
+  * must broadcast; both ops must stay narrow / codegen-friendly).
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("decontam flags exact and partial benchmark overlap, passes clean docs") {
+    import spark.implicits._
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // full copy → 100%
+      (2L, "alpha beta gamma unrelated words here"),   // 1 of 4 grams matched → 25%
+      (3L, "totally clean document nothing shared")    // 0%
+    ).toDF("doc_id", "text")
+    val out = Decontam.flag(docs, bench, "text", "doc_id", n = 3, pctThreshold = 30)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq(
+      (1L, 3L, 3L, 1L), (2L, 4L, 1L, 0L), (3L, 3L, 0L, 0L)))
+  }
+
+  test("decontam normalization: case, punctuation, and sub-n-token docs") {
+    import spark.implicits._
+    val bench = Seq("Alpha, BETA; gamma!").toDF("text")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "two words")).toDF("doc_id", "text")
+    val out = Decontam.flag(docs, bench, "text", "doc_id", n = 3, pctThreshold = 30)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 1L)  // punctuation-insensitive match
+    assert((out(1).getLong(1), out(1).getLong(3)) == (0L, 0L)) // <n tokens → clean, 0 grams
+  }
+
+  test("decontam plan broadcasts the benchmark gram set (no shuffle of corpus grams to a sort-merge join)") {
+    import spark.implicits._
+    val bench = Seq("alpha beta gamma delta").toDF("text")
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = Decontam.flag(docs, bench, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"gram join must not sort-merge:\n$plan")
+  }
+
+  test("gopher report: hand-computed signals on a crafted document") {
+    import spark.implicits._
+    // 5 lines, 12 words: title(2) + prose(6) + 2 bullets(4 words) + dup line
+    val content = "the cat\nthe cat sat on the mat\n- one\n- two\nthe cat"
+    val df = Seq(content).toDF("content")
+      .select(TextStats.gopherReport(col("content"), minWords = 5).map { case (n, c) => c.as(n) }: _*)
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("n_words") == 14)              // "-" counts as a word
+    assert(r.getAs[Long]("bullet_frac_x1000") == 400)   // 2 of 5 lines
+    assert(r.getAs[Long]("dup_line_frac_x1000") == 200) // "the cat" twice → 1 dup of 5
+    assert(r.getAs[Long]("ellipsis_frac_x1000") == 0)
+    assert(r.getAs[Long]("stop_hits") == 1)             // of the list, only "the" appears
+  }
+
+  test("gopher pass: clean English prose passes, symbol spam fails") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
+    val spam = "### buy now ### click here ### #1 deal ###"
+    val df = Seq(good, spam).toDF("content")
+      .select(col("content") +: TextStats.gopherReport(col("content"), minWords = 5)
+        .map { case (n, c) => c.as(n) }: _*)
+    val rows = df.collect().map(r => r.getString(0) -> r.getAs[Long]("gopher_pass")).toMap
+    assert(rows(good) == 1L)
+    assert(rows(spam) == 0L)
+  }
+}

@@ -1,0 +1,107 @@
+package extractous
+
+import extractous.core.{Extract, WarcExtractor}
+import extractous.gen.CorpusGen
+import extractous.model.ExtractStatus
+import extractous.sniff.MimeSniffer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC (ISO 28500) — the Common-Crawl container: record walk, HTTP entity
+  * decoding (chunked framing, gzip Content-Encoding), per-record-gzip-member
+  * files, the `warc_records` ingest expression, and the never-throw posture
+  * under mutation.
+  */
+class WarcSpec extends AnyFunSuite {
+  private val text = "the quick brown fox jumps over the lazy dog"
+  private val stop = CorpusGen.stopLine("en")
+
+  private def expected(id: Long) =
+    s"Document $id\n$stop\n$text\n$text\nCrawl note $id"
+
+  test("record walk: 5 records, types and URIs in file order") {
+    val recs = WarcExtractor.records(CorpusGen.warcPayload(2, text, "en"))
+    assert(recs.map(_.warcType) == Seq("warcinfo", "request", "response", "conversion", "response"))
+    assert(recs(2).targetUri == "https://host-2.example/doc/2") // angle brackets stripped
+    assert(recs(4).targetUri == "https://host-2.example/doc/2note")
+    assert(recs(2).contentType.startsWith("application/http"))
+  }
+
+  test("plain .warc extracts responses + conversion, skips warcinfo/request") {
+    val r = Extract(CorpusGen.warcPayload(2, text, "en")) // (2/100)%2==0 → plain
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == expected(2))
+    assert(r.contentType == MimeSniffer.Warc)
+    assert(r.metadata("warc:record-count") == Seq("5"))
+    assert(r.metadata("warc:response-count") == Seq("2"))
+  }
+
+  test("gzip Content-Encoding body (id%3==0) decodes identically") {
+    val r = Extract(CorpusGen.warcPayload(6, text, "en"))
+    assert(r.status == ExtractStatus.Ok && r.text == expected(6))
+  }
+
+  test("per-record gzip members (.warc.gz) inflate as one stream and re-sniff as WARC") {
+    val r = Extract(CorpusGen.warcPayload(102, text, "en")) // (102/100)%2==1 → gz members
+    assert(r.status == ExtractStatus.Ok)
+    assert(r.text == expected(102))
+    assert(r.metadata("Content-Encoding") == Seq("gzip"))
+  }
+
+  test("chunked transfer-encoding is de-chunked exactly") {
+    val body = WarcExtractor.httpBody(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n6\r\nCrawl \r\n7\r\nnote 42\r\n0\r\n\r\n".getBytes)
+    assert(new String(body, "UTF-8") == "Crawl note 42")
+  }
+
+  test("structural corruption fails the row with a status, never wrong text") {
+    val good = CorpusGen.warcPayload(2, text, "en")
+    // truncate mid-block: the last record's Content-Length overruns the file
+    val r = Extract(java.util.Arrays.copyOf(good, good.length - 10))
+    assert(r.status == ExtractStatus.ExtractionFailed && r.text == "")
+    // bad version line
+    val mut = good.clone(); mut(3) = 'X'.toByte
+    val r2 = Extract(mut)
+    assert(r2.text != expected(2)) // never silently the right text from a corrupt container
+  }
+
+  test("mutation fuzz: 400 single-byte mutants never throw out of Extract") {
+    val good = CorpusGen.warcPayload(7, text, "en")
+    val rnd = new scala.util.Random(43)
+    (0 until 400).foreach { _ =>
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Extract(m) // must not throw; any status acceptable
+    }
+  }
+
+  test("warc_records expression: corrupt file → empty array; good file → decoded entities") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val good = CorpusGen.warcRecords(11, text, "en").flatMap(r => CorpusGen.gzMember(r)).toArray
+    val bad = "WARC/1.0\r\nbroken".getBytes
+    val df = Seq(("good", good), ("bad", bad)).toDF("name", "payload")
+      .select(col("name"), extractous.spark.functions.warc_records(col("payload")).as("recs"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(rows("bad").isEmpty)
+    val recs = rows("good")
+    assert(recs.length == 3) // 2 responses + 1 conversion; warcinfo/request dropped
+    assert(recs.map(_.getString(2)).toSet == Set("response", "conversion"))
+    val htmlRec = recs.find(r => r.getString(0) == "https://host-4.example/doc/11").get
+    assert(MimeSniffer.sniff(htmlRec.getAs[Array[Byte]]("payload")) == MimeSniffer.Html)
+  }
+
+  test("ingest plan is narrow: binaryFile scan → generate → project, no Exchange before the sink") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("warcplan")
+    val bytes = CorpusGen.warcRecords(5, text, "en").flatMap(r => CorpusGen.gzMember(r)).toArray
+    java.nio.file.Files.write(tmp.resolve("f.warc.gz"), bytes)
+    val plan = spark.read.format("binaryFile").load(s"$tmp/*.warc.gz")
+      .select(explode(extractous.spark.functions.warc_records(col("content"))).as("rec"))
+      .filter(col("rec.rec_type") === "response")
+      .select(col("rec.url"), extractous.spark.functions.extract_doc(col("rec.payload")).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ingest hot path must not shuffle:\n$plan")
+  }
+}
