@@ -466,7 +466,9 @@ object CorpusGen {
         s"GET /doc/$id HTTP/1.1${CRLF}Host: host-${id % 7}.example$CRLF$CRLF".getBytes),
       record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> s"<$uri>", "WARC-Date" -> date,
         "Content-Type" -> "application/http; msgtype=response"), htmlResp),
-      record(Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> s"<$uri>", "WARC-Date" -> date,
+      // distinct URI: a conversion record derives from its response, but an
+      // ingest table keyed by url must not see two rows for one key
+      record(Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> s"<${uri}text>", "WARC-Date" -> date,
         "Content-Type" -> "text/plain"),
         text.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> s"<${uri}note>", "WARC-Date" -> date,

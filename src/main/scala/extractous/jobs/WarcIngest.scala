@@ -1,0 +1,45 @@
+package extractous.jobs
+
+import extractous.spark.{functions => xf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl ingest: `.warc`/`.warc.gz` files → the day-partitioned corpus table
+  * that [[ExtractJob]] consumes — closing the loop crawl → corpus table →
+  * extraction table (north rule: the corpus IS Common-Crawl-shaped pages).
+  *
+  * Plan shape at 100 TB: `binaryFile` scan → `explode(warc_records)` →
+  * project → partitioned write. One narrow pass — each crawl file is decoded
+  * once, on the executor that read it, with NO shuffle (the partitioned
+  * write hash-routes rows by `warc_day` at write time, not via an Exchange,
+  * because `partitionBy` on a write is a sort-within-partitions concern, not
+  * a repartition). Crawl files are self-contained and ~1 GB each, so file
+  * parallelism is the right unit; `spark.sql.files.maxPartitionBytes` is
+  * irrelevant here because binaryFile never splits a file.
+  */
+object WarcIngest {
+
+  /** Page rows of every WARC file under `warcDir` (lazy frame — compose or
+    * write). `rec_type`/`content_type` ride along for downstream routing.
+    */
+  def pages(spark: SparkSession, warcDir: String): DataFrame =
+    spark.read.format("binaryFile").load(warcDir)
+      .select(col("path").as("input_file"), explode(xf.warc_records(col("content"))).as("rec"))
+      .select(col("rec.url").as("url"),
+        col("rec.payload").as("html"),
+        to_date(substring(col("rec.warc_date"), 1, 10)).as("warc_day"),
+        col("rec.rec_type").as("rec_type"),
+        col("rec.content_type").as("record_content_type"),
+        col("input_file"))
+
+  /** Ingest into a corpus table readable by [[ExtractJob]]; returns the page
+    * count actually committed (re-read from the written table, not the
+    * input — the same trust-the-sink posture as the extract job).
+    */
+  def run(spark: SparkSession, warcDir: String, corpusDir: String): Long = {
+    pages(spark, warcDir)
+      .select("url", "html", "warc_day")
+      .write.mode("overwrite").partitionBy("warc_day").parquet(corpusDir)
+    spark.read.parquet(corpusDir).count()
+  }
+}

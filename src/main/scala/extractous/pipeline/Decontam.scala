@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * shuffle of corpus text:
   *   1. tokenize + n-gram both sides with codegen'd HOFs
   *      (`split`/`filter`/`transform(sequence(...))` — no UDFs);
-  *   2. hash each gram to a long with `xxhash64` (the broadcast map carries
+  *   2. key each gram by a 64-bit hash (xxhash64 per TOKEN, polynomial
+  *      combine per gram — see [[ngramKeys]]; the broadcast map carries
   *      longs, not strings — ~8 B/gram instead of ~50 B/gram);
   *   3. `broadcast()` the distinct benchmark gram hashes, left-join the
   *      exploded corpus grams, and partial-aggregate matches per doc_id
@@ -43,6 +44,26 @@ object Decontam {
         i => concat_ws(" ", slice(ts, i, lit(n)))))
   }
 
+  /** 64-bit keys of all word n-grams, WITHOUT materializing gram strings:
+    * each token is xxhash64'd once and gram keys combine the token hashes
+    * with rotate-21-XOR — order-sensitive ("a b" ≠ "b a"), full 64-bit key
+    * space, and pure bitwise ops (long multiplication would trip ANSI
+    * overflow checking, default-on in Spark 4). For a corpus-scale document
+    * this does 1 hash per token instead of 1 hash over ~n·tokenLen bytes per
+    * gram — the dominant cost of the exploded side. Key equality ⟺ gram
+    * equality up to 64-bit collisions, same contract as hashing the gram
+    * string.
+    */
+  def ngramKeys(c: Column, n: Int): Column = {
+    val hs = transform(normTokens(c), t => xxhash64(t))
+    def rot21(x: Column): Column =
+      shiftleft(x, 21).bitwiseOR(shiftrightunsigned(x, 43))
+    when(size(hs) < n, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(hs) - (n - 1)),
+        i => aggregate(slice(hs, i, lit(n)), lit(1125899906842597L),
+          (acc, h) => rot21(acc).bitwiseXOR(h))))
+  }
+
   /** Per-document contamination report against `bench`.
     *
     * @param docs     corpus frame with (`idCol`, `textCol`)
@@ -57,12 +78,10 @@ object Decontam {
   def flag(docs: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int = 8, pctThreshold: Int = 30): DataFrame = {
     val benchGrams = bench
-      .select(explode(ngrams(col(textCol), n)).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(explode(ngramKeys(col(textCol), n)).as("gh"))
       .distinct()
     val docGrams = docs
-      .select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
-      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .select(col(idCol), explode(ngramKeys(col(textCol), n)).as("gh"))
     val counts = docGrams
       .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gh"), "left")
       .groupBy(col(idCol))

@@ -146,4 +146,38 @@ object TextStats {
       "stop_hits" -> stops.cast("long"),
       "gopher_pass" -> pass)
   }
+
+  /** Top-2-gram repetition (the remaining Gopher §A1.1 repetition signal:
+    * "fraction of [grams] in the most common n-gram").
+    *
+    * The textbook implementation explodes every document's 2-grams and
+    * groupBys (doc_id, gram) — at 10^12 documents that shuffle carries ~10^14
+    * gram rows, dominated by keys that never leave their document. This one
+    * never shuffles: the per-document gram array is SORTED (`array_sort`) and
+    * the longest run of equal adjacent elements found with one codegen'd
+    * `aggregate` scan — per-row O(g log g), zero Exchange, composable with
+    * the rest of the quality gate in a single narrow projection. The DuckDB
+    * oracle deliberately uses the explode+group formulation, so the
+    * scan-based plan is verified against the obviously-correct one.
+    */
+  def repetitionReport(content: Column): Seq[(String, Column)] = {
+    val words = filter(split(content, "\\s+"), w => w =!= "")
+    val grams = when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", slice(words, i, lit(2)))))
+    val sorted = array_sort(grams)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val n = size(grams)
+    Seq(
+      "n_2grams" -> n.cast("long"),
+      "top2_count" -> best.cast("long"),
+      "top2_frac_x1000" -> floor(lit(1000.0) * best / greatest(n, lit(1))).cast("long"))
+  }
 }

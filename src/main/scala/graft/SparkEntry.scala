@@ -913,6 +913,18 @@ object SparkEntry {
           TextStats.gopherReport(col("content"), minWords = 10).map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
+    "t_repetition" -> ((s, dir) => {
+      // top-2-gram repetition: shuffle-free sorted-run scan (the oracle uses
+      // the explode+group formulation — the clever plan is checked against
+      // the obvious one). Every 5th doc gets a planted "buy now" spam run.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 5 === 0,
+            lit(" buy now buy now buy now buy now")).otherwise(lit(""))).as("content"))
+        .select(col("doc_id") +:
+          TextStats.repetitionReport(col("content")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     "t_pii" -> ((s, dir) => {
       // PII scrubbing (emails / phones / IPv4 → typed placeholders): the
       // input plants one of each after the seed text in closed form, so the
@@ -941,6 +953,28 @@ object SparkEntry {
           when(col("d.doc_id") % 7 === 0, concat(col("d.text"), lit(" "), col("b.text")))
             .otherwise(col("d.text")).as("text"))
       extractous.pipeline.Decontam.flag(planted, bench, "text", "doc_id", n = 3, pctThreshold = 30)
+        .orderBy(col("doc_id"))
+    }),
+    "d_split" -> ((s, dir) => {
+      // deterministic train/val/test split keyed on the CONTENT fingerprint
+      // (dup-leakage-proof; narrow, RNG-free, engine-reproducible)
+      extractous.pipeline.Sampling.split(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        "text")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "d_urlfilter" -> ((s, dir) => {
+      // UT1-style domain blocklist: suffix-correct matching as a narrow
+      // literal-array expression (no join, no shuffle — see UrlFilter)
+      val hostN = when(col("doc_id") % 2 === 0, lit("0"))
+        .otherwise((col("doc_id") % 9 + 1).cast("string"))
+      val url = concat(lit("https://host-"), hostN, lit(".example/doc-"), col("doc_id").cast("string"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("host", extractous.pipeline.UrlFilter.host(col("url")))
+        .withColumn("blocked", extractous.pipeline.UrlFilter.isBlocked(col("url"),
+          Seq("host-3.example", "host-7.example")))
         .orderBy(col("doc_id"))
     }),
     "d_dedup_url" -> ((s, dir) => {
@@ -1544,6 +1578,21 @@ object SparkEntry {
          |    AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
          |    AND floor(1000.0*nalpha/n_words) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
          |FROM x ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      raw"""WITH c AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ' buy now buy now buy now buy now' ELSE '' END AS content
+         |  FROM documents),
+         |t AS (SELECT doc_id, list_filter(regexp_split_to_array(content, '\s+'), w -> w <> '') AS ws FROM c),
+         |gi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t WHERE len(ws) >= 2),
+         |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram FROM gi),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |m AS (SELECT doc_id, sum(c) AS n2, max(c) AS topc FROM cnt GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(coalesce(m.n2, 0) AS BIGINT) AS n_2grams,
+         |  CAST(coalesce(m.topc, 0) AS BIGINT) AS top2_count,
+         |  CAST(floor(1000.0 * coalesce(m.topc, 0) / greatest(coalesce(m.n2, 0), 1)) AS BIGINT) AS top2_frac_x1000
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t_pii" ->
       s"""SELECT doc_id,
          |text || ' contact [EMAIL] or [IP] call [PHONE]' AS text,
@@ -1572,6 +1621,20 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(c.n_matched,0)*100 >= coalesce(c.n_grams,0)*30 AND coalesce(c.n_grams,0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM planted p LEFT JOIN counts c ON p.doc_id = c.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+    "d_split" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp % 100 AS bucket,
+        |  CASE WHEN fp % 100 < 80 THEN 'train' WHEN fp % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "d_urlfilter" ->
+      s"""SELECT doc_id, $sqlUrl AS url,
+         |'host-' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS VARCHAR) || '.example' AS host,
+         |CAST(CASE WHEN doc_id % 2 = 1 AND (1 + doc_id % 9) IN (3, 7) THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_dedup_url" ->
       s"""SELECT 'https://host-' || CAST(doc_id % 9 AS VARCHAR) || '.example/path' || $sqlId
          | || '?q=' || $sqlId AS canonical_url,

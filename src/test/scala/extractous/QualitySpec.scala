@@ -45,6 +45,38 @@ class QualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"gram join must not sort-merge:\n$plan")
   }
 
+  test("url blocklist: suffix-correct matching, narrow zero-join plan") {
+    import spark.implicits._
+    import extractous.pipeline.UrlFilter
+    val df = Seq(
+      "https://example.com/x",           // exact → blocked
+      "https://Sub.EXAMPLE.com:8080/y",  // subdomain + port + case → blocked
+      "https://notexample.com/z",        // suffix boundary respects dots → allowed
+      "https://user@good.org/w",         // userinfo stripped → allowed
+      "relative/path"                    // no authority → allowed
+    ).toDF("url").withColumn("blocked", UrlFilter.isBlocked(col("url"), Seq("example.com")))
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == Map(
+      "https://example.com/x" -> 1L, "https://Sub.EXAMPLE.com:8080/y" -> 1L,
+      "https://notexample.com/z" -> 0L, "https://user@good.org/w" -> 0L,
+      "relative/path" -> 0L))
+    val plan = UrlFilter.allow(df, "url", Seq("example.com")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"blocklist gate must be a narrow projection:\n$plan")
+  }
+
+  test("content-keyed split: identical texts share a split, plan is narrow") {
+    import spark.implicits._
+    import extractous.pipeline.Sampling
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"), (4L, "third doc here"))
+      .toDF("doc_id", "text")
+    val out = Sampling.split(df, "text")
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    assert(rows(1L) == rows(2L), "byte-identical docs must land in the same split")
+    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split assignment must be narrow:\n$plan")
+  }
+
   test("gopher report: hand-computed signals on a crafted document") {
     import spark.implicits._
     // 5 lines, 12 words: title(2) + prose(6) + 2 bullets(4 words) + dup line
@@ -57,6 +89,22 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Long]("dup_line_frac_x1000") == 200) // "the cat" twice → 1 dup of 5
     assert(r.getAs[Long]("ellipsis_frac_x1000") == 0)
     assert(r.getAs[Long]("stop_hits") == 1)             // of the list, only "the" appears
+  }
+
+  test("repetition report: sorted-run scan equals hand counts, stays shuffle-free") {
+    import spark.implicits._
+    // "spam spam spam spam" → 2-grams: [spam spam]×3 → top 3 of 3
+    // "a b a b c" → [a b]×2, [b a], [b c] → top 2 of 4
+    // "one" → no 2-grams
+    val df = Seq((1L, "spam spam spam spam"), (2L, "a b a b c"), (3L, "one"))
+      .toDF("doc_id", "content")
+      .select(col("doc_id") +: extractous.pipeline.TextStats.repetitionReport(col("content"))
+        .map { case (n, c) => c.as(n) }: _*)
+    assert(df.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq(
+      (1L, 3L, 3L, 1000L), (2L, 4L, 2L, 500L), (3L, 0L, 0L, 0L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition scan must be narrow:\n$plan")
   }
 
   test("gopher pass: clean English prose passes, symbol spam fails") {

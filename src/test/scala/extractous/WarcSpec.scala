@@ -91,6 +91,29 @@ class WarcSpec extends AnyFunSuite {
     assert(MimeSniffer.sniff(htmlRec.getAs[Array[Byte]]("payload")) == MimeSniffer.Html)
   }
 
+  test("crawl → corpus table → extract table, end to end") {
+    val spark = SparkTestSession.spark
+    val warcDir = java.nio.file.Files.createTempDirectory("warcsrc")
+    // two crawl files, two docs each, per-record gzip members
+    Seq(Seq(20L, 21L), Seq(22L, 23L)).zipWithIndex.foreach { case (ids, i) =>
+      val out = new java.io.ByteArrayOutputStream()
+      ids.foreach { id =>
+        CorpusGen.warcRecords(id, text, "en").foreach(r => out.write(CorpusGen.gzMember(r)))
+      }
+      java.nio.file.Files.write(warcDir.resolve(f"crawl-$i.warc.gz"), out.toByteArray)
+    }
+    val corpusDir = java.nio.file.Files.createTempDirectory("warccorpus").toString
+    val n = extractous.jobs.WarcIngest.run(spark, s"$warcDir/*.warc.gz", corpusDir)
+    assert(n == 12) // 4 docs × (2 responses + 1 conversion)
+    val tableDir = java.nio.file.Files.createTempDirectory("warctable").toString
+    val summary = extractous.jobs.ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)
+    assert(summary.docs == 12)
+    val got = new extractous.table.SnapshotTable(tableDir).read(spark)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://host-6.example/doc/20") == s"Document 20\n$stop\n$text")
+    assert(got("https://host-6.example/doc/20note") == "Crawl note 20")
+  }
+
   test("ingest plan is narrow: binaryFile scan → generate → project, no Exchange before the sink") {
     val spark = SparkTestSession.spark
     import spark.implicits._
