@@ -53,6 +53,8 @@ object Extract {
       case MimeSniffer.Xml => xmlDoc(bytes, cfg)
       case MimeSniffer.Rtf => extractous.rtf.RtfExtractor.extract(bytes, cfg)
       case MimeSniffer.Eml => extractous.mail.MailExtractor.extract(bytes, cfg)
+      case MimeSniffer.Ics | MimeSniffer.Vcf =>
+        extractous.mail.CalendarExtractor.extract(bytes, cfg)
       case MimeSniffer.Mbox => extractous.mail.MboxExtractor.extract(bytes, cfg)
       case MimeSniffer.Csv => extractous.mail.CsvExtractor.extract(bytes, cfg)
       case MimeSniffer.Markdown => extractous.mail.MarkdownExtractor.extract(bytes, cfg)

@@ -103,49 +103,65 @@ object WarcExtractor {
     * (tolerated absent at EOF). Anything else throws — never a guess.
     */
   def records(bytes: Array[Byte]): Seq[Record] = {
+    val (recs, err) = recordsLenient(bytes)
+    err.foreach(e => throw new IllegalArgumentException(e))
+    recs
+  }
+
+  /** Like [[records]] but a structural error TRUNCATES instead of throwing:
+    * returns every record parsed before the corruption plus the error text.
+    * This is the ingest posture — one torn record at the tail of a crawl
+    * file must not discard the gigabyte of good pages before it, but the
+    * loss must be ACCOUNTED, not silent.
+    */
+  def recordsLenient(bytes: Array[Byte]): (Seq[Record], Option[String]) = {
     val out = Seq.newBuilder[Record]
     var off = 0
-    while (off < bytes.length) {
-      // tolerate extra blank separators between records
-      while (off < bytes.length && (bytes(off) == '\r' || bytes(off) == '\n')) off += 1
-      if (off >= bytes.length) return out.result()
-      val vEnd = lineEnd(bytes, off)
-      val version = ascii(bytes, off, vEnd)
-      if (!(version == "WARC/1.0" || version == "WARC/1.1"))
-        throw new IllegalArgumentException(s"bad version line at $off")
-      var p = skipEol(bytes, vEnd)
-      var warcType = ""; var uri = ""; var date = ""; var ctype = ""; var len = -1L
-      var blank = false
-      while (!blank) {
-        val e = lineEnd(bytes, p)
-        val line = ascii(bytes, p, e)
-        if (line.isEmpty) blank = true
-        else {
-          val c = line.indexOf(':')
-          if (c > 0) {
-            val name = line.substring(0, c).trim.toLowerCase
-            val value = line.substring(c + 1).trim
-            name match {
-              case "warc-type" => warcType = value
-              case "warc-target-uri" => uri = stripAngles(value)
-              case "warc-date" => date = value
-              case "content-type" => ctype = value
-              case "content-length" => len = java.lang.Long.parseLong(value)
-              case _ => ()
+    try {
+      while (off < bytes.length) {
+        // tolerate extra blank separators between records
+        while (off < bytes.length && (bytes(off) == '\r' || bytes(off) == '\n')) off += 1
+        if (off >= bytes.length) return (out.result(), None)
+        val vEnd = lineEnd(bytes, off)
+        val version = ascii(bytes, off, vEnd)
+        if (!(version == "WARC/1.0" || version == "WARC/1.1"))
+          throw new IllegalArgumentException(s"bad version line at $off")
+        var p = skipEol(bytes, vEnd)
+        var warcType = ""; var uri = ""; var date = ""; var ctype = ""; var len = -1L
+        var blank = false
+        while (!blank) {
+          val e = lineEnd(bytes, p)
+          val line = ascii(bytes, p, e)
+          if (line.isEmpty) blank = true
+          else {
+            val c = line.indexOf(':')
+            if (c > 0) {
+              val name = line.substring(0, c).trim.toLowerCase
+              val value = line.substring(c + 1).trim
+              name match {
+                case "warc-type" => warcType = value
+                case "warc-target-uri" => uri = stripAngles(value)
+                case "warc-date" => date = value
+                case "content-type" => ctype = value
+                case "content-length" => len = java.lang.Long.parseLong(value)
+                case _ => ()
+              }
             }
           }
+          p = skipEol(bytes, e)
+          if (p > bytes.length) throw new IllegalArgumentException("header overruns file")
         }
-        p = skipEol(bytes, e)
-        if (p > bytes.length) throw new IllegalArgumentException("header overruns file")
+        if (len < 0) throw new IllegalArgumentException(s"record at $off missing Content-Length")
+        if (len > Int.MaxValue || p + len > bytes.length)
+          throw new IllegalArgumentException(s"record block at $off overruns file")
+        out += Record(warcType, uri, date, ctype,
+          java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
+        off = p + len.toInt
       }
-      if (len < 0) throw new IllegalArgumentException(s"record at $off missing Content-Length")
-      if (len > Int.MaxValue || p + len > bytes.length)
-        throw new IllegalArgumentException(s"record block at $off overruns file")
-      out += Record(warcType, uri, date, ctype,
-        java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
-      off = p + len.toInt
+      (out.result(), None)
+    } catch {
+      case e: Exception => (out.result(), Some(if (e.getMessage == null) e.toString else e.getMessage))
     }
-    out.result()
   }
 
   /** HTTP response message → entity body: status line verified, headers

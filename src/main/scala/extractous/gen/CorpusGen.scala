@@ -409,6 +409,43 @@ object CorpusGen {
     out.toByteArray
   }
 
+  /** iCalendar / vCard payload (x_cal), by id/100 parity. The TEXT value is
+    * RFC-escaped (`\,` `\;` `\\` `\n`) and FOLDED at 70 octets (CRLF +
+    * space), so the parser's unfold + unescape path is exercised on every
+    * row. Expected text: ics → `Document $id\n$text\nRoom $id`;
+    * vcf → `Document $id\nExample Corp $id\n$text`.
+    */
+  def calPayload(id: Long, text: String): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace(",", "\\,").replace(";", "\\;").replace("\n", "\\n")
+    def fold(line: String): String =
+      line.grouped(70).mkString("\r\n ")
+    val s =
+      if ((id / 100) % 2 == 0)
+        s"""BEGIN:VCALENDAR\r
+           |VERSION:2.0\r
+           |PRODID:-//extractousgospark//EN\r
+           |BEGIN:VEVENT\r
+           |UID:doc-$id@example\r
+           |DTSTART:20240101T000000Z\r
+           |SUMMARY:Document $id\r
+           |${fold(s"DESCRIPTION:${esc(text)}")}\r
+           |LOCATION:Room $id\r
+           |END:VEVENT\r
+           |END:VCALENDAR\r
+           |""".stripMargin
+      else
+        s"""BEGIN:VCARD\r
+           |VERSION:4.0\r
+           |FN:Document $id\r
+           |ORG:Example Corp $id\r
+           |${fold(s"NOTE:${esc(text)}")}\r
+           |EMAIL;TYPE=work:doc$id@example.com\r
+           |END:VCARD\r
+           |""".stripMargin
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   def gzMember(b: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)

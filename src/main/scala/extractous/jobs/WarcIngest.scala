@@ -32,12 +32,24 @@ object WarcIngest {
         col("rec.content_type").as("record_content_type"),
         col("input_file"))
 
+  /** Ingest observability: record counts by type — `response`/`conversion`/
+    * `resource` are pages; `file_error`/`response_error` are ACCOUNTED
+    * losses (torn crawl files, malformed HTTP messages) that
+    * [[WarcRecordsExpr]] surfaces as rows instead of dropping silently.
+    */
+  def recordStats(spark: SparkSession, warcDir: String): Map[String, Long] =
+    pages(spark, warcDir).groupBy("rec_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Ingest into a corpus table readable by [[ExtractJob]]; returns the page
     * count actually committed (re-read from the written table, not the
-    * input — the same trust-the-sink posture as the extract job).
+    * input — the same trust-the-sink posture as the extract job). Error
+    * rows are excluded from the table; run [[recordStats]] for the loss
+    * accounting.
     */
   def run(spark: SparkSession, warcDir: String, corpusDir: String): Long = {
     pages(spark, warcDir)
+      .filter(!col("rec_type").endsWith("_error"))
       .select("url", "html", "warc_day")
       .write.mode("overwrite").partitionBy("warc_day").parquet(corpusDir)
     spark.read.parquet(corpusDir).count()

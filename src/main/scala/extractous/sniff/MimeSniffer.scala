@@ -22,6 +22,8 @@ object MimeSniffer {
   val Iwork = "application/vnd.apple.iwork"
   val Csv = "text/csv"
   val Mbox = "application/mbox"
+  val Ics = "text/calendar"
+  val Vcf = "text/vcard"
   val Epub = "application/epub+zip"
   val Eml = "message/rfc822"
   val Markdown = "text/markdown"
@@ -179,6 +181,8 @@ object MimeSniffer {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) return Plain
     if (looksLikeXml(bytes)) return Xml
     if (looksLikeHtml(bytes)) return Html
+    if (startsWith(bytes, 0, "BEGIN:VCALENDAR")) return Ics
+    if (startsWith(bytes, 0, "BEGIN:VCARD")) return Vcf
     if (extractous.mail.MboxExtractor.looksLikeMbox(bytes)) return Mbox
     if (looksLikeEmail(bytes)) return Eml
     if (looksLikeMarkdown(bytes)) return Markdown

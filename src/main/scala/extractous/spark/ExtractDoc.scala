@@ -128,10 +128,14 @@ final case class ExtractStreamExpr(child: Expression, cfg: ExtractorConfig, chun
   * Common-Crawl-style web pages") — a narrow per-file transform: no shuffle,
   * parallel over files, each file decoded once on the executor that read it.
   *
-  * Error posture matches ingest reality: a structurally corrupt file yields
-  * an EMPTY array (the file contributes zero pages; per-file errors belong to
-  * the scan's bad-record accounting, not a task failure), and a record whose
-  * HTTP message is malformed is skipped while the rest of the file survives.
+  * Error posture matches ingest reality — losses are ACCOUNTED, never
+  * silent, and never a task failure: structural corruption truncates the
+  * file at the torn record and appends a `rec_type = "file_error"` row (the
+  * gigabyte of good pages before a torn tail survives); a response whose
+  * HTTP message is malformed becomes a `rec_type = "response_error"` row.
+  * Both carry the error text in `content_type` and an empty payload, so
+  * ingest observability is one `groupBy(rec_type).count()` away and the
+  * page path is a simple `rec_type = 'response'` filter.
   */
 final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(WarcRecordsExpr.recordType, containsNull = false)
@@ -142,34 +146,44 @@ final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"warc_records expects BINARY input, got ${child.dataType.sql}")
 
+  private def row(url: String, date: String, recType: String, ctype: String,
+      payload: Array[Byte]): GenericInternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(url), UTF8String.fromString(date),
+      UTF8String.fromString(recType), UTF8String.fromString(ctype), payload))
+
+  private def trimMsg(e: Exception): String = {
+    val m = if (e.getMessage == null) e.toString else e.getMessage
+    if (m.length > 200) m.substring(0, 200) else m
+  }
+
   override def eval(input: InternalRow): Any = {
     val bytes = child.eval(input).asInstanceOf[Array[Byte]]
     if (bytes == null || bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
     val plain =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         try extractous.core.Extract.gunzip(bytes, maxOut = 1 << 30)
-        catch { case _: Exception => return new GenericArrayData(Array.empty[Any]) }
+        catch {
+          case e: Exception =>
+            return new GenericArrayData(Array[Any](row("", "", "file_error", trimMsg(e), Array.emptyByteArray)))
+        }
       else bytes
-    val recs =
-      try extractous.core.WarcExtractor.records(plain)
-      catch { case _: Exception => return new GenericArrayData(Array.empty[Any]) }
+    val (recs, fileErr) = extractous.core.WarcExtractor.recordsLenient(plain)
     val rows = recs.flatMap { rec =>
-      val payload: Option[Array[Byte]] = rec.warcType match {
+      rec.warcType match {
         case "response" if rec.contentType.startsWith("application/http") =>
-          try Some(extractous.core.WarcExtractor.httpBody(rec.block))
-          catch { case _: Exception => None }
-        case "resource" | "conversion" => Some(rec.block)
+          try Some(row(rec.targetUri, rec.date, rec.warcType, rec.contentType,
+            extractous.core.WarcExtractor.httpBody(rec.block)))
+          catch {
+            case e: Exception =>
+              Some(row(rec.targetUri, rec.date, "response_error", trimMsg(e), Array.emptyByteArray))
+          }
+        case "resource" | "conversion" =>
+          Some(row(rec.targetUri, rec.date, rec.warcType, rec.contentType, rec.block))
         case _ => None
       }
-      payload.map { body =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(rec.targetUri),
-          UTF8String.fromString(rec.date),
-          UTF8String.fromString(rec.warcType),
-          UTF8String.fromString(rec.contentType),
-          body))
-      }
-    }
+    } ++ fileErr.map(msg => row("", "", "file_error",
+      if (msg.length > 200) msg.substring(0, 200) else msg, Array.emptyByteArray))
     new GenericArrayData(rows.toArray[Any])
   }
   override protected def withNewChildInternal(newChild: Expression): WarcRecordsExpr = copy(child = newChild)

@@ -39,7 +39,14 @@ final case class Manifest(
       * error-taxonomy observability, /root/reference/errors.go:301-316 analogue)
       */
     status_counts: Map[String, Long] = Map.empty,
-    extractor_version: String)
+    extractor_version: String,
+    /** Days whose files in OLDER snapshots this snapshot supersedes (set by
+      * compaction rewrites). Readers walking the chain drop an ancestor's
+      * files for any day a newer manifest lists here — Iceberg's
+      * rewrite-data-files semantics. Absent (None) in pre-compaction
+      * manifests.
+      */
+    replaced_days: Option[Seq[String]] = None)
 
 final class SnapshotTable(val root: String) {
   private val mapper = new ObjectMapper()
@@ -78,8 +85,31 @@ final class SnapshotTable(val root: String) {
 
   def committedDays: Set[String] = chain().flatMap(_.committed_days).toSet
 
+  private val dayRe = "warc_day=([^/]+)/".r
+
+  private def dayOf(relFile: String): Option[String] =
+    dayRe.findFirstMatchIn(relFile).map(_.group(1))
+
+  /** Visible files at a snapshot, RELATIVE to the table root: chain walk
+    * newest-first, dropping an ancestor's files for days a newer manifest
+    * replaced (compaction rewrite semantics).
+    */
+  def visibleRelFiles(asOf: Option[Long] = currentSnapshotId): Seq[String] = {
+    var replaced = Set.empty[String]
+    val out = Seq.newBuilder[String]
+    chain(asOf).foreach { m =>
+      m.files.foreach { f =>
+        if (!dayOf(f).exists(replaced)) out += f
+      }
+      // Option(...).flatten: manifests written before this field existed
+      // deserialize it as null, not None
+      replaced ++= Option(m.replaced_days).flatten.getOrElse(Nil)
+    }
+    out.result()
+  }
+
   def allFiles(asOf: Option[Long] = currentSnapshotId): Seq[String] =
-    chain(asOf).flatMap(_.files).map(f => Paths.get(root, f).toString)
+    visibleRelFiles(asOf).map(f => Paths.get(root, f).toString)
 
   /** Read the table at the current (or a historical) snapshot. Partition
     * column `warc_day` is recovered from the path layout via basePath, so
@@ -96,17 +126,33 @@ final class SnapshotTable(val root: String) {
     * see the snapshot only after the final atomic rename — a crash at any
     * earlier point leaves invisible orphans, never a torn table.
     */
-  def commit(stagingDir: String, days: Seq[String], lineage: Seq[LineageRow],
-      version: String, statusCounts: Map[String, Long] = Map.empty): Long = {
-    init()
-    // next id = 1 + max over ALL existing manifests (not just the current
-    // chain) so a rollback of CURRENT never collides with orphaned snapshots
+  // next id = 1 + max over ALL existing manifests (not just the current
+  // chain) so a rollback of CURRENT never collides with orphaned snapshots
+  private def nextSnapshotId: Long = {
     val existing = Files.list(manifestsDir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
         s.stripPrefix("snap-").stripSuffix(".json").toLong }
       .toSeq
-    val snapId = (existing :+ -1L).max + 1
+    (existing :+ -1L).max + 1
+  }
+
+  private def publish(m: Manifest): Long = {
+    val tmp = manifestsDir.resolve(s".snap-${m.snapshot_id}.tmp")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m))
+    Files.move(tmp, manifestsDir.resolve(f"snap-${m.snapshot_id}%05d.json"), StandardCopyOption.ATOMIC_MOVE)
+    val ptrTmp = manifestsDir.resolve(".CURRENT.tmp")
+    Files.writeString(ptrTmp, m.snapshot_id.toString)
+    Files.move(ptrTmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    m.snapshot_id
+  }
+
+  def commit(stagingDir: String, days: Seq[String], lineage: Seq[LineageRow],
+      version: String, statusCounts: Map[String, Long] = Map.empty,
+      replacedDays: Seq[String] = Seq.empty): Long = {
+    init()
+    val snapId = nextSnapshotId
     // gather all pending (src, dst, rel) moves, then rename in parallel —
     // renames are per-file atomic and invisible until the manifest publishes,
     // but hundreds of serial metadata ops would become the job's Amdahl tail
@@ -136,14 +182,76 @@ final class SnapshotTable(val root: String) {
     }
     val rel = Seq.newBuilder[String]
     moves.foreach { case (_, _, r) => rel += r }
-    val m = Manifest(snapId, currentSnapshotId.getOrElse(-1L), days, rel.result(), lineage, statusCounts, version)
-    val tmp = manifestsDir.resolve(s".snap-$snapId.tmp")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m))
-    Files.move(tmp, manifestsDir.resolve(f"snap-$snapId%05d.json"), StandardCopyOption.ATOMIC_MOVE)
-    val ptrTmp = manifestsDir.resolve(".CURRENT.tmp")
-    Files.writeString(ptrTmp, snapId.toString)
-    Files.move(ptrTmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    snapId
+    publish(Manifest(snapId, currentSnapshotId.getOrElse(-1L), days, rel.result(),
+      lineage, statusCounts, version,
+      if (replacedDays.isEmpty) None else Some(replacedDays)))
   }
+
+  /** Iceberg-style rewrite-data-files: every day whose visible file count
+    * exceeds 1 (and is under-sized vs `targetFileBytes`) is re-read and
+    * rewritten as ⌈bytes/target⌉ files, committed as ONE new snapshot whose
+    * `replaced_days` supersedes the fragments. Time travel to pre-compaction
+    * snapshots still sees the original files (nothing is deleted here — that
+    * is [[expire]]'s job), and a crash mid-compaction leaves only invisible
+    * staging/orphans, never a torn table. Returns the new snapshot id, or
+    * the current one when nothing needs compacting.
+    */
+  def compact(spark: SparkSession, targetFileBytes: Long = 128L << 20): Long = {
+    val byDay = visibleRelFiles().groupBy(f => dayOf(f).getOrElse(""))
+    val toCompact = byDay.filter { case (day, fs) =>
+      day.nonEmpty && fs.length > 1 &&
+        fs.map(f => Files.size(Paths.get(root, f))).sum <= targetFileBytes * fs.length
+    }
+    if (toCompact.isEmpty) return currentSnapshotId.getOrElse(-1L)
+    val staging = Files.createTempDirectory(Paths.get(root), ".compact")
+    toCompact.toSeq.sortBy(_._1).foreach { case (day, fs) =>
+      val abs = fs.map(f => Paths.get(root, f).toString)
+      val totalBytes = fs.map(f => Files.size(Paths.get(root, f))).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
+        .drop("warc_day") // path layout carries the partition value
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(staging.resolve(s"warc_day=$day").toString)
+    }
+    val days = toCompact.keys.toSeq.sorted
+    val id = commit(staging.toString, days, lineage = Seq.empty,
+      version = chain().head.extractor_version,
+      statusCounts = Map.empty, replacedDays = days)
+    deleteRecursively(staging)
+    id
+  }
+
+  /** Iceberg's expire-snapshots + remove-orphan-files, for a chain-manifest
+    * layout: squash the CURRENT visible state into one self-contained
+    * manifest (committed days, visible files, concatenated lineage, summed
+    * status counts), then delete every older manifest and every data file no
+    * longer referenced. History is gone by design — run it when the
+    * time-travel window may be dropped.
+    */
+  def expire(): Long = {
+    val cur = currentSnapshotId.getOrElse(return -1L)
+    val ms = chain(Some(cur))
+    val visible = visibleRelFiles(Some(cur))
+    val squashed = Manifest(
+      nextSnapshotId, -1L,
+      ms.flatMap(_.committed_days).distinct.sorted,
+      visible,
+      ms.flatMap(_.lineage),
+      ms.flatMap(_.status_counts.toSeq).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum },
+      ms.head.extractor_version)
+    val id = publish(squashed)
+    // orphan GC: every non-squash manifest, every unreferenced data file
+    Files.list(manifestsDir).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("snap-") && n != f"snap-$id%05d.json") Files.delete(p)
+    }
+    val keep = visible.map(f => Paths.get(root, f).normalize).toSet
+    Files.walk(dataDir).iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p) && !keep(p.normalize))
+      .foreach(Files.delete)
+    id
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
 }

@@ -136,6 +136,25 @@ object SparkEntry {
           (length(col("error")) > 0).cast("long").as("has_error"))
         .orderBy(col("url"))
     }),
+    "q_stream_extract" -> ((s, dir) => {
+      // incremental crawl processing: the FLAGSHIP extraction as a stream —
+      // the corpus table consumed by the file source (a new day-file arrives
+      // as a new micro-batch), extract_doc per row, APPEND to a memory sink.
+      // Stateless narrow streaming: no watermark, no state store — the same
+      // plan shape as the batch hot path, so the result must equal the batch
+      // extraction exactly (same oracle as x_extract/x_job).
+      val corpusDir = java.nio.file.Files.createTempDirectory("qstreamcorpus").toString
+      extractous.jobs.CorpusWriter.write(s, dir, corpusDir)
+      val schema = s.read.parquet(corpusDir).schema
+      val qn = "stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = xf.extractFrame(
+          s.readStream.schema(schema).parquet(corpusDir), CorpusGen.flagshipConfig)
+        .select(col("url"), col("text"), col("status").cast("long").as("status"), col("content_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy(col("url"))
+    }),
     "x_job" -> ((s, dir) => {
       // END-TO-END: corpus table → resumable snapshot job → read-back of the
       // committed table. Same oracle as x_extract ⇒ the whole job (partitioned
@@ -386,6 +405,18 @@ object SparkEntry {
       val ds = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
         .map { case (id, text, lang) => (id, CorpusGen.archivePayload(id, text, lang)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_cal" -> ((s, dir) => {
+      // iCalendar / vCard (RFC 5545/6350) by id/100 parity: folded long
+      // lines + TEXT escapes round-trip through the unfold/unescape path
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.calPayload(id, text)) }
         .toDF("doc_id", "payload")
       ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
@@ -1036,7 +1067,8 @@ object SparkEntry {
       | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("x_job" -> oracleSqlBase("x_extract"))
+    oracleSqlBase + ("x_job" -> oracleSqlBase("x_extract")) +
+      ("q_stream_extract" -> oracleSqlBase("x_extract"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "x_extract" ->
@@ -1193,6 +1225,13 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
          | || text || chr(10) || text AS text,
          |CASE WHEN (doc_id // 100) % 2 = 0 THEN 'application/zip' ELSE 'application/x-tar' END AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_cal" ->
+      s"""SELECT doc_id,
+         |CASE WHEN (doc_id // 100) % 2 = 0
+         |  THEN 'Document ' || $sqlId || chr(10) || text || chr(10) || 'Room ' || $sqlId
+         |  ELSE 'Document ' || $sqlId || chr(10) || 'Example Corp ' || $sqlId || chr(10) || text END AS text,
+         |CASE WHEN (doc_id // 100) % 2 = 0 THEN 'text/calendar' ELSE 'text/vcard' END AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_pages" ->
       s"""SELECT doc_id,

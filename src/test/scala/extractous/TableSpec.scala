@@ -20,6 +20,48 @@ class TableSpec extends AnyFunSuite {
     p
   }
 
+  test("compaction rewrites fragmented days; expire squashes history and GCs orphans") {
+    val tableDir = java.nio.file.Files.createTempDirectory("tablec").toString
+    // groupSize=5 → 6 snapshots; salt=true repartitions by url so each day is
+    // written by several tasks → several part files per day (the small-files
+    // problem compaction exists for)
+    val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 5, salt = true)
+    assert(s.snapshots.size == 6)
+    val table = new SnapshotTable(tableDir)
+    val before = table.read(spark).orderBy("url").select("url", "text", "status")
+      .collect().toSeq
+    val filesBefore = table.allFiles().size
+    val preCompactionSnap = table.currentSnapshotId.get
+
+    val cid = table.compact(spark)
+    assert(cid > preCompactionSnap)
+    // every day collapsed to one file (tiny table, one output file per day)
+    assert(table.allFiles().size == 30, s"expected 30 files, got ${table.allFiles().size}")
+    assert(filesBefore > 30)
+    // read-back identical after compaction
+    val after = table.read(spark).orderBy("url").select("url", "text", "status").collect().toSeq
+    assert(after == before)
+    // time travel to the pre-compaction snapshot still sees the fragments
+    assert(table.allFiles(Some(preCompactionSnap)).size == filesBefore)
+    assert(table.read(spark, asOf = Some(preCompactionSnap)).count() == 500)
+    // resume still recognizes every day as committed (no re-extraction)
+    val s2 = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 5)
+    assert(s2.snapshots.isEmpty && s2.docs == 0)
+
+    val eid = table.expire()
+    assert(table.currentSnapshotId.contains(eid))
+    assert(table.chain().size == 1, "expire must squash the chain")
+    // orphan fragments physically gone, visible data intact
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(tableDir, "data"))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(dataFiles == 30, s"expected 30 data files after GC, got $dataFiles")
+    val finalRows = table.read(spark).orderBy("url").select("url", "text", "status").collect().toSeq
+    assert(finalRows == before)
+    // lineage and status metrics survive the squash
+    assert(table.chain().head.lineage.nonEmpty)
+    assert(table.chain().head.status_counts.values.sum == 500)
+  }
+
   test("full job: 3 snapshots over 30 days, output matches direct extraction") {
     val tableDir = java.nio.file.Files.createTempDirectory("table1").toString
     val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)

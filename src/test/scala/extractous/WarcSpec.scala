@@ -75,20 +75,31 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
-  test("warc_records expression: corrupt file → empty array; good file → decoded entities") {
+  test("warc_records expression: good file → decoded entities; corruption → accounted, not silent") {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val good = CorpusGen.warcRecords(11, text, "en").flatMap(r => CorpusGen.gzMember(r)).toArray
     val bad = "WARC/1.0\r\nbroken".getBytes
-    val df = Seq(("good", good), ("bad", bad)).toDF("name", "payload")
+    // torn tail: two docs' records, last record truncated mid-block — the
+    // good prefix must survive with the loss accounted as a file_error row
+    val torn = {
+      val all = CorpusGen.warcRecords(1, text, "en") ++ CorpusGen.warcRecords(2, text, "en")
+      val flat = all.flatMap(r => r).toArray
+      java.util.Arrays.copyOf(flat, flat.length - 10)
+    }
+    val df = Seq(("good", good), ("bad", bad), ("torn", torn)).toDF("name", "payload")
       .select(col("name"), extractous.spark.functions.warc_records(col("payload")).as("recs"))
     val rows = df.collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
-    assert(rows("bad").isEmpty)
+    assert(rows("bad").map(_.getString(2)) == Seq("file_error"))
     val recs = rows("good")
     assert(recs.length == 3) // 2 responses + 1 conversion; warcinfo/request dropped
     assert(recs.map(_.getString(2)).toSet == Set("response", "conversion"))
     val htmlRec = recs.find(r => r.getString(0) == "https://host-4.example/doc/11").get
     assert(MimeSniffer.sniff(htmlRec.getAs[Array[Byte]]("payload")) == MimeSniffer.Html)
+    // torn file: doc-1's 3 rows + doc-2's first response survive, + file_error
+    val t = rows("torn").map(_.getString(2))
+    assert(t.last == "file_error", s"loss must be accounted: $t")
+    assert(t.count(_ == "response") >= 3, s"good prefix must survive: $t")
   }
 
   test("crawl → corpus table → extract table, end to end") {
@@ -103,6 +114,8 @@ class WarcSpec extends AnyFunSuite {
       java.nio.file.Files.write(warcDir.resolve(f"crawl-$i.warc.gz"), out.toByteArray)
     }
     val corpusDir = java.nio.file.Files.createTempDirectory("warccorpus").toString
+    val stats = extractous.jobs.WarcIngest.recordStats(spark, s"$warcDir/*.warc.gz")
+    assert(stats == Map("response" -> 8L, "conversion" -> 4L)) // zero losses accounted
     val n = extractous.jobs.WarcIngest.run(spark, s"$warcDir/*.warc.gz", corpusDir)
     assert(n == 12) // 4 docs × (2 responses + 1 conversion)
     val tableDir = java.nio.file.Files.createTempDirectory("warctable").toString
