@@ -125,7 +125,9 @@ object Extract {
     */
   private[extractous] def gunzip(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    // Long math: bytes.length * 4 overflows Int at >= 512 MB inputs (crawl
+    // .warc.gz files are that big) and a negative initial size throws
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length.toLong * 4, 1L << 20).toInt)
     val buf = new Array[Byte](65536)
     var total = 0
     var n = in.read(buf)

@@ -39,6 +39,10 @@ object WarcExtractor {
       contentType: String, block: Array[Byte])
 
   def extract(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    // depth gate FIRST — it is free, and a deeply-nested bomb must not buy a
+    // full structural walk + block copies before being rejected
+    if (depth >= 3)
+      return ExtractResult.fail(ExtractStatus.UnsupportedFormat, "warc: nesting too deep", MimeSniffer.Warc)
     val recs =
       try records(bytes)
       catch {
@@ -47,8 +51,6 @@ object WarcExtractor {
       }
     if (recs.isEmpty)
       return ExtractResult.fail(ExtractStatus.ExtractionFailed, "warc: no records", MimeSniffer.Warc)
-    if (depth >= 3)
-      return ExtractResult.fail(ExtractStatus.UnsupportedFormat, "warc: nesting too deep", MimeSniffer.Warc)
 
     val emitter = new TextEmitter(cfg.maxStringLength)
     val xe = new XmlEmitter(cfg.maxStringLength)

@@ -418,32 +418,32 @@ object CorpusGen {
   def calPayload(id: Long, text: String): Array[Byte] = {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace(",", "\\,").replace(";", "\\;").replace("\n", "\\n")
-    def fold(line: String): String =
-      line.grouped(70).mkString("\r\n ")
-    val s =
-      if ((id / 100) % 2 == 0)
-        s"""BEGIN:VCALENDAR\r
-           |VERSION:2.0\r
-           |PRODID:-//extractousgospark//EN\r
-           |BEGIN:VEVENT\r
-           |UID:doc-$id@example\r
-           |DTSTART:20240101T000000Z\r
-           |SUMMARY:Document $id\r
-           |${fold(s"DESCRIPTION:${esc(text)}")}\r
-           |LOCATION:Room $id\r
-           |END:VEVENT\r
-           |END:VCALENDAR\r
-           |""".stripMargin
-      else
-        s"""BEGIN:VCARD\r
-           |VERSION:4.0\r
-           |FN:Document $id\r
-           |ORG:Example Corp $id\r
-           |${fold(s"NOTE:${esc(text)}")}\r
-           |EMAIL;TYPE=work:doc$id@example.com\r
-           |END:VCARD\r
-           |""".stripMargin
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // fold joined with a REAL "CRLF + space" — built as a line list, never
+    // through stripMargin (a continuation chunk starting with '|' would have
+    // its pipe eaten by the margin stripper and break unfolding)
+    def fold(line: String): String = line.grouped(70).mkString("\r\n ")
+    val lines =
+      if ((id / 100) % 2 == 0) Seq(
+        "BEGIN:VCALENDAR",
+        "VERSION:2.0",
+        "PRODID:-//extractousgospark//EN",
+        "BEGIN:VEVENT",
+        s"UID:doc-$id@example",
+        "DTSTART:20240101T000000Z",
+        s"SUMMARY:Document $id",
+        fold(s"DESCRIPTION:${esc(text)}"),
+        s"LOCATION:Room $id",
+        "END:VEVENT",
+        "END:VCALENDAR")
+      else Seq(
+        "BEGIN:VCARD",
+        "VERSION:4.0",
+        s"FN:Document $id",
+        s"ORG:Example Corp $id",
+        fold(s"NOTE:${esc(text)}"),
+        s"EMAIL;TYPE=work:doc$id@example.com",
+        "END:VCARD")
+    lines.mkString("", "\r\n", "\r\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
   def gzMember(b: Array[Byte]): Array[Byte] = {

@@ -27,7 +27,10 @@ object WarcIngest {
       .select(col("path").as("input_file"), explode(xf.warc_records(col("content"))).as("rec"))
       .select(col("rec.url").as("url"),
         col("rec.payload").as("html"),
-        to_date(substring(col("rec.warc_date"), 1, 10)).as("warc_day"),
+        // try_to_date: _error rows carry warc_date = "" and crawl files can
+        // hold garbage dates — under Spark 4's ANSI defaults an unguarded
+        // to_date("") is a task failure, which the accounting contract forbids
+        try_to_date(substring(col("rec.warc_date"), 1, 10)).as("warc_day"),
         col("rec.rec_type").as("rec_type"),
         col("rec.content_type").as("record_content_type"),
         col("input_file"))

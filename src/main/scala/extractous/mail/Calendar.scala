@@ -26,7 +26,20 @@ object CalendarExtractor {
     val unfolded = s.replace("\r\n ", "").replace("\r\n\t", "")
       .replace("\n ", "").replace("\n\t", "")
     unfolded.split("\r\n|\n", -1).toSeq.filter(_.nonEmpty).flatMap { line =>
-      val colon = line.indexOf(':')
+      // the NAME:VALUE separator is the first ':' NOT inside a DQUOTE'd
+      // parameter value (RFC 5545 §3.2 ALTREP="CID:...": the quoted colon is
+      // part of the parameter, not the separator)
+      var colon = -1
+      var inQuote = false
+      var i = 0
+      while (colon < 0 && i < line.length) {
+        line.charAt(i) match {
+          case '"'              => inQuote = !inQuote
+          case ':' if !inQuote  => colon = i
+          case _                => ()
+        }
+        i += 1
+      }
       if (colon <= 0) None
       else {
         val name = line.substring(0, colon)

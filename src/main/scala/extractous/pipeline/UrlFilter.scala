@@ -42,4 +42,52 @@ object UrlFilter {
   /** Pages that survive the blocklist (the pre-extraction gate). */
   def allow(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame =
     df.filter(isBlocked(col(urlCol), blocked) === 0)
+
+  /** URL path (+ "/" default), for robots matching. */
+  def path(url: Column): Column = {
+    val p = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Robots-exclusion gate (RFC 9309) — the other half of crawl URL
+    * hygiene: `robots` is a `(host, robots_txt)` table; each page is matched
+    * against its host's rules for `agent`.
+    *
+    * Shape: the per-host robots text is parsed ONCE per robots row by the
+    * imperative `robots_rules` expression (group selection per RFC 9309 §2.2:
+    * the most specific matching user-agent group wins, `*` is the fallback,
+    * consecutive agent lines share a group), then pages join robots by host
+    * — robots rows are tiny and far fewer than pages, so the join
+    * broadcasts — and the longest-match/allow-wins decision runs as
+    * codegen'd HOFs over the rule array. Prefix rules only (the
+    * overwhelming majority in the wild); `*`/`$` wildcard rules are
+    * IGNORED rather than mis-applied, and a host with no robots row allows
+    * everything — both per the RFC's fail-open posture.
+    *
+    * Output: input columns + `blocked` (0/1).
+    */
+  def robotsBlocked(pages: DataFrame, urlCol: String, robots: DataFrame, agent: String): DataFrame = {
+    val rules = robots.select(
+      lower(col("host")).as("_rhost"),
+      extractous.spark.RobotsRulesExpr.rules(col("robots_txt"), agent).as("_rules"))
+    val p = path(col(urlCol))
+    val joined = pages
+      .withColumn("_phost", host(col(urlCol)))
+      .join(broadcast(rules), col("_phost") === col("_rhost"), "left")
+    val applicable = filter(coalesce(col("_rules"),
+      array().cast("array<struct<allow:boolean,prefix:string>>")),
+      r => p.startsWith(r.getField("prefix")))
+    // longest prefix wins; Allow wins a length tie (RFC 9309 §2.4.2)
+    val best = aggregate(applicable,
+      struct(lit(false).as("allow"), lit("").as("prefix")),
+      (acc, r) => {
+        val rLen = length(r.getField("prefix"))
+        val aLen = length(acc.getField("prefix"))
+        when(rLen > aLen || (rLen === aLen && r.getField("allow")), r).otherwise(acc)
+      })
+    joined
+      .withColumn("blocked",
+        (length(best.getField("prefix")) > 0 && !best.getField("allow")).cast("long"))
+      .drop("_phost", "_rhost", "_rules")
+  }
 }

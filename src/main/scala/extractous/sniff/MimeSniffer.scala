@@ -111,6 +111,43 @@ object MimeSniffer {
     false
   }
 
+  /** Entry names from the zip CENTRAL directory (EOCD scan from the tail,
+    * then PK\x01\x02 walk) — the only reliable name source; local headers
+    * lie under streamed zips (data descriptors) and raw-byte scans match
+    * member content. Malformed directory ⇒ empty (the rung just declines).
+    */
+  private def zipEntryNames(b: Array[Byte]): Seq[String] = {
+    // EOCD: PK\x05\x06 within the last 64 KB + 22 bytes
+    var eocd = -1
+    var i = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65536)
+    while (eocd < 0 && i >= stop) {
+      if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return Seq.empty
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val count = u16(eocd + 10)
+    var off = u32(eocd + 16)
+    if (off < 0 || off > b.length - 4) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var n = 0
+    while (n < count && off + 46 <= b.length &&
+        b(off.toInt) == 'P' && b(off.toInt + 1) == 'K' && b(off.toInt + 2) == 1 && b(off.toInt + 3) == 2) {
+      val o = off.toInt
+      val nameLen = u16(o + 28)
+      val extraLen = u16(o + 30)
+      val commentLen = u16(o + 32)
+      if (o + 46 + nameLen > b.length) return out.result()
+      out += new String(b, o + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+      off = o + 46 + nameLen + extraLen + commentLen
+      n += 1
+    }
+    out.result()
+  }
+
   private def looksLikeHtml(b: Array[Byte]): Boolean = {
     // skip UTF-8 BOM + leading whitespace
     var i = 0
@@ -162,8 +199,12 @@ object MimeSniffer {
       if (zipContains(bytes, "ppt/")) return Pptx
       // iWork '09 package: index.xml + QuickLook/ together (either alone is
       // too generic); the application (Pages/Numbers/Keynote) is only
-      // knowable from index.xml's root, which is the parser's job
-      if (zipContains(bytes, "index.xml") && zipContains(bytes, "QuickLook/")) return Iwork
+      // knowable from index.xml's root, which is the parser's job. Checked
+      // against the central directory's REAL entry names — a raw-byte scan
+      // would false-positive on any archive whose member CONTENT merely
+      // mentions these strings (and misroute it away from archive recursion)
+      val names = zipEntryNames(bytes)
+      if (names.contains("index.xml") && names.exists(_.startsWith("QuickLook/"))) return Iwork
       return Zip
     }
     if (startsWith(bytes, 0, "{\\rtf")) return Rtf

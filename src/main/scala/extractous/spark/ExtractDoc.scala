@@ -159,7 +159,9 @@ final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with
 
   override def eval(input: InternalRow): Any = {
     val bytes = child.eval(input).asInstanceOf[Array[Byte]]
-    if (bytes == null || bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
+    if (bytes == null || bytes.isEmpty)
+      // a 0-byte crawl file (torn upload) is a loss too — account it
+      return new GenericArrayData(Array[Any](row("", "", "file_error", "empty input", Array.emptyByteArray)))
     val plain =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         try extractous.core.Extract.gunzip(bytes, maxOut = 1 << 30)

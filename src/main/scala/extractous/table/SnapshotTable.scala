@@ -199,8 +199,13 @@ final class SnapshotTable(val root: String) {
   def compact(spark: SparkSession, targetFileBytes: Long = 128L << 20): Long = {
     val byDay = visibleRelFiles().groupBy(f => dayOf(f).getOrElse(""))
     val toCompact = byDay.filter { case (day, fs) =>
-      day.nonEmpty && fs.length > 1 &&
-        fs.map(f => Files.size(Paths.get(root, f))).sum <= targetFileBytes * fs.length
+      // only rewrite when it actually SHRINKS the file count — otherwise a
+      // day of right-sized files would be fully rewritten on every
+      // maintenance run, never converging
+      day.nonEmpty && fs.length > 1 && {
+        val total = fs.map(f => Files.size(Paths.get(root, f))).sum
+        math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt) < fs.length
+      }
     }
     if (toCompact.isEmpty) return currentSnapshotId.getOrElse(-1L)
     val staging = Files.createTempDirectory(Paths.get(root), ".compact")

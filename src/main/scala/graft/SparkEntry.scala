@@ -995,6 +995,30 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    "d_robots" -> ((s, dir) => {
+      // robots-exclusion gate (RFC 9309): per-host robots.txt with a `*`
+      // group (Disallow /private, Allow /private/ok — longest-match allow
+      // wins, plus a wildcard rule that must be SKIPPED not misapplied) and,
+      // on odd hosts, a specific graftbot group that supersedes `*` entirely
+      import s.implicits._
+      val hostN = when(col("doc_id") % 2 === 0, lit(0)).otherwise(col("doc_id") % 9 + 1)
+      val pathC = when(col("doc_id") % 5 === 0, lit("/private/doc-"))
+        .when(col("doc_id") % 5 === 1, lit("/private/ok/doc-"))
+        .when(col("doc_id") % 5 === 2, lit("/bot/doc-"))
+        .otherwise(lit("/doc-"))
+      val url = concat(lit("https://host-"), hostN.cast("string"), lit(".example"),
+        pathC, col("doc_id").cast("string"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"))
+      val robots = (0 to 9).map { n =>
+        val base = "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /*.gif$\n"
+        val spec = if (n % 2 == 1) "User-agent: graftbot\nDisallow: /bot\n" else ""
+        (s"host-$n.example", base + spec)
+      }.toDF("host", "robots_txt")
+      extractous.pipeline.UrlFilter.robotsBlocked(pages, "url", robots, "graftbot")
+        .select(col("doc_id"), col("url"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
     "d_urlfilter" -> ((s, dir) => {
       // UT1-style domain blocklist: suffix-correct matching as a narrow
       // literal-array expression (no join, no shuffle — see UrlFilter)
@@ -1669,6 +1693,19 @@ object SparkEntry {
         |SELECT doc_id, fp % 100 AS bucket,
         |  CASE WHEN fp % 100 < 80 THEN 'train' WHEN fp % 100 < 90 THEN 'val' ELSE 'test' END AS split
         |FROM f ORDER BY doc_id""".stripMargin,
+    "d_robots" ->
+      // closed form: odd hosts have a specific graftbot group (only /bot
+      // blocked); even hosts fall back to * (/private blocked unless the
+      // longer /private/ok allow matches)
+      s"""SELECT doc_id,
+         |'https://host-' || CAST(hn AS VARCHAR) || '.example' || pth || $sqlId AS url,
+         |CAST(CASE WHEN hn % 2 = 1 THEN CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END
+         |          ELSE CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END END AS BIGINT) AS blocked
+         |FROM (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS hn,
+         |  CASE doc_id % 5 WHEN 0 THEN '/private/doc-' WHEN 1 THEN '/private/ok/doc-'
+         |    WHEN 2 THEN '/bot/doc-' ELSE '/doc-' END AS pth
+         |FROM documents) ORDER BY doc_id""".stripMargin,
     "d_urlfilter" ->
       s"""SELECT doc_id, $sqlUrl AS url,
          |'host-' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS VARCHAR) || '.example' AS host,

@@ -34,6 +34,14 @@ class CalendarSpec extends AnyFunSuite {
     assert(r.status == ExtractStatus.Ok && r.text == "line one\nline two")
   }
 
+  test("quoted parameter value containing ':' does not corrupt the text (RFC 5545 ALTREP)") {
+    val ics = "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\n" +
+      "DESCRIPTION;ALTREP=\"CID:part3.msg@example.com\":Project XYZ Review Meeting\r\n" +
+      "END:VEVENT\r\nEND:VCALENDAR\r\n"
+    val r = Extract(ics.getBytes)
+    assert(r.status == ExtractStatus.Ok && r.text == "Project XYZ Review Meeting")
+  }
+
   test("calendar with no extractable component fails with a status") {
     val empty = "BEGIN:VCALENDAR\r\nVERSION:2.0\r\nEND:VCALENDAR\r\n"
     val r = Extract(empty.getBytes)

@@ -18,6 +18,11 @@ class IworkSpec extends AnyFunSuite {
     // a plain zip with an index.xml but no QuickLook stays a zip
     val z = extractous.gen.DocxWriter.zip(Seq("index.xml" -> "<a/>".getBytes))
     assert(MimeSniffer.sniff(z) == MimeSniffer.Zip)
+    // a zip whose member CONTENT merely mentions the marker strings stays a
+    // zip (entry names come from the central directory, not a byte scan)
+    val decoy = extractous.gen.DocxWriter.zip(Seq(
+      "readme.txt" -> "see index.xml and QuickLook/Thumbnail.jpg for details".getBytes))
+    assert(MimeSniffer.sniff(decoy) == MimeSniffer.Zip)
   }
 
   test("paragraphs extract in document order with entities unescaped") {

@@ -64,6 +64,51 @@ class QualitySpec extends AnyFunSuite {
       s"blocklist gate must be a narrow projection:\n$plan")
   }
 
+  test("robots parse: grouping, specific-agent supersession, wildcard skip, empty disallow") {
+    import extractous.spark.RobotsRulesExpr.parse
+    val txt =
+      """# comment
+        |User-agent: alpha
+        |User-agent: beta
+        |Disallow: /a
+        |Allow: /a/ok
+        |
+        |User-agent: *
+        |Disallow: /star
+        |Disallow: /*.gif$
+        |Disallow:
+        |""".stripMargin
+    // consecutive agent lines share one group
+    assert(parse(txt, "Beta") == Seq((false, "/a"), (true, "/a/ok")))
+    // specific group supersedes *, which applies only as fallback
+    assert(parse(txt, "other") == Seq((false, "/star"))) // wildcard + empty disallow skipped
+    // a user-agent line after rules starts a NEW group
+    val two = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert(parse(two, "b") == Seq((false, "/y")))
+    // multiple groups for the same agent merge
+    val merged = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\nUser-agent: a\nDisallow: /z\n"
+    assert(parse(merged, "a") == Seq((false, "/x"), (false, "/z")))
+  }
+
+  test("robots gate: longest-match, allow-wins-tie, missing robots row fails open") {
+    import spark.implicits._
+    import extractous.pipeline.UrlFilter
+    val pages = Seq(
+      (1L, "https://crawl.example/private/doc"),     // blocked (Disallow /private)
+      (2L, "https://crawl.example/private/ok/doc"),  // allowed (longer Allow)
+      (3L, "https://crawl.example/open/doc"),        // allowed (no rule)
+      (4L, "https://norobots.example/private/doc")   // allowed (no robots row)
+    ).toDF("id", "url")
+    val robots = Seq(
+      ("crawl.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+    ).toDF("host", "robots_txt")
+    val out = UrlFilter.robotsBlocked(pages, "url", robots, "graftbot")
+    assert(out.orderBy("id").collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("blocked")).toSeq ==
+      Seq(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"robots side must broadcast:\n$plan")
+  }
+
   test("content-keyed split: identical texts share a split, plan is narrow") {
     import spark.implicits._
     import extractous.pipeline.Sampling

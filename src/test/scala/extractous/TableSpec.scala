@@ -48,6 +48,9 @@ class TableSpec extends AnyFunSuite {
     val s2 = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 5)
     assert(s2.snapshots.isEmpty && s2.docs == 0)
 
+    // convergence: a second compact() finds nothing to shrink and is a no-op
+    assert(table.compact(spark) == cid, "re-compacting a compacted table must not rewrite")
+
     val eid = table.expire()
     assert(table.currentSnapshotId.contains(eid))
     assert(table.chain().size == 1, "expire must squash the chain")

@@ -87,10 +87,12 @@ class WarcSpec extends AnyFunSuite {
       val flat = all.flatMap(r => r).toArray
       java.util.Arrays.copyOf(flat, flat.length - 10)
     }
-    val df = Seq(("good", good), ("bad", bad), ("torn", torn)).toDF("name", "payload")
+    val df = Seq(("good", good), ("bad", bad), ("torn", torn), ("empty", Array.emptyByteArray))
+      .toDF("name", "payload")
       .select(col("name"), extractous.spark.functions.warc_records(col("payload")).as("recs"))
     val rows = df.collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
     assert(rows("bad").map(_.getString(2)) == Seq("file_error"))
+    assert(rows("empty").map(_.getString(2)) == Seq("file_error")) // 0-byte file accounted too
     val recs = rows("good")
     assert(recs.length == 3) // 2 responses + 1 conversion; warcinfo/request dropped
     assert(recs.map(_.getString(2)).toSet == Set("response", "conversion"))
