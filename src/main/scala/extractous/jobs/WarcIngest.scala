@@ -29,8 +29,12 @@ object WarcIngest {
         col("rec.payload").as("html"),
         // try_to_date: _error rows carry warc_date = "" and crawl files can
         // hold garbage dates — under Spark 4's ANSI defaults an unguarded
-        // to_date("") is a task failure, which the accounting contract forbids
-        try_to_date(substring(col("rec.warc_date"), 1, 10)).as("warc_day"),
+        // to_date("") is a task failure, which the accounting contract
+        // forbids. Dateless-but-valid records coalesce to the epoch day: a
+        // real page with a torn date must still be extracted, and a NULL
+        // partition value would be invisible to ExtractJob's day walk.
+        coalesce(try_to_date(substring(col("rec.warc_date"), 1, 10)),
+          to_date(lit("1970-01-01"))).as("warc_day"),
         col("rec.rec_type").as("rec_type"),
         col("rec.content_type").as("record_content_type"),
         col("input_file"))
@@ -39,6 +43,9 @@ object WarcIngest {
     * `resource` are pages; `file_error`/`response_error` are ACCOUNTED
     * losses (torn crawl files, malformed HTTP messages) that
     * [[WarcRecordsExpr]] surfaces as rows instead of dropping silently.
+    * NOTE: this is its own pass over the crawl files — [[run]] decodes each
+    * file exactly once for the table write; call this separately (or on a
+    * sample) when the accounting is worth a second decode.
     */
   def recordStats(spark: SparkSession, warcDir: String): Map[String, Long] =
     pages(spark, warcDir).groupBy("rec_type").count()
@@ -56,5 +63,25 @@ object WarcIngest {
       .select("url", "html", "warc_day")
       .write.mode("overwrite").partitionBy("warc_day").parquet(corpusDir)
     spark.read.parquet(corpusDir).count()
+  }
+
+  /** spark-submit entry: `WarcIngest <warcGlob> <corpusDir>` — the stage
+    * before `ExtractJob <corpusDir> <tableDir>`.
+    */
+  def main(args: Array[String]): Unit = {
+    val warcDir = args(0)
+    val corpusDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("extractous-warc-ingest")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = run(spark, warcDir, corpusDir)
+    println(s"[warc-ingest] pages=$n -> $corpusDir")
+    spark.stop()
   }
 }

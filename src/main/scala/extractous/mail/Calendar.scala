@@ -12,8 +12,11 @@ import extractous.text.{TextEmitter, XmlEmitter}
   * "60+ formats", /root/reference/README.md:14).
   *
   * iCalendar emits SUMMARY / DESCRIPTION / LOCATION per VEVENT in document
-  * order; vCard emits FN / ORG / TITLE / NOTE per card. A payload with no
-  * emittable property fails the row with a status — never silent empties.
+  * order; vCard emits FN / ORG / TITLE / NOTE per card. Components nested
+  * inside a collected one (VALARM in a VEVENT) are skipped wholly. Empty
+  * lines inside a multi-line TEXT value collapse — block emission matches
+  * every other parser's canonical-text policy. A payload with no emittable
+  * property fails the row with a status — never silent empties.
   */
 object CalendarExtractor {
   val IcsMime = "text/calendar"
@@ -95,11 +98,19 @@ object CalendarExtractor {
       comp = Nil
     }
     val componentNames = Set("VEVENT", "VTODO", "VJOURNAL", "VCARD")
+    // skipDepth tracks components NESTED inside the one being collected
+    // (VALARM inside VEVENT is the everyday case): their properties must
+    // not leak into the parent's text
+    var skipDepth = 0
     lines.foreach {
-      case ("BEGIN", v) if componentNames(v.toUpperCase) => inComponent = true; events += 1; comp = Nil
-      case ("END", v) if componentNames(v.toUpperCase)   => flush(); inComponent = false
-      case (n, v) if inComponent                         => comp = (n, v) :: comp
-      case _                                             => ()
+      case ("BEGIN", v) =>
+        if (inComponent) skipDepth += 1
+        else if (componentNames(v.toUpperCase)) { inComponent = true; events += 1; comp = Nil }
+      case ("END", v) =>
+        if (skipDepth > 0) skipDepth -= 1
+        else if (inComponent && componentNames(v.toUpperCase)) { flush(); inComponent = false }
+      case (n, v) if inComponent && skipDepth == 0 => comp = (n, v) :: comp
+      case _ => ()
     }
     if (events == 0 || emitted == 0)
       ExtractResult.fail(ExtractStatus.ExtractionFailed,

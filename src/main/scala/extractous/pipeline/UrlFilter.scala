@@ -67,9 +67,14 @@ object UrlFilter {
     * Output: input columns + `blocked` (0/1).
     */
   def robotsBlocked(pages: DataFrame, urlCol: String, robots: DataFrame, agent: String): DataFrame = {
-    val rules = robots.select(
-      lower(col("host")).as("_rhost"),
-      extractous.spark.RobotsRulesExpr.rules(col("robots_txt"), agent).as("_rules"))
+    // one row per host BEFORE the join — duplicate robots rows (refetches)
+    // would otherwise duplicate every page of that host through the equi-join;
+    // max() picks deterministically
+    val rules = robots
+      .groupBy(lower(col("host")).as("_rhost"))
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("_rhost"),
+        extractous.spark.RobotsRulesExpr.rules(col("_txt"), agent).as("_rules"))
     val p = path(col(urlCol))
     val joined = pages
       .withColumn("_phost", host(col(urlCol)))

@@ -190,20 +190,23 @@ object MimeSniffer {
       // type is readable as raw bytes right after the local file header
       // the ODF mimetype entry is REQUIRED to be first and STORED, so its
       // value sits inside the first ~128 bytes — never scan the whole payload
+      // ODF/EPUB store their mimetype entry STORED and FIRST by spec, so the
+      // type is readable in the first ~128 raw bytes — keep the cheap scan
       if (zipContains(bytes, Odt, 256)) return Odt
       if (zipContains(bytes, Ods, 256)) return Ods
       if (zipContains(bytes, Odp, 256)) return Odp
       if (zipContains(bytes, Epub, 256)) return Epub // EPUB stores mimetype first, like ODF
-      if (zipContains(bytes, "word/")) return Docx
-      if (zipContains(bytes, "xl/")) return Xlsx
-      if (zipContains(bytes, "ppt/")) return Pptx
+      // Everything else keys on the central directory's REAL entry names — a
+      // raw-byte scan would false-positive on any archive whose member
+      // CONTENT merely mentions "word/"/"index.xml" (and misroute it away
+      // from archive recursion). One EOCD walk serves all rungs.
+      val names = zipEntryNames(bytes)
+      if (names.exists(_.startsWith("word/"))) return Docx
+      if (names.exists(_.startsWith("xl/"))) return Xlsx
+      if (names.exists(_.startsWith("ppt/"))) return Pptx
       // iWork '09 package: index.xml + QuickLook/ together (either alone is
       // too generic); the application (Pages/Numbers/Keynote) is only
-      // knowable from index.xml's root, which is the parser's job. Checked
-      // against the central directory's REAL entry names — a raw-byte scan
-      // would false-positive on any archive whose member CONTENT merely
-      // mentions these strings (and misroute it away from archive recursion)
-      val names = zipEntryNames(bytes)
+      // knowable from index.xml's root, which is the parser's job
       if (names.contains("index.xml") && names.exists(_.startsWith("QuickLook/"))) return Iwork
       return Zip
     }

@@ -152,15 +152,18 @@ final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with
       UTF8String.fromString(url), UTF8String.fromString(date),
       UTF8String.fromString(recType), UTF8String.fromString(ctype), payload))
 
-  private def trimMsg(e: Exception): String = {
-    val m = if (e.getMessage == null) e.toString else e.getMessage
+  private def trimMsg(m: String): String =
     if (m.length > 200) m.substring(0, 200) else m
-  }
+
+  private def trimMsg(e: Exception): String =
+    trimMsg(if (e.getMessage == null) e.toString else e.getMessage)
 
   override def eval(input: InternalRow): Any = {
     val bytes = child.eval(input).asInstanceOf[Array[Byte]]
-    if (bytes == null || bytes.isEmpty)
-      // a 0-byte crawl file (torn upload) is a loss too — account it
+    // SQL NULL carried no file at all — not a loss, no phantom accounting
+    if (bytes == null) return new GenericArrayData(Array.empty[Any])
+    if (bytes.isEmpty)
+      // a 0-byte crawl file (torn upload) IS a loss — account it
       return new GenericArrayData(Array[Any](row("", "", "file_error", "empty input", Array.emptyByteArray)))
     val plain =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
@@ -184,8 +187,7 @@ final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with
           Some(row(rec.targetUri, rec.date, rec.warcType, rec.contentType, rec.block))
         case _ => None
       }
-    } ++ fileErr.map(msg => row("", "", "file_error",
-      if (msg.length > 200) msg.substring(0, 200) else msg, Array.emptyByteArray))
+    } ++ fileErr.map(msg => row("", "", "file_error", trimMsg(msg), Array.emptyByteArray))
     new GenericArrayData(rows.toArray[Any])
   }
   override protected def withNewChildInternal(newChild: Expression): WarcRecordsExpr = copy(child = newChild)

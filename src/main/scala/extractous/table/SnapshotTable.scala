@@ -209,21 +209,21 @@ final class SnapshotTable(val root: String) {
     }
     if (toCompact.isEmpty) return currentSnapshotId.getOrElse(-1L)
     val staging = Files.createTempDirectory(Paths.get(root), ".compact")
-    toCompact.toSeq.sortBy(_._1).foreach { case (day, fs) =>
-      val abs = fs.map(f => Paths.get(root, f).toString)
-      val totalBytes = fs.map(f => Files.size(Paths.get(root, f))).sum
-      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
-        .drop("warc_day") // path layout carries the partition value
-        .coalesce(nOut)
-        .write.mode("overwrite").parquet(staging.resolve(s"warc_day=$day").toString)
-    }
-    val days = toCompact.keys.toSeq.sorted
-    val id = commit(staging.toString, days, lineage = Seq.empty,
-      version = chain().head.extractor_version,
-      statusCounts = Map.empty, replacedDays = days)
-    deleteRecursively(staging)
-    id
+    try {
+      toCompact.toSeq.sortBy(_._1).foreach { case (day, fs) =>
+        val abs = fs.map(f => Paths.get(root, f).toString)
+        val totalBytes = fs.map(f => Files.size(Paths.get(root, f))).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
+          .drop("warc_day") // path layout carries the partition value
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(staging.resolve(s"warc_day=$day").toString)
+      }
+      val days = toCompact.keys.toSeq.sorted
+      commit(staging.toString, days, lineage = Seq.empty,
+        version = chain().head.extractor_version,
+        statusCounts = Map.empty, replacedDays = days)
+    } finally deleteRecursively(staging)
   }
 
   /** Iceberg's expire-snapshots + remove-orphan-files, for a chain-manifest
@@ -254,6 +254,11 @@ final class SnapshotTable(val root: String) {
     Files.walk(dataDir).iterator().asScala.toSeq
       .filter(p => Files.isRegularFile(p) && !keep(p.normalize))
       .foreach(Files.delete)
+    // staging left by a compact() whose JVM died mid-write (the in-process
+    // path cleans up via finally; this covers hard kills)
+    Files.list(Paths.get(root)).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".compact"))
+      .foreach(deleteRecursively)
     id
   }
 

@@ -33,7 +33,12 @@ object PerfProbe {
       "scanned_pdf" -> CorpusGen.payload(96, text, "en"),
       "msg" -> extractous.gen.MsgWriter.msg("Subject 1", "Sender 1", text, unicode = true),
       "zip_archive" -> CorpusGen.archivePayload(0, text, "en"),
-      "tar_archive" -> CorpusGen.archivePayload(100, text, "en"))
+      "tar_archive" -> CorpusGen.archivePayload(100, text, "en"),
+      "warc" -> CorpusGen.warcPayload(0, text, "en"),
+      "warc_gz" -> CorpusGen.warcPayload(100, text, "en"),
+      "ics" -> CorpusGen.calPayload(0, text),
+      "vcf" -> CorpusGen.calPayload(100, text),
+      "pages" -> extractous.gen.PagesWriter.pages(Seq("Document 1", text)))
     kinds.foreach { case (kind, payload) =>
       // warmup
       (1 to 200).foreach(_ => Extract(payload, CorpusGen.flagshipConfig))

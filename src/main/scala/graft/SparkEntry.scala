@@ -142,7 +142,9 @@ object SparkEntry {
       // as a new micro-batch), extract_doc per row, APPEND to a memory sink.
       // Stateless narrow streaming: no watermark, no state store — the same
       // plan shape as the batch hot path, so the result must equal the batch
-      // extraction exactly (same oracle as x_extract/x_job).
+      // extraction exactly (same oracle as x_extract/x_job). Harness-scoped:
+      // the temp corpus copy and the memory-sink table live until the
+      // process exits (Verify runs each query once; not a bench loop op).
       val corpusDir = java.nio.file.Files.createTempDirectory("qstreamcorpus").toString
       extractous.jobs.CorpusWriter.write(s, dir, corpusDir)
       val schema = s.read.parquet(corpusDir).schema

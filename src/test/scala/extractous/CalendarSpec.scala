@@ -42,6 +42,14 @@ class CalendarSpec extends AnyFunSuite {
     assert(r.status == ExtractStatus.Ok && r.text == "Project XYZ Review Meeting")
   }
 
+  test("nested VALARM is skipped wholly — its DESCRIPTION never leaks into the event") {
+    val ics = "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:Standup\r\n" +
+      "BEGIN:VALARM\r\nACTION:DISPLAY\r\nDESCRIPTION:Reminder\r\nEND:VALARM\r\n" +
+      "DESCRIPTION:Daily sync\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n"
+    val r = Extract(ics.getBytes)
+    assert(r.status == ExtractStatus.Ok && r.text == "Standup\nDaily sync")
+  }
+
   test("calendar with no extractable component fails with a status") {
     val empty = "BEGIN:VCALENDAR\r\nVERSION:2.0\r\nEND:VCALENDAR\r\n"
     val r = Extract(empty.getBytes)

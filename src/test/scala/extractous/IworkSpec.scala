@@ -23,6 +23,14 @@ class IworkSpec extends AnyFunSuite {
     val decoy = extractous.gen.DocxWriter.zip(Seq(
       "readme.txt" -> "see index.xml and QuickLook/Thumbnail.jpg for details".getBytes))
     assert(MimeSniffer.sniff(decoy) == MimeSniffer.Zip)
+    // same class for the office rungs: content mentioning word/ or xl/ must
+    // not misroute the archive to an office parser
+    val decoy2 = extractous.gen.DocxWriter.zip(Seq(
+      "notes.txt" -> "paths: word/document.xml and xl/workbook.xml and ppt/slides".getBytes))
+    assert(MimeSniffer.sniff(decoy2) == MimeSniffer.Zip)
+    val r = extractous.core.Extract(decoy2)
+    assert(r.status == extractous.model.ExtractStatus.Ok &&
+      r.text.contains("word/document.xml")) // extracted as an archive member, not lost
   }
 
   test("paragraphs extract in document order with entities unescaped") {

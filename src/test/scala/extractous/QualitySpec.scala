@@ -105,6 +105,9 @@ class QualitySpec extends AnyFunSuite {
     val out = UrlFilter.robotsBlocked(pages, "url", robots, "graftbot")
     assert(out.orderBy("id").collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("blocked")).toSeq ==
       Seq(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // duplicate robots rows for a host (refetches) must not duplicate pages
+    val dupRobots = robots.union(robots)
+    assert(UrlFilter.robotsBlocked(pages, "url", dupRobots, "graftbot").count() == 4)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"robots side must broadcast:\n$plan")
   }
