@@ -57,16 +57,24 @@ object UrlFilter {
     * imperative `robots_rules` expression (group selection per RFC 9309 §2.2:
     * the most specific matching user-agent group wins, `*` is the fallback,
     * consecutive agent lines share a group), then pages join robots by host
-    * — robots rows are tiny and far fewer than pages, so the join
-    * broadcasts — and the longest-match/allow-wins decision runs as
-    * codegen'd HOFs over the rule array. Prefix rules only (the
+    * (broadcast or host-shuffle — see `broadcastRobots`) and the
+    * longest-match/allow-wins decision runs as codegen'd HOFs over the rule
+    * array. Prefix rules only (the
     * overwhelming majority in the wild); `*`/`$` wildcard rules are
     * IGNORED rather than mis-applied, and a host with no robots row allows
     * everything — both per the RFC's fail-open posture.
     *
     * Output: input columns + `blocked` (0/1).
     */
-  def robotsBlocked(pages: DataFrame, urlCol: String, robots: DataFrame, agent: String): DataFrame = {
+  /** @param broadcastRobots true (default) broadcasts the parsed rule table —
+    *   right when robots covers a UT1-scale host list (≤ ~10^6 hosts). A full
+    *   web crawl has ~10^8 hosts whose parsed rules exceed broadcast budgets:
+    *   pass false to shuffle-join on host instead — the exchange carries the
+    *   compact rule arrays and the pages' join columns, never page payloads,
+    *   and AQE handles host skew like the dedup band joins.
+    */
+  def robotsBlocked(pages: DataFrame, urlCol: String, robots: DataFrame, agent: String,
+      broadcastRobots: Boolean = true): DataFrame = {
     // one row per host BEFORE the join — duplicate robots rows (refetches)
     // would otherwise duplicate every page of that host through the equi-join;
     // max() picks deterministically
@@ -76,9 +84,10 @@ object UrlFilter {
       .select(col("_rhost"),
         extractous.spark.RobotsRulesExpr.rules(col("_txt"), agent).as("_rules"))
     val p = path(col(urlCol))
+    val rulesSide = if (broadcastRobots) broadcast(rules) else rules
     val joined = pages
       .withColumn("_phost", host(col(urlCol)))
-      .join(broadcast(rules), col("_phost") === col("_rhost"), "left")
+      .join(rulesSide, col("_phost") === col("_rhost"), "left")
     val applicable = filter(coalesce(col("_rules"),
       array().cast("array<struct<allow:boolean,prefix:string>>")),
       r => p.startsWith(r.getField("prefix")))
