@@ -164,7 +164,12 @@ object Extract {
         (new String(bytes, java.nio.charset.Charset.forName("Shift_JIS")), "Shift_JIS")
       else if (MimeSniffer.looksLikeGbk(bytes))
         (new String(bytes, java.nio.charset.Charset.forName("GBK")), "GBK")
-      else
+      else if (MimeSniffer.cyrillicCharset(bytes).isDefined) {
+        // Russian-web rungs: cp1251 vs KOI8-R by case-band majority — both
+        // would "decode" on the cp1252 rung below, as mojibake
+        val cs = MimeSniffer.cyrillicCharset(bytes).get
+        (new String(bytes, java.nio.charset.Charset.forName(cs)), cs)
+      } else
         (new String(bytes, java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
     plainDecoded(decoded, charset, cfg)
   }

@@ -409,6 +409,26 @@ object CorpusGen {
     out.toByteArray
   }
 
+  /** Russian lead-in for the Cyrillic charset rungs. Lowercase-dominant (as
+    * prose is), no ё (KOI8-R maps it at 0xA3, outside the detector's
+    * accepted zone — documented miss).
+    */
+  val CyrPrefix = "привет мир это русский текст "
+
+  /** Unlabeled Cyrillic payload (x_charset_cyr): the same Russian lead-in +
+    * ASCII text encoded windows-1251 vs KOI8-R by id/100 parity. The two
+    * encodings swap case bands, so detection must pick the right one — a
+    * wrong pick decodes the prefix as DIFFERENT (wrong) Cyrillic letters,
+    * failing the oracle.
+    */
+  def cyrPayload(id: Long, text: String): Array[Byte] = {
+    val cs = if ((id / 100) % 2 == 0) "windows-1251" else "KOI8-R"
+    // non-ASCII corpus chars (zh docs) are unmappable in either encoding —
+    // sanitize explicitly (the oracle mirrors with regexp_replace)
+    val ascii = text.map(c => if (c >= 0x20 && c < 0x7f) c else '?')
+    (CyrPrefix + ascii).getBytes(java.nio.charset.Charset.forName(cs))
+  }
+
   /** iCalendar / vCard payload (x_cal), by id/100 parity. The TEXT value is
     * RFC-escaped (`\,` `\;` `\\` `\n`) and FOLDED at 70 octets (CRLF +
     * space), so the parser's unfold + unescape path is exercised on every

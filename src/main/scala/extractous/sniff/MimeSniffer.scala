@@ -239,8 +239,44 @@ object MimeSniffer {
     }
     if (looksLikeShiftJis(bytes)) return Plain
     if (looksLikeGbk(bytes)) return Plain
+    if (cyrillicCharset(bytes).isDefined) return Plain
     if (looksLikeCp1252Text(bytes)) return Plain
     OctetStream
+  }
+
+  /** Cyrillic single-byte text: windows-1251 vs KOI8-R (the Russian-web
+    * rungs — unlabeled Cyrillic would otherwise mojibake through the cp1252
+    * superset rung). Shape test: every high byte must be a Cyrillic letter
+    * zone byte (0xC0–0xFF in both encodings, plus cp1251's Ё/ё at
+    * 0xA8/0xB8), at least 8 of them, clustering into letter runs of ≥ 3
+    * (words — isolated accents in western text never cluster). The two
+    * encodings SWAP their case bands (cp1251 lowercase = 0xE0–0xFF, KOI8-R
+    * lowercase = 0xC0–0xDF), so lowercase-dominant prose decides by band
+    * majority — the same trick ICU's detector uses. KOI8-R's ё at 0xA3 is
+    * outside the accepted set: text carrying it falls through to cp1252
+    * (documented miss, preferable to loosening the gate).
+    */
+  def cyrillicCharset(bytes: Array[Byte]): Option[String] = {
+    var lowKoi = 0 // 0xC0-0xDF: KOI8-R lowercase / cp1251 uppercase
+    var lowWin = 0 // 0xE0-0xFF: cp1251 lowercase / KOI8-R uppercase
+    var high = 0
+    var run = 0
+    var maxRun = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b >= 0x80) {
+        if (b >= 0xc0 && b <= 0xdf) { lowKoi += 1; high += 1 }
+        else if (b >= 0xe0) { lowWin += 1; high += 1 }
+        else if (b == 0xa8 || b == 0xb8) high += 1 // cp1251 Ё/ё
+        else return None
+        run += 1
+        if (run > maxRun) maxRun = run
+      } else run = 0
+      i += 1
+    }
+    if (high < 8 || maxRun < 3) None
+    else Some(if (lowWin >= lowKoi) "windows-1251" else "KOI8-R")
   }
 
   /** RFC-822 message: starts with a canonical trace/origin header AND carries

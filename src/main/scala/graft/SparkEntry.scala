@@ -412,6 +412,20 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("doc_id"))
     }),
+    "x_charset_cyr" -> ((s, dir) => {
+      // unlabeled Cyrillic: windows-1251 vs KOI8-R by id/100 parity — the
+      // case-band-majority detector must pick the right one (the encodings
+      // swap case bands, so a wrong pick yields different Cyrillic letters)
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.cyrPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          coalesce(try_element_at(try_element_at(col("r.metadata"), lit("Content-Type")), lit(1)), lit("")).as("detected"))
+        .orderBy(col("doc_id"))
+    }),
     "x_cal" -> ((s, dir) => {
       // iCalendar / vCard (RFC 5545/6350) by id/100 parity: folded long
       // lines + TEXT escapes round-trip through the unfold/unescape path
@@ -1251,6 +1265,11 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
          | || text || chr(10) || text AS text,
          |CASE WHEN (doc_id // 100) % 2 = 0 THEN 'application/zip' ELSE 'application/x-tar' END AS content_type
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_charset_cyr" ->
+      raw"""SELECT doc_id,
+         |'привет мир это русский текст ' || regexp_replace(text, '[^ -~]', '?', 'g') AS text,
+         |'text/plain; charset=' || CASE WHEN (doc_id // 100) % 2 = 0 THEN 'windows-1251' ELSE 'KOI8-R' END AS detected
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_cal" ->
       s"""SELECT doc_id,

@@ -315,6 +315,32 @@ class Round3FormatsSpec extends AnyFunSuite {
     val sjis = (CorpusGen.SjisPrefix + "t").getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
     assert(MimeSniffer.looksLikeShiftJis(sjis))
   }
+  test("unlabeled Cyrillic: cp1251 vs KOI8-R by case-band majority (the bands SWAP)") {
+    val win = (CorpusGen.CyrPrefix + "ascii tail").getBytes(java.nio.charset.Charset.forName("windows-1251"))
+    val koi = (CorpusGen.CyrPrefix + "ascii tail").getBytes(java.nio.charset.Charset.forName("KOI8-R"))
+    assert(MimeSniffer.cyrillicCharset(win).contains("windows-1251"))
+    assert(MimeSniffer.cyrillicCharset(koi).contains("KOI8-R"))
+    val rw = Extract(win)
+    assert(rw.status == ExtractStatus.Ok && rw.text == CorpusGen.CyrPrefix + "ascii tail")
+    assert(rw.metadata("Content-Type").head == "text/plain; charset=windows-1251")
+    val rk = Extract(koi)
+    assert(rk.status == ExtractStatus.Ok && rk.text == CorpusGen.CyrPrefix + "ascii tail")
+    assert(rk.metadata("Content-Type").head == "text/plain; charset=KOI8-R")
+  }
+  test("Cyrillic detector declines western accents, CJK, and sparse high bytes") {
+    // isolated accents never form letter runs of >= 3
+    val latin = (CorpusGen.Latin1Prefix + "tail").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(MimeSniffer.cyrillicCharset(latin).isEmpty)
+    // cp1252 prefix carries 0x80/0x96 — outside the letter zones entirely
+    val cp = (CorpusGen.Cp1252Prefix + "tail").getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    assert(MimeSniffer.cyrillicCharset(cp).isEmpty)
+    // GBK hanzi trails sit below 0xC0
+    val gbk = (CorpusGen.GbkPrefix + "tail").getBytes(java.nio.charset.Charset.forName("GBK"))
+    assert(MimeSniffer.cyrillicCharset(gbk).isEmpty)
+    // and the cp1252 rung is unchanged for latin text end-to-end
+    assert(Extract(latin).metadata("Content-Type").head == "text/plain; charset=windows-1252")
+  }
+
   test("SJIS detector: cp1252 text and short accidental pairs never qualify") {
     val cp = (CorpusGen.Cp1252Prefix + "tail").getBytes(java.nio.charset.Charset.forName("windows-1252"))
     assert(!MimeSniffer.looksLikeShiftJis(cp))
