@@ -38,6 +38,23 @@ object ExplainDump {
       extractous.pipeline.Similarity.ivfKnn(embs, embs.filter(col("vec_id") < 20), 5, 3))
     dump("6. banded hyperplane LSH near-dup (band-key shuffle + verify joins)",
       extractous.pipeline.Similarity.nearDupPairsLsh(embs, 0.99))
+
+    // round-3 additions (EXPLAIN.md §8)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    val warcDir = java.nio.file.Files.createTempDirectory("explainwarc")
+    val wbytes = new java.io.ByteArrayOutputStream()
+    (0L to 2L).foreach(id => CorpusGen.warcRecords(id, "plan dump text", "en")
+      .foreach(r => wbytes.write(CorpusGen.gzMember(r))))
+    java.nio.file.Files.write(warcDir.resolve("f.warc.gz"), wbytes.toByteArray)
+    dump("7. WARC ingest (binaryFile scan -> generate -> project, no Exchange)",
+      extractous.jobs.WarcIngest.pages(spark, s"$warcDir/*.warc.gz"))
+    dump("8. decontamination (broadcast gram semi-join, counts-only exchange)",
+      extractous.pipeline.Decontam.flag(docs,
+        docs.filter(col("doc_id") % 50 === 0).select("text"), "text", "doc_id", n = 3))
+    dump("9. quality gates (one narrow codegen'd projection)",
+      docs.select(col("doc_id") +:
+        (extractous.pipeline.TextStats.gopherReport(col("text"), 10) ++
+         extractous.pipeline.TextStats.repetitionReport(col("text"))).map { case (n, c) => c.as(n) }: _*))
     spark.stop()
   }
 }
