@@ -112,6 +112,35 @@ class QualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"robots side must broadcast:\n$plan")
   }
 
+  test("robots property: HOF longest-match decision equals a reference implementation on random rule sets") {
+    import spark.implicits._
+    import extractous.pipeline.UrlFilter
+    val rnd = new scala.util.Random(5)
+    val segs = Seq("/a", "/b", "/a/b", "/a/b/c", "/x", "/a/bc")
+    val cases = (0 until 40).map { i =>
+      val rules = (0 to rnd.nextInt(4)).map(_ => (rnd.nextBoolean(), segs(rnd.nextInt(segs.length))))
+      val path = segs(rnd.nextInt(segs.length)) + (if (rnd.nextBoolean()) "/leaf" else "")
+      (i.toLong, rules, path)
+    }
+    val robots = cases.map { case (i, rules, _) =>
+      (s"h$i.example", "User-agent: *\n" +
+        rules.map { case (a, p) => s"${if (a) "Allow" else "Disallow"}: $p" }.mkString("\n"))
+    }.toDF("host", "robots_txt")
+    val pages = cases.map { case (i, _, path) => (i, s"https://h$i.example$path") }.toDF("id", "url")
+    val got = UrlFilter.robotsBlocked(pages, "url", robots, "bot")
+      .select("id", "blocked").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (i, rules, path) =>
+      val applicable = rules.filter(r => path.startsWith(r._2))
+      val expected =
+        if (applicable.isEmpty) 0L
+        else {
+          val maxLen = applicable.map(_._2.length).max
+          if (applicable.exists(r => r._2.length == maxLen && r._1)) 0L else 1L // allow wins ties
+        }
+      assert(got(i) == expected, s"case $i rules=$rules path=$path")
+    }
+  }
+
   test("content-keyed split: identical texts share a split, plan is narrow") {
     import spark.implicits._
     import extractous.pipeline.Sampling
