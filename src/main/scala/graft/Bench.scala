@@ -259,7 +259,11 @@ object Bench {
       "d_decontam" -> (() => force(Decontam.flag(docsDf,
         docsDf.filter(col("doc_id") % 50 === 0).select("text"), "text", "doc_id", n = 3))),
       "t_gopher" -> (() => force(docsDf.select(col("doc_id") +:
-        TextStats.gopherReport(col("text"), minWords = 10).map { case (n, c) => c.as(n) }: _*)))
+        TextStats.gopherReport(col("text"), minWords = 10).map { case (n, c) => c.as(n) }: _*))),
+      "t_repetition" -> (() => force(docsDf.select(col("doc_id") +:
+        TextStats.repetitionReport(col("text")).map { case (n, c) => c.as(n) }: _*))),
+      "d_split" -> (() => force(extractous.pipeline.Sampling.split(docsDf, "text"))),
+      "d_robots" -> (() => force(SparkEntry.queries("d_robots")(spark, sfDir)))
     ).map { case (name, f) => name -> safe(name, -1.0)(time(f())._2) }
     spark.stop()
 
