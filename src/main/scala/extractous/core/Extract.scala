@@ -162,15 +162,23 @@ object Extract {
         // cp1252 is a superset of latin-1 on every printable byte, which is
         // why real detectors (ICU/Tika) label western 8-bit text cp1252.
         (new String(bytes, java.nio.charset.Charset.forName("Shift_JIS")), "Shift_JIS")
-      else if (MimeSniffer.looksLikeGbk(bytes))
-        (new String(bytes, java.nio.charset.Charset.forName("GBK")), "GBK")
-      else if (MimeSniffer.cyrillicCharset(bytes).isDefined) {
+      else MimeSniffer.cyrillicCharset(bytes) match {
         // Russian-web rungs: cp1251 vs KOI8-R by case-band majority — both
-        // would "decode" on the cp1252 rung below, as mojibake
-        val cs = MimeSniffer.cyrillicCharset(bytes).get
-        (new String(bytes, java.nio.charset.Charset.forName(cs)), cs)
-      } else
-        (new String(bytes, java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
+        // would "decode" on the cp1252 rung below, as mojibake. This rung
+        // runs BEFORE GBK: short-word Cyrillic whose high-byte runs all have
+        // even length forms valid GBK lead/trail pairs (and would misroute
+        // to GBK mojibake), while the Cyrillic gate — every high byte in the
+        // letter zone, ≥8 of them, clustered runs — rejects real GBK text,
+        // whose lead bytes routinely fall in 0x81–0xBF outside the zone
+        // (Round3FormatsSpec asserts both directions). The match binds the
+        // Option once — the detector is a full byte scan per call.
+        case Some(cs) => (new String(bytes, java.nio.charset.Charset.forName(cs)), cs)
+        case None =>
+          if (MimeSniffer.looksLikeGbk(bytes))
+            (new String(bytes, java.nio.charset.Charset.forName("GBK")), "GBK")
+          else
+            (new String(bytes, java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
+      }
     plainDecoded(decoded, charset, cfg)
   }
 

@@ -241,30 +241,39 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Both phases need each joined row twice (two edge orientations). A
+    // union of two identical joins would execute the join — and its shuffle —
+    // twice per phase; instead each phase emits both orientations from ONE
+    // joined projection via explode(array(struct, struct)), so the plan has
+    // exactly one join per phase. distinct() after the explode is
+    // set-equivalent to the dedup-then-double formulation.
+    def bothOrientations(j: DataFrame, first: (Column, Column), second: (Column, Column)): DataFrame =
+      j.select(explode(array(
+          struct(first._1.as("u"), first._2.as("v")),
+          struct(second._1.as("u"), second._2.as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
     def largeStar(e: DataFrame): DataFrame = {
       // m(u) = min over N(u) ∪ {u}
       val m = e.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
-      e.join(m, "u")
-        .filter(col("v") > col("u")) // larger neighbors re-hang under m
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(e.join(m, "u").filter(col("v") > col("u"))
-          .select(col("m").as("u"), col("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
+      val j = e.join(m, "u").filter(col("v") > col("u")) // larger neighbors re-hang under m
+      bothOrientations(j, (col("v"), col("m")), (col("m"), col("v")))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
-      // orient high → low: keep (h, l) with l < h
+      // orient high → low: keep (h, l) with l < h; hang {v, u} under m(u),
+      // then emit both orientations of each hung pair
       val oriented = e.filter(col("v") < col("u"))
       val m = oriented.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
-      val hung = oriented.join(m, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .union(oriented.join(m, "u").select(col("u").as("a"), col("m").as("b")))
+      val j = oriented.join(m, "u")
+      val hung = j.select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
-      hung.select(col("a").as("u"), col("b").as("v"))
-        .union(hung.select(col("b").as("u"), col("a").as("v")))
-        .distinct()
+      bothOrientations(hung, (col("a"), col("b")), (col("b"), col("a")))
     }
 
     var sig = signature(edges)

@@ -82,14 +82,19 @@ object TextStats {
 
   /** Polynomial rolling-hash fingerprint over characters:
     * h = fold(h * 31 + codepoint) mod 1e9+7 — implementable identically in any
-    * SQL engine with higher-order list functions (the DuckDB oracle mirrors it).
+    * SQL engine with higher-order list functions (the DuckDB oracle mirrors
+    * it with `list_reduce` over `ascii(substr(c, i, 1))`).
+    *
+    * Implementation is the imperative one-pass
+    * [[extractous.spark.FingerprintExpr]]: the earlier HOF formulation
+    * (`aggregate(transform(sequence(1, length(c)), i -> ascii(substr(c, i,
+    * 1))), ...)`) was O(n²) per row — each `substr(i, 1)` scans the
+    * UTF8String from the start — which is fatal on real 20–100 KB pages
+    * because this fingerprint keys [[Sampling.split]]. Same polynomial, same
+    * codepoint iteration, so every oracle mirror is unchanged.
     */
   val FingerprintMod = 1000000007L
-  def fingerprint(c: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
-      lit(0L),
-      (acc, ch) => pmod(acc * 31 + ch, lit(FingerprintMod)))
+  def fingerprint(c: Column): Column = extractous.spark.signatures.poly_fingerprint(c)
 
   /** Gopher-style document quality report (Rae et al. 2021 §A1.1 heuristics,
     * the standard crawl-corpus quality gate): word-count bounds, mean word
@@ -110,12 +115,20 @@ object TextStats {
     val nLines = size(lines)
     val words = filter(split(content, "\\s+"), w => w =!= "")
     val nWords = size(words)
+    // Denominator guard: an empty/whitespace-only document (e.g. a failed
+    // extraction row) has nWords = 0; an unguarded divide makes the ratios
+    // NaN and floor(NaN).cast("long") is a TASK FAILURE under ANSI mode —
+    // forbidden by the accounting contract (a poison row must never kill the
+    // job). The pass gate already excludes n_words < minWords, so the
+    // clamped values for zero-word docs are immaterial. The DuckDB oracle
+    // mirrors the same greatest(n_words, 1) guard.
+    val nWordsD = greatest(nWords, lit(1))
     val sumWordLen = aggregate(words, lit(0), (a, w) => a + length(w))
-    val meanWordLen = floor(lit(100.0) * sumWordLen / nWords).cast("long")
+    val meanWordLen = floor(lit(100.0) * sumWordLen / nWordsD).cast("long")
     val nHash = length(content) - length(regexp_replace(content, "#", ""))
     val nEll = (length(content) - length(regexp_replace(content, "\\.\\.\\.", ""))) / 3 +
       (length(content) - length(regexp_replace(content, "…", "")))
-    val symbolRatio = floor(lit(1000.0) * (nHash + nEll) / nWords).cast("long")
+    val symbolRatio = floor(lit(1000.0) * (nHash + nEll) / nWordsD).cast("long")
     val nBullet = size(filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
     val bulletFrac = floor(lit(1000.0) * nBullet / nLines).cast("long")
@@ -127,7 +140,7 @@ object TextStats {
     val charsDistinct = aggregate(distinctLines, lit(0), (a, l) => a + length(l))
     val dupCharFrac = floor(lit(1000.0) * (charsAll - charsDistinct) / greatest(charsAll, lit(1))).cast("long")
     val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z一-鿿]")))
-    val alphaFrac = floor(lit(1000.0) * nAlpha / nWords).cast("long")
+    val alphaFrac = floor(lit(1000.0) * nAlpha / nWordsD).cast("long")
     val stops = stopHits(words, langStops.head._2) // English gate, as in the paper
     val pass = (nWords >= minWords && nWords <= 100000 &&
       meanWordLen >= 300 && meanWordLen <= 1000 &&
@@ -153,31 +166,20 @@ object TextStats {
     * The textbook implementation explodes every document's 2-grams and
     * groupBys (doc_id, gram) — at 10^12 documents that shuffle carries ~10^14
     * gram rows, dominated by keys that never leave their document. This one
-    * never shuffles: the per-document gram array is SORTED (`array_sort`) and
-    * the longest run of equal adjacent elements found with one codegen'd
-    * `aggregate` scan — per-row O(g log g), zero Exchange, composable with
-    * the rest of the quality gate in a single narrow projection. The DuckDB
-    * oracle deliberately uses the explode+group formulation, so the
-    * scan-based plan is verified against the obviously-correct one.
+    * never shuffles: one imperative per-row pass
+    * ([[extractous.spark.Top2GramExpr]]: hash tokens, sort the long[] of
+    * adjacent-pair hashes, run-length scan — O(g log g), zero allocation
+    * beyond two primitive arrays). It replaced the HOF formulation
+    * (gram-string `array_sort` + struct-accumulator `aggregate`) whose
+    * constant was ~20× the neighboring quality signals. The DuckDB oracle
+    * deliberately uses the explode+group formulation, so the scan-based plan
+    * is verified against the obviously-correct one.
     */
   def repetitionReport(content: Column): Seq[(String, Column)] = {
-    val words = filter(split(content, "\\s+"), w => w =!= "")
-    val grams = when(size(words) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", slice(words, i, lit(2)))))
-    val sorted = array_sort(grams)
-    val best = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val n = size(grams)
+    val r = extractous.spark.signatures.top2gram(content)
     Seq(
-      "n_2grams" -> n.cast("long"),
-      "top2_count" -> best.cast("long"),
-      "top2_frac_x1000" -> floor(lit(1000.0) * best / greatest(n, lit(1))).cast("long"))
+      "n_2grams" -> r.getField("n_2grams"),
+      "top2_count" -> r.getField("top2_count"),
+      "top2_frac_x1000" -> r.getField("top2_frac_x1000"))
   }
 }

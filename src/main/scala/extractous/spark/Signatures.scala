@@ -2,11 +2,12 @@ package extractous.spark
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.xbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Imperative signature expressions for the dedup family.
   *
@@ -140,9 +141,138 @@ object SimHashExpr {
   }
 }
 
+/** One-pass polynomial fingerprint: h = fold(h·31 + codepoint) mod 1e9+7.
+  *
+  * Semantics are IDENTICAL to the SQL formulation
+  * `aggregate(transform(sequence(1, length(c)), i -> ascii(substr(c, i, 1))), ...)`
+  * that the DuckDB oracles for `t_fingerprint` / `d_split` replay — both fold
+  * the same polynomial over Unicode CODEPOINTS — but the HOF formulation is
+  * O(n²) per row: every `substr(i, 1)` scans the UTF8String from the start to
+  * find codepoint i, plus an n-element int array per row. On the oracle's
+  * ~0.3 KB seeds that is invisible; on real 20–100 KB pages it is the per-row
+  * scale-killer for the content-keyed train/val/test splitter
+  * (`Sampling.split`). This expression decodes the UTF-8 bytes once —
+  * O(n), zero allocation — and codegens to a static call so the projection
+  * stays inside whole-stage codegen.
+  */
+object FingerprintHash {
+  final val Mod = 1000000007L
+
+  /** Static entry point referenced by generated code. */
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var k = 1
+      while (k < len && i + k < bytes.length) {
+        cp = (cp << 6) | (bytes(i + k) & 0x3f)
+        k += 1
+      }
+      h = (h * 31 + cp) % Mod
+      i += len
+    }
+    h
+  }
+}
+
+final case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"extractous.spark.FingerprintHash.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+/** One-pass top-2-gram repetition scan (Gopher §A1.1 "fraction of 2-grams in
+  * the most common 2-gram").
+  *
+  * Tokenize on `\s+` (exact `String.split` semantics — what Spark's `split`
+  * and the oracle's `regexp_split_to_array` produce), hash each token to 64
+  * bits, combine adjacent pairs into one order-sensitive gram hash, sort the
+  * long[] and run-length-scan for the longest run. Replaces the HOF
+  * formulation (gram-string materialization + `array_sort` + struct-valued
+  * `aggregate` allocating a row per step) whose constant was ~20× the
+  * neighboring quality signals — same precedent as [[MinHashSigExpr]]. Gram
+  * equality is by 64-bit hash: two DISTINCT grams colliding within one
+  * document (≈ g²/2⁶⁵, vanishing at any real document size) is the accepted
+  * trade the VERDICT endorses; equal grams always collide, so the top count
+  * can only theoretically merge runs, never split them.
+  *
+  * Returns struct(n_2grams, top2_count, top2_frac_x1000) — the frac is
+  * computed inside the expression with the same double arithmetic as the
+  * oracle's `floor(1000.0 * topc / greatest(n2, 1))`, so one pass yields all
+  * three columns.
+  */
+object Top2GramHash {
+  def compute(s: UTF8String): InternalRow = {
+    val toks0 = s.toString.split("\\s+", -1)
+    var nTok = 0
+    var t = 0
+    while (t < toks0.length) { if (toks0(t).nonEmpty) nTok += 1; t += 1 }
+    if (nTok < 2) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val hs = new Array[Long](nTok)
+    var j = 0
+    t = 0
+    while (t < toks0.length) {
+      if (toks0(t).nonEmpty) {
+        hs(j) = SignatureHash.hashBytes(toks0(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        j += 1
+      }
+      t += 1
+    }
+    val g = nTok - 1
+    val grams = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      grams(i) = SignatureHash.mix(hs(i) * 0x100000001b3L + hs(i + 1))
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    var best = 1
+    var run = 1
+    i = 1
+    while (i < g) {
+      if (grams(i) == grams(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    val frac = math.floor(1000.0 * best / g).toLong
+    new GenericInternalRow(Array[Any](g.toLong, best.toLong, frac))
+  }
+}
+
+final case class Top2GramExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_2grams", LongType, nullable = false),
+    StructField("top2_count", LongType, nullable = false),
+    StructField("top2_frac_x1000", LongType, nullable = false)))
+  override def prettyName: String = "top2gram"
+  override protected def nullSafeEval(input: Any): Any =
+    Top2GramHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"extractous.spark.Top2GramHash.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Top2GramExpr =
+    copy(child = newChild)
+}
+
 object signatures {
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+  def poly_fingerprint(c: Column): Column =
+    ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(c)))
+  def top2gram(c: Column): Column =
+    ColumnBridge.column(Top2GramExpr(ColumnBridge.expression(c)))
 }

@@ -232,6 +232,16 @@ final class SnapshotTable(val root: String) {
     * status counts), then delete every older manifest and every data file no
     * longer referenced. History is gone by design — run it when the
     * time-travel window may be dropped.
+    *
+    * STRICT SINGLE-WRITER REQUIREMENT: expire() deletes every data file the
+    * squashed manifest doesn't reference, with no age threshold. A
+    * concurrent commit whose files are already renamed into data/ but whose
+    * manifest is not yet published would have those files deleted out from
+    * under it, leaving a manifest referencing missing files (the same hazard
+    * Iceberg's remove-orphan-files mitigates with an `older_than` retention
+    * window). Run expire() only while no other writer is active — the
+    * table's commit protocol is single-writer by design (see [[commit]]),
+    * and this call is where that assumption is load-bearing.
     */
   def expire(): Long = {
     val cur = currentSnapshotId.getOrElse(return -1L)

@@ -49,5 +49,27 @@ object PerfProbe {
       val mbps = payload.length.toDouble * n / secs / 1e6
       println(f"[perf] $kind%-12s payload=${payload.length}%7d B  ${n / secs}%8.0f docs/s  $mbps%8.1f MB/s/core")
     }
+
+    // Per-row text-stat kernels: linearity in document length. The round-3
+    // HOF fingerprint was O(n²) per row (each substr(i,1) rescans the
+    // UTF8String) — invisible at oracle-sized ~0.3 KB texts, fatal on real
+    // 20–100 KB pages. These rows evidence the imperative replacements are
+    // ~linear: a 10×-longer document must cost ≲12× (sort adds the log
+    // factor for top2gram).
+    import org.apache.spark.unsafe.types.UTF8String
+    def probeKernel(name: String, f: UTF8String => Any): Unit = {
+      val t1 = UTF8String.fromString((seed * 8).trim)   // ~1.2 KB
+      val t10 = UTF8String.fromString((seed * 80).trim) // ~12 KB
+      def time(u: UTF8String, n: Int): Double = {
+        (1 to 2000).foreach(_ => f(u))
+        val t0 = System.nanoTime()
+        (1 to n).foreach(_ => f(u))
+        (System.nanoTime() - t0) / 1e9 / n
+      }
+      val (a, b) = (time(t1, 20000), time(t10, 2000))
+      println(f"[perf] $name%-12s 1x=${a * 1e6}%8.2f us  10x=${b * 1e6}%8.2f us  ratio=${b / a}%5.2f (linear=10)")
+    }
+    probeKernel("fingerprint", extractous.spark.FingerprintHash.compute)
+    probeKernel("top2gram", extractous.spark.Top2GramHash.compute)
   }
 }

@@ -1647,20 +1647,20 @@ object SparkEntry {
          |  FROM m)
          |SELECT doc_id,
          |  CAST(n_words AS BIGINT) AS n_words,
-         |  CAST(floor(100.0 * sumwl / n_words) AS BIGINT) AS mean_word_len_x100,
-         |  CAST(floor(1000.0 * (nhash + nell) / n_words) AS BIGINT) AS symbol_ratio_x1000,
+         |  CAST(floor(100.0 * sumwl / greatest(n_words, 1)) AS BIGINT) AS mean_word_len_x100,
+         |  CAST(floor(1000.0 * (nhash + nell) / greatest(n_words, 1)) AS BIGINT) AS symbol_ratio_x1000,
          |  CAST(floor(1000.0 * nbullet / n_lines) AS BIGINT) AS bullet_frac_x1000,
          |  CAST(floor(1000.0 * nellline / n_lines) AS BIGINT) AS ellipsis_frac_x1000,
          |  CAST(floor(1000.0 * (n_lines - ndl) / n_lines) AS BIGINT) AS dup_line_frac_x1000,
          |  CAST(floor(1000.0 * (charsall - charsdistinct) / greatest(charsall, 1)) AS BIGINT) AS dup_char_frac_x1000,
-         |  CAST(floor(1000.0 * nalpha / n_words) AS BIGINT) AS alpha_frac_x1000,
+         |  CAST(floor(1000.0 * nalpha / greatest(n_words, 1)) AS BIGINT) AS alpha_frac_x1000,
          |  CAST(stops AS BIGINT) AS stop_hits,
          |  CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
-         |    AND floor(100.0*sumwl/n_words) >= 300 AND floor(100.0*sumwl/n_words) <= 1000
-         |    AND floor(1000.0*(nhash+nell)/n_words) <= 100 AND floor(1000.0*nbullet/n_lines) <= 900
+         |    AND floor(100.0*sumwl/greatest(n_words,1)) >= 300 AND floor(100.0*sumwl/greatest(n_words,1)) <= 1000
+         |    AND floor(1000.0*(nhash+nell)/greatest(n_words,1)) <= 100 AND floor(1000.0*nbullet/n_lines) <= 900
          |    AND floor(1000.0*nellline/n_lines) <= 300 AND floor(1000.0*(n_lines-ndl)/n_lines) <= 300
          |    AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
-         |    AND floor(1000.0*nalpha/n_words) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |    AND floor(1000.0*nalpha/greatest(n_words,1)) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
          |FROM x ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       raw"""WITH c AS (

@@ -184,6 +184,83 @@ class QualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"repetition scan must be narrow:\n$plan")
   }
 
+  test("gopher report survives empty and whitespace-only documents under ANSI mode") {
+    // ADVICE r3: unguarded `/ nWords` made the ratios NaN for zero-word docs
+    // and floor(NaN).cast(long) is a TASK FAILURE under Spark 4 ANSI
+    // defaults — a poison row must never kill the job. The pass gate is what
+    // matters for such rows: it must be 0.
+    import spark.implicits._
+    val df = Seq("", "   \n\t  ", "one two").toDF("content")
+      .select(col("content") +: TextStats.gopherReport(col("content"), minWords = 1)
+        .map { case (n, c) => c.as(n) }: _*)
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("gopher_pass"))).toMap
+    assert(rows("")._1 == 0L && rows("")._2 == 0L)
+    assert(rows("   \n\t  ")._1 == 0L && rows("   \n\t  ")._2 == 0L)
+    assert(rows("one two")._1 == 2L)
+  }
+
+  test("imperative fingerprint equals the SQL codepoint fold on arbitrary unicode") {
+    // reference: the exact polynomial the DuckDB oracle replays with
+    // list_reduce(ascii(substr(text, i, 1))) — folded over CODEPOINTS
+    def ref(s: String): Long = {
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq(
+      "abc XYZ 09 .,!\n\t",                // ASCII
+      "àéîõü ßœç",                         // 2-byte UTF-8
+      "жопрст 北京上海 …",                  // 3-byte UTF-8 (Cyrillic + CJK)
+      "😀🚀 a b")      // astral (4-byte, surrogate pairs)
+    val cases = Seq("", "a", " ", "😀") ++ (1 to 300).map { _ =>
+      val ab = alphabets(rnd.nextInt(alphabets.length))
+      val cps = ab.codePoints().toArray
+      val n = rnd.nextInt(120)
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    cases.foreach { s =>
+      val got = extractous.spark.FingerprintHash.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == ref(s), s"fingerprint mismatch on ${s.take(40)}")
+    }
+  }
+
+  test("imperative top2gram equals brute-force gram counting on random token streams") {
+    def ref(s: String): (Long, Long, Long) = {
+      val toks = s.split("\\s+", -1).filter(_.nonEmpty)
+      if (toks.length < 2) (0L, 0L, 0L)
+      else {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val top = grams.groupBy(identity).values.map(_.size).max
+        (grams.size.toLong, top.toLong,
+          math.floor(1000.0 * top / grams.size).toLong)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "cat", "sat", "buy", "now", "a", "b", "词", "héllo")
+    val cases = Seq("", "one", "  ", "a a a a a") ++ (1 to 300).map { _ =>
+      val n = rnd.nextInt(60)
+      // small vocab + varied whitespace → dense gram repeats and split edges
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(Seq(" ", "  ", "\n", "\t ")(rnd.nextInt(4)))
+    }
+    cases.foreach { s =>
+      val row = extractous.spark.Top2GramHash.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(got == ref(s), s"top2gram mismatch on ${s.take(60)}")
+    }
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
