@@ -329,6 +329,16 @@ object CorpusGen {
   def markedPdfPayload(id: Long, text: String): Array[Byte] =
     PdfWriter.markedPdf(s"Document $id", Seq(text), titleOf(id, "en"))
 
+  /** Standard-security encrypted PDF, empty user password (the crawl's
+    * openable encrypted stratum): RC4-40 (V1/R2, uncompressed) on even ids,
+    * RC4-128 (V2/R3, Flate-then-encrypt) on odd ids (x_pdf_encrypted).
+    */
+  def encryptedPdfPayload(id: Long, text: String): Array[Byte] =
+    PdfEncWriter.encryptedTextPdf(
+      lines = Seq(s"Document $id", text),
+      title = titleOf(id, "en"),
+      rev = if (id % 2 == 0) 2 else 3)
+
   /** DOCX carrying a vbaProject.bin with one printable macro line on even ids
     * (x_office_macros).
     */

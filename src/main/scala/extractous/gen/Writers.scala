@@ -31,6 +31,12 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** Public aliases for [[PdfEncWriter]] (same file assembly, different
+    * object bodies).
+    */
+  def deflateBytes(data: Array[Byte]): Array[Byte] = deflate(data)
+  def assembleObjects(objects: Seq[Array[Byte]], trailerExtra: String): Array[Byte] = assemble(objects, trailerExtra)
+
   /** Assemble objects (1-based bodies, ASCII or binary) into a PDF file with a
     * classic xref table and trailer.
     */
@@ -179,6 +185,138 @@ object PdfWriter {
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>".getBytes("US-ASCII"),
       streamObj("", imgContent))
     assemble(objs, "/Root 1 0 R")
+  }
+}
+
+/** Encrypted-PDF emitter: standard security handler, RC4, empty user
+  * password — the "encrypted so anyone can read it" stratum a crawl
+  * actually carries. DELIBERATELY independent of the parser's
+  * `extractous.pdf.PdfCrypt` (own MD5/RC4/key-derivation from the published
+  * spec §7.6.3), so the encrypt→decrypt round-trip is a genuine oracle: if
+  * either side mis-implements an algorithm step, extraction yields RC4
+  * garbage and the closed-form text oracle fails loudly.
+  */
+object PdfEncWriter {
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte) // spec constant, §7.6.3.3
+
+  private def md5(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0
+    for (k <- data.indices) {
+      a = (a + 1) & 0xff
+      b = (b + s(a)) & 0xff
+      val t = s(a); s(a) = s(b); s(b) = t
+      out(k) = (data(k) ^ s((s(a) + s(b)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def padPwd(p: Array[Byte]): Array[Byte] =
+    if (p.length >= 32) p.take(32) else p ++ Pad.take(32 - p.length)
+
+  private def intLE(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+
+  /** One-page text PDF encrypted under the standard handler.
+    *
+    * @param rev 2 → V1/R2 RC4-40 (content uncompressed); 3 → V2/R3 RC4-128
+    *            (content Flate-compressed then encrypted — filters apply to
+    *            plaintext, encryption is outermost)
+    * @param userPwd the user password baked into the key ("" = the openable
+    *                stratum; non-empty = a fixture the extractor must REJECT
+    *                with a status, since it only tries the empty password)
+    */
+  def encryptedTextPdf(lines: Seq[String], title: String, rev: Int, userPwd: String = ""): Array[Byte] = {
+    require(rev == 2 || rev == 3, s"standard handler revision 2 or 3, got $rev")
+    val keyLen = if (rev == 2) 5 else 16
+    val perms = -4 // all permission bits granted; still a valid encrypted doc
+    val id0 = md5(s"$title|${lines.length}|$rev".getBytes("UTF-8"))
+    // Algorithm 3: /O from the owner password (full-digest 50x rehash for R3)
+    val ownerDigest0 = md5(padPwd("owner-secret".getBytes("UTF-8")))
+    val ownerDigest = if (rev >= 3) (1 to 50).foldLeft(ownerDigest0)((d, _) => md5(d)) else ownerDigest0
+    val ownerKey = ownerDigest.take(keyLen)
+    var o = rc4(ownerKey, padPwd(userPwd.getBytes("UTF-8")))
+    if (rev >= 3) for (i <- 1 to 19) o = rc4(ownerKey.map(bb => (bb ^ i).toByte), o)
+    // Algorithm 2: file key (first-keyLen-bytes 50x rehash for R3)
+    var d = md5(padPwd(userPwd.getBytes("UTF-8")) ++ o ++ intLE(perms) ++ id0)
+    if (rev >= 3) for (_ <- 1 to 50) d = md5(d.take(keyLen))
+    val key = d.take(keyLen)
+    // Algorithms 4/5: /U
+    val u =
+      if (rev == 2) rc4(key, Pad)
+      else {
+        var x = rc4(key, md5(Pad ++ id0))
+        for (i <- 1 to 19) x = rc4(key.map(bb => (bb ^ i).toByte), x)
+        x ++ new Array[Byte](16)
+      }
+    def objKey(num: Int): Array[Byte] =
+      md5(key ++ Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, 0, 0)).take(math.min(keyLen + 5, 16))
+
+    val content = {
+      val sb = new StringBuilder
+      sb.append("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        val esc = l.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        sb.append("(").append(esc).append(") Tj\n")
+      }
+      sb.append("ET")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val (filter, plainData) =
+      if (rev == 3) (" /Filter /FlateDecode", PdfWriter.deflateBytes(content)) else ("", content)
+    val encData = rc4(objKey(4), plainData)
+    val encTitle = rc4(objKey(6), title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+    val objs = Seq.newBuilder[Array[Byte]]
+    objs += "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII")
+    objs += "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII")
+    objs += "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>".getBytes("US-ASCII")
+    objs += {
+      val out = new ByteArrayOutputStream()
+      out.write(s"<<$filter /Length ${encData.length} >>\nstream\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.write(encData)
+      out.write("\nendstream".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.toByteArray
+    }
+    objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>".getBytes("US-ASCII")
+    objs += s"<< /Title <${hex(encTitle)}> /Producer <${hex(rc4(objKey(6), "extractous-spark-gen".getBytes("US-ASCII")))}> >>".getBytes("US-ASCII")
+    objs += {
+      val vPart = if (rev == 2) "/V 1" else "/V 2 /Length 128"
+      s"<< /Filter /Standard $vPart /R $rev /O <${hex(o)}> /U <${hex(u)}> /P $perms >>".getBytes("US-ASCII")
+    }
+    PdfWriter.assembleObjects(objs.result(),
+      s"/Root 1 0 R /Info 6 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")
+  }
+
+  /** A V4/AESV2 /Encrypt marker the extractor must honestly refuse (status
+    * -8 unsupported format) — the dict is structurally valid but the
+    * handler is out of scope.
+    */
+  def aesEncryptedPdf(): Array[Byte] = {
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII"),
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>".getBytes("US-ASCII"),
+      "<< /Length 4 >>\nstream\nq Q\nendstream".getBytes("US-ASCII"),
+      ("<< /Filter /Standard /V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/O <${"00" * 32}> /U <${"00" * 32}> /P -4 >>").getBytes("US-ASCII"))
+    PdfWriter.assembleObjects(objs, s"/Root 1 0 R /Encrypt 5 0 R /ID [<${"11" * 16}> <${"11" * 16}>]")
   }
 }
 

@@ -536,9 +536,67 @@ object PdfExtractor {
     }
   }
 
+  /** Decrypt every string and stream of an RC4-standard-security document
+    * (empty user password). Returns Left(failure) for handlers we don't
+    * speak — AES (V≥4), crypt filters, non-empty user passwords — never
+    * mojibake text. The /Encrypt dictionary's own strings (O/U) and the
+    * trailer /ID are NOT encrypted per spec and are skipped by object
+    * number. Generation numbers are 0 throughout recovery-scan parsing
+    * (matching real-world gen-0 dominance); objects inside /ObjStm of an
+    * encrypted file stay unreadable (the ObjStm expansion ran over
+    * ciphertext) — a documented scope bound, not a crash.
+    */
+  private def decryptIfNeeded(objs: Map[Int, V], trailer: Option[Dict]): Either[ExtractResult, Map[Int, V]] = {
+    val encRef = trailer.flatMap(_.m.get("Encrypt"))
+    if (encRef.isEmpty) return Right(objs)
+    val encNum = encRef match { case Some(Ref(n, _)) => Some(n); case _ => None }
+    val encDict = encRef.map(resolve(_, objs)) match {
+      case Some(d: Dict) => d
+      case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+        "pdf: /Encrypt present but unresolvable", "application/pdf"))
+    }
+    def num(k: String, dflt: Int): Int = encDict.m.get(k) match { case Some(Num(d)) => d.toInt; case _ => dflt }
+    val filterOk = encDict.m.get("Filter").contains(Name("Standard"))
+    val v = num("V", 0)
+    val r = num("R", 0)
+    if (!filterOk || v < 1 || v > 2 || r < 2 || r > 3)
+      return Left(ExtractResult.fail(ExtractStatus.UnsupportedFormat,
+        s"pdf: unsupported encryption (filter=${encDict.m.get("Filter")} V=$v R=$r; AES/crypt-filter handlers not implemented)",
+        "application/pdf"))
+    val (o, u) = (encDict.m.get("O"), encDict.m.get("U")) match {
+      case (Some(Str(ob)), Some(Str(ub))) if ob.length >= 32 && ub.length >= 32 => (ob, ub)
+      case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+        "pdf: malformed /Encrypt O/U entries", "application/pdf"))
+    }
+    val id0 = trailer.flatMap(_.m.get("ID")) match {
+      case Some(Arr(Str(b) +: _)) => b
+      case _ => Array.emptyByteArray // spec allows missing ID; key just omits it
+    }
+    val sec = PdfCrypt.StdSecurity(v, r, num("Length", 40), o, u, num("P", -1), id0)
+    val key = PdfCrypt.fileKey(sec)
+    if (!PdfCrypt.emptyUserPasswordMatches(sec, key))
+      return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+        "pdf: document requires a user password", "application/pdf"))
+    def dec(value: V, k: Array[Byte]): V = value match {
+      case Str(b)          => Str(PdfCrypt.rc4(k, b))
+      case Arr(items)      => Arr(items.map(dec(_, k)))
+      case Dict(m)         => Dict(m.map { case (kk, vv) => kk -> dec(vv, k) })
+      case StreamObj(d, b) => StreamObj(dec(d, k).asInstanceOf[Dict], PdfCrypt.rc4(k, b))
+      case other           => other
+    }
+    Right(objs.map { case (n, value) =>
+      if (encNum.contains(n)) n -> value
+      else n -> dec(value, PdfCrypt.objKey(key, n, 0))
+    })
+  }
+
   def extract(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr): ExtractResult = {
-    val (objs, trailer) = scanObjects(bytes)
-    if (objs.isEmpty) return ExtractResult.fail(ExtractStatus.ExtractionFailed, "pdf: no objects parsed", "application/pdf")
+    val (objs0, trailer) = scanObjects(bytes)
+    if (objs0.isEmpty) return ExtractResult.fail(ExtractStatus.ExtractionFailed, "pdf: no objects parsed", "application/pdf")
+    val objs = decryptIfNeeded(objs0, trailer) match {
+      case Left(fail)      => return fail
+      case Right(decrypted) => decrypted
+    }
     val pgs = pages(objs, trailer)
     if (pgs.isEmpty) return ExtractResult.fail(ExtractStatus.ExtractionFailed, "pdf: no page tree", "application/pdf")
 

@@ -684,6 +684,26 @@ object SparkEntry {
           xf.extract_doc(col("payload"), cfgP).getField("xml").as("xml_plain"))
         .orderBy(col("doc_id"))
     }),
+    "x_pdf_encrypted" -> ((s, dir) => {
+      // standard-security encrypted PDFs, empty user password — the crawl's
+      // "openable encrypted" stratum the reference handles via Tika/PDFBox
+      // (/root/reference/README.md:269-273): RC4-40 (V1/R2) on even ids,
+      // RC4-128+Flate (V2/R3) on odd. Text AND the RC4-encrypted Info
+      // /Title must round-trip; wrong-password/AES rejection is spec-tested
+      // in PdfSpec (no oracle row can carry a must-fail payload without
+      // making the whole query a fixture).
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.encryptedPdfPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload"), CorpusGen.flagshipConfig).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          col("r.status").cast("long").as("status"),
+          coalesce(try_element_at(try_element_at(col("r.metadata"), lit("dc:title")), lit(1)), lit("")).as("title"),
+          (pmod(col("doc_id"), lit(2)) + 2).cast("long").as("enc_rev"))
+        .orderBy(col("doc_id"))
+    }),
     "x_office_macros" -> ((s, dir) => {
       // VBA macros (#22): presence flag + strings-scan source recovery, and
       // the extractMacros=false negative
@@ -1383,6 +1403,16 @@ object SparkEntry {
          |  || '<p>' || text || '</p>' || chr(10) || '</doc>' AS xml_marked,
          |'<doc>' || chr(10) || '<p>Document ' || $sqlId || '</p>' || chr(10)
          |  || '<p>' || text || '</p>' || chr(10) || '</doc>' AS xml_plain
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pdf_encrypted" ->
+      // the oracle knows only what plaintext was embedded — if either the
+      // writer's or the reader's RC4/MD5 key schedule drifts from the spec,
+      // extraction yields ciphertext garbage and every row mismatches
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text AS text,
+         |CAST(0 AS BIGINT) AS status,
+         |'Document ' || $sqlId || ' (en)' AS title,
+         |CAST(2 + doc_id % 2 AS BIGINT) AS enc_rev
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_office_macros" ->
       s"""SELECT doc_id,

@@ -141,4 +141,41 @@ class PdfSpec extends AnyFunSuite {
     val r = PdfExtractor.extract(pdf, c, GlyphTemplateOcr)
     assert(r.metadata("X-Image-Count") == Seq("1"))
   }
+
+  test("encrypted pdf RC4-40 (V1/R2, empty user password): text and title decrypt") {
+    val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+      Seq("Encrypted line one", "with (parens) and \\ slash"), "SecTitle", rev = 2)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0)
+    assert(r.text == "Encrypted line one\nwith (parens) and \\ slash")
+    assert(r.metadata("dc:title") == Seq("SecTitle"))
+  }
+
+  test("encrypted pdf RC4-128 (V2/R3, Flate-then-encrypt): text and title decrypt") {
+    val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+      Seq("Stronger key body"), "SecTitle3", rev = 3)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0)
+    assert(r.text == "Stronger key body")
+    assert(r.metadata("dc:title") == Seq("SecTitle3"))
+    assert(r.metadata("pdf:producer") == Seq("extractous-spark-gen"))
+  }
+
+  test("encrypted pdf with a NON-empty user password is rejected with -4, never garbage") {
+    for (rev <- Seq(2, 3)) {
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+        Seq("locked away"), "T", rev = rev, userPwd = "hunter2")
+      val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+      assert(r.status == ExtractStatus.ExtractionFailed, s"rev=$rev must fail")
+      assert(r.text == "")
+      assert(r.error.contains("password"))
+    }
+  }
+
+  test("AES (V4) encryption is refused with -8 unsupported format") {
+    val r = PdfExtractor.extract(extractous.gen.PdfEncWriter.aesEncryptedPdf(), cfg, GlyphTemplateOcr)
+    assert(r.status == ExtractStatus.UnsupportedFormat)
+    assert(r.text == "")
+    assert(r.error.contains("unsupported encryption"))
+  }
 }
