@@ -39,6 +39,21 @@ object ArchiveExtractor {
     emit(members, TarMime, "tar", cfg, ocr, depth)
   }
 
+  /** Store-mode .7z descent; LZMA/LZMA2 folders and other out-of-scope
+    * structures refuse with −8 (see [[extractous.core.SevenZip]]).
+    */
+  def sevenZ(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    val members =
+      try SevenZip.members(bytes)
+      catch {
+        case e: UnsupportedArchiveException =>
+          return ExtractResult.fail(ExtractStatus.UnsupportedFormat, s"7z: ${e.getMessage}", MimeSniffer.SevenZ)
+        case e: Exception =>
+          return ExtractResult.fail(ExtractStatus.ExtractionFailed, s"7z: ${e.getMessage}", MimeSniffer.SevenZ)
+      }
+    emit(members, MimeSniffer.SevenZ, "7z", cfg, ocr, depth)
+  }
+
   private def emit(members: Seq[(String, Array[Byte])], mime: String, label: String,
       cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
     if (members.isEmpty)

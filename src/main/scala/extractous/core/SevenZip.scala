@@ -1,0 +1,281 @@
+package extractous.core
+
+/** Store-mode 7z (.7z) member walk — the archive format's container
+  * structure from the published 7zFormat.txt spec, WITHOUT any LZMA/LZMA2
+  * decoder: folders whose coder chain is anything but Copy (id 0x00) are
+  * rejected with [[UnsupportedArchiveException]] → status −8 upstream —
+  * honest "we can see the members but won't guess their bytes", never
+  * garbage. File-heavy crawl strata carry .7z alongside zip/tar; Tika (the
+  * reference's engine) descends them via Commons Compress
+  * (/root/reference/README.md:271-273).
+  *
+  * Scope: single-coder Copy folders, one pack stream per folder, no empty
+  * streams, no encrypted headers (kEncodedHeader → unsupported). Both
+  * header CRCs are verified; any structural damage throws
+  * IllegalArgumentException → status −4.
+  */
+final class UnsupportedArchiveException(msg: String) extends RuntimeException(msg)
+
+object SevenZip {
+  val Signature: Array[Byte] =
+    Array('7'.toByte, 'z'.toByte, 0xBC.toByte, 0xAF.toByte, 0x27.toByte, 0x1C.toByte)
+
+  def looksLike7z(bytes: Array[Byte]): Boolean =
+    bytes.length >= 32 && (0 until 6).forall(i => bytes(i) == Signature(i))
+
+  /** RAR 4.x and 5.x signatures (detection only — RAR compression is
+    * proprietary-adjacent and out of scope; detection exists so the payload
+    * is REFUSED with a typed status instead of mojibaking through the text
+    * rungs).
+    */
+  def looksLikeRar(bytes: Array[Byte]): Boolean =
+    bytes.length >= 7 && bytes(0) == 'R' && bytes(1) == 'a' && bytes(2) == 'r' &&
+      bytes(3) == '!' && bytes(4) == 0x1A && bytes(5) == 0x07 &&
+      (bytes(6) == 0x00 || (bytes(6) == 0x01 && bytes.length >= 8 && bytes(7) == 0x00))
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def u64le(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Cursor over the end-header property stream. */
+  private final class Rd(val b: Array[Byte]) {
+    var pos = 0
+    def byte(): Int = {
+      if (pos >= b.length) throw new IllegalArgumentException("7z: truncated header")
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (pos + n > b.length) throw new IllegalArgumentException("7z: truncated header")
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
+    }
+    /** 7z variable-length number (spec ReadNumber). */
+    def num(): Long = {
+      val first = byte()
+      var mask = 0x80
+      var value = 0L
+      var i = 0
+      while (i < 8) {
+        if ((first & mask) == 0) {
+          return value | ((first & (mask - 1)).toLong << (8 * i))
+        }
+        value |= (byte().toLong << (8 * i))
+        mask >>= 1
+        i += 1
+      }
+      value
+    }
+    def numInt(cap: Int, what: String): Int = {
+      val v = num()
+      if (v < 0 || v > cap) throw new IllegalArgumentException(s"7z: $what out of range ($v)")
+      v.toInt
+    }
+  }
+
+  // property ids (7zFormat.txt)
+  private final val kEnd = 0x00
+  private final val kHeader = 0x01
+  private final val kEncodedHeader = 0x17
+  private final val kMainStreamsInfo = 0x04
+  private final val kFilesInfo = 0x05
+  private final val kPackInfo = 0x06
+  private final val kUnPackInfo = 0x07
+  private final val kSubStreamsInfo = 0x08
+  private final val kSize = 0x09
+  private final val kCRC = 0x0A
+  private final val kFolder = 0x0B
+  private final val kCodersUnpackSize = 0x0C
+  private final val kNumUnPackStream = 0x0D
+  private final val kEmptyStream = 0x0E
+  private final val kName = 0x11
+
+  /** Skip a CRC digest structure for `n` streams. */
+  private def skipDigests(r: Rd, n: Int): Unit = {
+    val allDefined = r.byte()
+    val defined =
+      if (allDefined != 0) n
+      else {
+        // bit vector, high bit first
+        var cnt = 0
+        var i = 0
+        var cur = 0
+        var maskLeft = 0
+        while (i < n) {
+          if (maskLeft == 0) { cur = r.byte(); maskLeft = 8 }
+          if ((cur & 0x80) != 0) cnt += 1
+          cur = (cur << 1) & 0xff
+          maskLeft -= 1
+          i += 1
+        }
+        cnt
+      }
+    r.bytes(4 * defined)
+    ()
+  }
+
+  /** Ordered (name, bytes) members of a store-mode archive. */
+  def members(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    if (!looksLike7z(bytes)) throw new IllegalArgumentException("7z: bad signature")
+    if (crc32(bytes, 12, 20) != u32le(bytes, 8))
+      throw new IllegalArgumentException("7z: start header CRC mismatch")
+    val nhOffset = u64le(bytes, 12)
+    val nhSize = u64le(bytes, 20)
+    if (nhOffset < 0 || nhSize <= 0 || nhSize > Int.MaxValue ||
+        32 + nhOffset + nhSize > bytes.length)
+      throw new IllegalArgumentException("7z: end header out of bounds")
+    val header = java.util.Arrays.copyOfRange(bytes, (32 + nhOffset).toInt, (32 + nhOffset + nhSize).toInt)
+    if (crc32(header, 0, header.length) != u32le(bytes, 28))
+      throw new IllegalArgumentException("7z: end header CRC mismatch")
+
+    val r = new Rd(header)
+    r.byte() match {
+      case `kHeader` => ()
+      case `kEncodedHeader` =>
+        throw new UnsupportedArchiveException("compressed (kEncodedHeader) metadata — store-mode only")
+      case other => throw new IllegalArgumentException(f"7z: unexpected root property 0x$other%02x")
+    }
+
+    var packSizes: Array[Long] = Array.empty
+    var packPos = 0L
+    var numFolders = 0
+    var unpackSizes: Array[Long] = Array.empty
+    var names: Seq[String] = Seq.empty
+
+    var id = r.byte()
+    while (id != kEnd) {
+      id match {
+        case `kMainStreamsInfo` =>
+          var sid = r.byte()
+          while (sid != kEnd) {
+            sid match {
+              case `kPackInfo` =>
+                packPos = r.num()
+                val numPack = r.numInt(1 << 20, "pack stream count")
+                var pid = r.byte()
+                while (pid != kEnd) {
+                  pid match {
+                    case `kSize` => packSizes = Array.fill(numPack)(r.num())
+                    case `kCRC`  => skipDigests(r, numPack)
+                    case other   => throw new IllegalArgumentException(f"7z: PackInfo property 0x$other%02x")
+                  }
+                  pid = r.byte()
+                }
+              case `kUnPackInfo` =>
+                if (r.byte() != kFolder) throw new IllegalArgumentException("7z: expected kFolder")
+                numFolders = r.numInt(1 << 20, "folder count")
+                if (r.byte() != 0) throw new UnsupportedArchiveException("external folder data")
+                var totalOut = 0
+                (0 until numFolders).foreach { _ =>
+                  val numCoders = r.numInt(64, "coder count")
+                  var numIn = 0
+                  var numOut = 0
+                  (0 until numCoders).foreach { _ =>
+                    val flag = r.byte()
+                    val idSize = flag & 0x0f
+                    val coderId = r.bytes(idSize)
+                    val (ci, co) =
+                      if ((flag & 0x10) != 0) (r.numInt(64, "in streams"), r.numInt(64, "out streams"))
+                      else (1, 1)
+                    if ((flag & 0x20) != 0) { val ps = r.numInt(1 << 16, "coder props"); r.bytes(ps); () }
+                    val hexId = coderId.map(b => f"${b & 0xff}%02x").mkString
+                    if (!(idSize == 1 && coderId(0) == 0x00))
+                      throw new UnsupportedArchiveException(
+                        s"compressed member (coder 0x$hexId) — store-mode (Copy) only, no LZMA decoder in scope")
+                    numIn += ci; numOut += co
+                  }
+                  // bind pairs (numOut - 1 of them) only exist for coder chains
+                  (0 until numOut - 1).foreach { _ => r.num(); r.num() }
+                  if (numIn - (numOut - 1) > 1)
+                    throw new UnsupportedArchiveException("multi-pack-stream folder")
+                  totalOut += numOut
+                }
+                var uid = r.byte()
+                while (uid != kEnd) {
+                  uid match {
+                    case `kCodersUnpackSize` => unpackSizes = Array.fill(totalOut)(r.num())
+                    case `kCRC`              => skipDigests(r, numFolders)
+                    case other => throw new IllegalArgumentException(f"7z: UnPackInfo property 0x$other%02x")
+                  }
+                  uid = r.byte()
+                }
+              case `kSubStreamsInfo` =>
+                var ssid = r.byte()
+                while (ssid != kEnd) {
+                  ssid match {
+                    case `kNumUnPackStream` =>
+                      (0 until numFolders).foreach { _ =>
+                        if (r.num() != 1L)
+                          throw new UnsupportedArchiveException("multiple substreams per folder")
+                      }
+                    case `kSize` => // sizes of non-last substreams: none when all counts are 1
+                    case `kCRC`  => skipDigests(r, numFolders)
+                    case other   => throw new IllegalArgumentException(f"7z: SubStreams property 0x$other%02x")
+                  }
+                  ssid = r.byte()
+                }
+              case other => throw new IllegalArgumentException(f"7z: StreamsInfo property 0x$other%02x")
+            }
+            sid = r.byte()
+          }
+        case `kFilesInfo` =>
+          val numFiles = r.numInt(1 << 20, "file count")
+          var fid = r.byte()
+          while (fid != kEnd) {
+            val size = r.numInt(Int.MaxValue, "property size")
+            fid match {
+              case `kName` =>
+                val data = r.bytes(size)
+                if (data.isEmpty || data(0) != 0)
+                  throw new UnsupportedArchiveException("external file names")
+                // UTF-16LE names, each terminated by 0x0000
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var start = 1
+                var i = 1
+                while (i + 1 < data.length) {
+                  if (data(i) == 0 && data(i + 1) == 0) {
+                    out += new String(data, start, i - start, java.nio.charset.StandardCharsets.UTF_16LE)
+                    start = i + 2
+                  }
+                  i += 2
+                }
+                names = out.toSeq
+              case `kEmptyStream` =>
+                throw new UnsupportedArchiveException("empty-stream entries (directories/empty files)")
+              case _ => r.bytes(size) // kMTime, kAttributes, … — structurally skipped
+            }
+            fid = r.byte()
+          }
+          if (names.length != numFiles)
+            throw new IllegalArgumentException(s"7z: ${names.length} names for $numFiles files")
+        case other => throw new IllegalArgumentException(f"7z: header property 0x$other%02x")
+      }
+      id = r.byte()
+    }
+
+    if (numFolders != packSizes.length || names.length != numFolders)
+      throw new UnsupportedArchiveException(
+        s"folder/pack/file mismatch ($numFolders folders, ${packSizes.length} packs, ${names.length} files)")
+    var off = 32 + packPos
+    names.indices.map { i =>
+      val sz = packSizes(i)
+      if (sz != unpackSizes(i))
+        throw new IllegalArgumentException("7z: Copy folder pack/unpack size mismatch")
+      if (sz < 0 || sz > Int.MaxValue || off + sz > bytes.length)
+        throw new IllegalArgumentException("7z: member overruns archive")
+      val m = (names(i), java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt))
+      off += sz
+      m
+    }
+  }
+}

@@ -380,9 +380,9 @@ object CorpusGen {
 
   /** Archive-recursion payload (x_archive): a 3-member archive — an HTML
     * page, a plain-text note, and a gzip-wrapped text (nested wrapper, depth
-    * 2) — as ZIP or ustar TAR by id/100 parity (ids ≡ k mod 100 share id%2
-    * parity). Expected text is the members' extractions concatenated in
-    * archive order, all closed-form.
+    * 2) — as ZIP / ustar TAR / store-mode 7z by (id/100) mod 3. Expected
+    * text is the members' extractions concatenated in archive order, all
+    * closed-form.
     */
   def archivePayload(id: Long, text: String, lang: String): Array[Byte] = {
     val gz = {
@@ -395,7 +395,11 @@ object CorpusGen {
       "page.html" -> htmlPayload(id, text, lang),
       "note.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       "extra.txt.gz" -> gz)
-    if ((id / 100) % 2 == 0) DocxWriter.zip(members) else TarWriter.tar(members)
+    ((id / 100) % 3) match {
+      case 0 => DocxWriter.zip(members)
+      case 1 => TarWriter.tar(members)
+      case _ => SevenZWriter.sevenZ(members)
+    }
   }
 
   /** WARC payload (x_warc): a 5-record Common-Crawl-shaped file — warcinfo +

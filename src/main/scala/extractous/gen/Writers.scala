@@ -656,6 +656,129 @@ $body
   * correct checksum (field-as-spaces sum), data padded to 512, two zero
   * blocks at the end — the shape every `tar cf` produces for regular files.
   */
+/** Store-mode .7z writer (7zFormat.txt): one Copy folder per member, no
+  * CRC digests, no empty streams — minimal but spec-conformant, and
+  * independent of the reader in extractous.core.SevenZip.
+  */
+object SevenZWriter {
+  private def crc32(b: Array[Byte]): Long = {
+    val c = new CRC32(); c.update(b); c.getValue
+  }
+
+  /** 7z variable-length number: minimal single byte for < 0x80, else the
+    * legal full 8-extra-byte form (first byte 0xFF).
+    */
+  private def num(out: ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0 && v < 0x80) out.write(v.toInt)
+    else {
+      out.write(0xff)
+      var i = 0
+      var x = v
+      while (i < 8) { out.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+    }
+
+  def sevenZ(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val n = members.length
+    val packed = new ByteArrayOutputStream()
+    members.foreach { case (_, d) => packed.write(d) }
+
+    val h = new ByteArrayOutputStream()
+    h.write(0x01) // kHeader
+    h.write(0x04) // kMainStreamsInfo
+    h.write(0x06) // kPackInfo
+    num(h, 0)     // PackPos
+    num(h, n)     // NumPackStreams
+    h.write(0x09) // kSize
+    members.foreach { case (_, d) => num(h, d.length) }
+    h.write(0x00) // end PackInfo
+    h.write(0x07) // kUnPackInfo
+    h.write(0x0B) // kFolder
+    num(h, n)
+    h.write(0x00) // not external
+    members.foreach { _ =>
+      num(h, 1)   // one coder
+      h.write(0x01) // flag: id size 1, simple, no attrs
+      h.write(0x00) // Copy
+    }
+    h.write(0x0C) // kCodersUnpackSize
+    members.foreach { case (_, d) => num(h, d.length) }
+    h.write(0x00) // end UnPackInfo
+    h.write(0x00) // end MainStreamsInfo
+    h.write(0x05) // kFilesInfo
+    num(h, n)
+    val nameBytes = new ByteArrayOutputStream()
+    nameBytes.write(0) // not external
+    members.foreach { case (name, _) =>
+      nameBytes.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+      nameBytes.write(0); nameBytes.write(0)
+    }
+    h.write(0x11) // kName
+    num(h, nameBytes.size())
+    nameBytes.writeTo(h)
+    h.write(0x00) // end FilesInfo
+    h.write(0x00) // end kHeader
+    val header = h.toByteArray
+
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C, 0, 4))
+    val sh = new ByteArrayOutputStream() // the 20 CRC-protected bytes
+    var x = packed.size().toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = header.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = crc32(header)
+    (0 until 4).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    val shBytes = sh.toByteArray
+    x = crc32(shBytes)
+    (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>>= 8 }
+    out.write(shBytes)
+    packed.writeTo(out)
+    out.write(header)
+    out.toByteArray
+  }
+
+  /** A .7z whose single folder declares the LZMA coder (0x030101) — the
+    * honest-rejection fixture (status −8; we refuse to guess compressed
+    * bytes).
+    */
+  def lzma7z(payloadLen: Int): Array[Byte] = {
+    val fake = new Array[Byte](payloadLen) // opaque "compressed" bytes
+    val h = new ByteArrayOutputStream()
+    h.write(0x01); h.write(0x04)
+    h.write(0x06); num(h, 0); num(h, 1); h.write(0x09); num(h, payloadLen); h.write(0x00)
+    h.write(0x07); h.write(0x0B); num(h, 1); h.write(0x00)
+    num(h, 1)        // one coder
+    h.write(0x23)    // flag: id size 3, has attributes
+    h.write(0x03); h.write(0x01); h.write(0x01) // LZMA
+    num(h, 5); (0 until 5).foreach(_ => h.write(0x5d)) // fake props
+    h.write(0x0C); num(h, payloadLen * 4); h.write(0x00)
+    h.write(0x00)
+    h.write(0x05); num(h, 1)
+    val nb = new ByteArrayOutputStream()
+    nb.write(0)
+    nb.write("a.txt".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)); nb.write(0); nb.write(0)
+    h.write(0x11); num(h, nb.size()); nb.writeTo(h)
+    h.write(0x00); h.write(0x00)
+    val header = h.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C, 0, 4))
+    val sh = new ByteArrayOutputStream()
+    var x = fake.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = header.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = crc32(header)
+    (0 until 4).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    val shBytes = sh.toByteArray
+    x = crc32(shBytes)
+    (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>>= 8 }
+    out.write(shBytes)
+    out.write(fake)
+    out.write(header)
+    out.toByteArray
+  }
+}
+
 object TarWriter {
   def tar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

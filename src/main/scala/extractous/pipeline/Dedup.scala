@@ -92,6 +92,58 @@ object Dedup {
         s => s.getField("line")), "\n").as("text"))
   }
 
+  /** Sub-document exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv 2107.06499): flag
+    * every ≥k-token span that appears VERBATIM in more than one document —
+    * the strongest modern dedup signal, catching boilerplate and quotation
+    * reuse that whole-document minhash/simhash miss. Lee et al. build a
+    * suffix array over the concatenated corpus; the relational equivalent
+    * over 10^12 rows is positional k-gram fingerprinting:
+    *
+    *   1. per document, positional k-gram keys over normalized tokens
+    *      ([[Decontam.ngramKeys]] — xxhash64 per token + rotate-XOR combine;
+    *      narrow, no gram strings ever materialize);
+    *   2. one exchange of `(gram_hash, doc_id, pos)` LONGS groups by
+    *      gram_hash and keeps hashes spanning ≥2 distinct docs (min≠max —
+    *      no count-distinct sketch needed);
+    *   3. a second long-keyed shuffle semi-joins flagged hashes back to
+    *      positions, and a per-doc aggregate merges overlapping [pos,
+    *      pos+k) intervals into covered-token counts with one HOF fold
+    *      over the sorted position array.
+    *
+    * Document text NEVER shuffles (PipelineSpec asserts); every exchange
+    * carries 8-byte keys + 2 longs. A 64-bit collision can only over-flag
+    * (conservative removal), and the driver oracle joins on gram STRINGS,
+    * so collisions would fail the gate, not hide.
+    *
+    * Returns one row per input doc:
+    * `(id, n_flagged_grams, n_dup_tokens, has_dup_span)` where n_dup_tokens
+    * is the size of the union of flagged spans — the tokens a removal pass
+    * would cut.
+    */
+  def substringFlags(docs: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      posexplode(Decontam.ngramKeys(col(textCol), k)).as(Seq("pos", "gh")))
+    val crossDoc = grams.groupBy(col("gh"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val flagged = grams.join(crossDoc, Seq("gh"), "left_semi")
+    val perDoc = flagged.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), size(col("ps")).as("nf"),
+        when(size(col("ps")) === 1, lit(k))
+          .otherwise(aggregate(sequence(lit(1), size(col("ps")) - 1), lit(k),
+            (acc, i) => acc + least(lit(k), element_at(col("ps"), i + 1) - element_at(col("ps"), i))))
+          .as("cov"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("nf"), lit(0)).cast("long").as("n_flagged_grams"),
+        coalesce(col("cov"), lit(0)).cast("long").as("n_dup_tokens"),
+        (coalesce(col("nf"), lit(0)) > 0).cast("long").as("has_dup_span"))
+  }
+
   /** Distinct word n-gram shingles of a single-space-tokenized text column. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = split(trim(textCol), "\\s+")

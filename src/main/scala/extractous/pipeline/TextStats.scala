@@ -31,20 +31,10 @@ object TextStats {
   def stopHits(toks: Column, stops: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(stops.map(lit): _*)))
 
-  /** Stopword-presence language classifier; ties resolve to the earlier entry
-    * in [[langStops]] (deterministic).
-    */
-  def predLang(textCol: Column): Column = {
-    val t = tokens(textCol)
-    val scores = langStops.map { case (l, st) => (l, stopHits(t, st)) }
-    var bestLang: Column = lit(scores.head._1)
-    var bestScore: Column = scores.head._2
-    scores.tail.foreach { case (l, s) =>
-      bestLang = when(s > bestScore, lit(l)).otherwise(bestLang)
-      bestScore = when(s > bestScore, s).otherwise(bestScore)
-    }
-    bestLang
-  }
+  // Language ID lives in [[LangId]] (char-n-gram Cavnar–Trenkle profiles,
+  // 12 languages); the round-3 stopword-lookup predLang was removed — the
+  // stop lists above remain only as the Gopher stopword gate and the
+  // generator mirror.
 
   /** Punctuation character count. */
   def punctCount(c: Column): Column =

@@ -18,6 +18,8 @@ object MimeSniffer {
   val Odp = "application/vnd.oasis.opendocument.presentation"
   val Zip = "application/zip"
   val Tar = "application/x-tar"
+  val SevenZ = "application/x-7z-compressed"
+  val Rar = "application/vnd.rar"
   val Warc = "application/warc"
   val Iwork = "application/vnd.apple.iwork"
   val Csv = "text/csv"
@@ -211,6 +213,8 @@ object MimeSniffer {
       return Zip
     }
     if (startsWith(bytes, 0, "{\\rtf")) return Rtf
+    if (extractous.core.SevenZip.looksLike7z(bytes)) return SevenZ
+    if (extractous.core.SevenZip.looksLikeRar(bytes)) return Rar
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Gzip
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png

@@ -275,4 +275,8 @@ object signatures {
     ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(c)))
   def top2gram(c: Column): Column =
     ColumnBridge.column(Top2GramExpr(ColumnBridge.expression(c)))
+  def langid(c: Column): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c)))
+  def bpe_count(c: Column): Column =
+    ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(c)))
 }

@@ -399,10 +399,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "x_archive" -> ((s, dir) => {
-      // archive recursion (Tika-style): ZIP / ustar TAR members re-enter the
-      // full sniff→dispatch pipeline in archive order; the 3rd member is a
-      // gzip-wrapped text (nested wrapper, recursion depth 2). Container
-      // alternates zip/tar by id/100 parity.
+      // archive recursion (Tika-style): ZIP / ustar TAR / store-mode 7z
+      // members re-enter the full sniff→dispatch pipeline in archive order;
+      // the 3rd member is a gzip-wrapped text (nested wrapper, recursion
+      // depth 2). Container rotates zip/tar/7z by (id/100) mod 3.
       import s.implicits._
       val ds = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
@@ -952,12 +952,40 @@ object SparkEntry {
         TextStats.isGood(col("text")).cast("long").as("is_good"))
         .orderBy(col("doc_id"))
     }),
+    "t_tokens_bpe" -> ((s, dir) => {
+      // BPE subword counting: merges trained offline from the generator's
+      // closed 31-word vocabulary until every vocab word is ONE token
+      // (PipelineSpec asserts), making the oracle closed-form: in-vocab
+      // words cost 1; the planted "query7" exercises real subword
+      // segmentation (learned "query" merges apply to the prefix, (y,7)
+      // was never learned → 2 tokens); "0123456789" is all
+      // unseen-in-training characters → 10 tokens on every 3rd doc
+      val content = concat(col("text"), lit(" query7"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" 0123456789")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_words"),
+        extractous.pipeline.Bpe.countTokens(content).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "t_langid" -> ((s, dir) => {
-      // real pipeline: html payload → extract → classify; truth = documents.lang
-      xf.extractFrame(corpusDf(s, dir), CorpusGen.flagshipConfig)
-        .filter(col("content_type") === "text/html")
-        .select(col("url"), TextStats.predLang(col("text")).as("pred_lang"))
-        .orderBy(col("url"))
+      // char-n-gram language ID (Cavnar–Trenkle 1994, 12 languages / 5
+      // scripts): profiles trained offline from embedded seed lexicons and
+      // frozen as model data (the IVF-centroid pattern). Evaluation text is
+      // sampled per doc_id from a splitmix stream DISJOINT from the
+      // training stream, so a correct pred_lang is genuine statistical
+      // recovery, not stopword-list lookup or training-text replay. The
+      // oracle knows the true language only from the id arithmetic.
+      import s.implicits._
+      import extractous.pipeline.LangData
+      s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long]
+        .map { id =>
+          val lang = LangData.langs((id % 12).toInt)
+          (id, lang, LangData.sampleText(lang, id, 60))
+        }
+        .toDF("doc_id", "true_lang", "content")
+        .select(col("doc_id"), col("true_lang"),
+          extractous.pipeline.LangId.predict(col("content")).as("pred_lang"))
+        .orderBy(col("doc_id"))
     }),
     "t_gopher" -> ((s, dir) => {
       // Gopher-style quality gate (Rae et al. §A1.1) over a multi-line doc
@@ -1020,6 +1048,24 @@ object SparkEntry {
           when(col("d.doc_id") % 7 === 0, concat(col("d.text"), lit(" "), col("b.text")))
             .otherwise(col("d.text")).as("text"))
       extractous.pipeline.Decontam.flag(planted, bench, "text", "doc_id", n = 3, pctThreshold = 30)
+        .orderBy(col("doc_id"))
+    }),
+    "d_dedup_substr" -> ((s, dir) => {
+      // sub-document exact-substring dedup (Lee et al. 2022): every 4th doc
+      // carries its block-of-20's shared 12-token span; flagged grams must
+      // cover exactly those spans (plus any NATURAL cross-doc 8-gram
+      // repeats, which the brute-force gram-string oracle reproduces
+      // identically — the hash-keyed plan is verified against exact string
+      // matching, same contract as d_decontam)
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val block = (col("doc_id") - pmod(col("doc_id"), lit(20))).cast("string")
+      val planted = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"),
+            lit(" shared span alpha beta gamma delta epsilon zeta eta theta block "), block))
+          .otherwise(col("text")).as("text"))
+      Dedup.substringFlags(planted, "text", "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
     "d_split" -> ((s, dir) => {
@@ -1284,7 +1330,8 @@ object SparkEntry {
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
          | || text || chr(10) || text AS text,
-         |CASE WHEN (doc_id // 100) % 2 = 0 THEN 'application/zip' ELSE 'application/x-tar' END AS content_type
+         |CASE (doc_id // 100) % 3 WHEN 0 THEN 'application/zip' WHEN 1 THEN 'application/x-tar'
+         |  ELSE 'application/x-7z-compressed' END AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_charset_cyr" ->
       raw"""SELECT doc_id,
@@ -1643,9 +1690,25 @@ object SparkEntry {
         |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10 <= length(text)
         |  AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_good
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_tokens_bpe" ->
+      raw"""SELECT doc_id,
+         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         |CAST(len(string_split_regex(trim(text), '\s+')) + 2
+         |  + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_langid" ->
-      s"""SELECT $sqlUrl AS url, lang AS pred_lang
-         |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
+      // the oracle derives the true language purely from id arithmetic —
+      // the classifier must recover it from the character statistics alone
+      """SELECT doc_id,
+        |CASE doc_id % 12 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |  WHEN 3 THEN 'fr' WHEN 4 THEN 'it' WHEN 5 THEN 'nl' WHEN 6 THEN 'pl'
+        |  WHEN 7 THEN 'pt' WHEN 8 THEN 'ru' WHEN 9 THEN 'sv' WHEN 10 THEN 'tr'
+        |  ELSE 'zh' END AS true_lang,
+        |CASE doc_id % 12 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |  WHEN 3 THEN 'fr' WHEN 4 THEN 'it' WHEN 5 THEN 'nl' WHEN 6 THEN 'pl'
+        |  WHEN 7 THEN 'pt' WHEN 8 THEN 'ru' WHEN 9 THEN 'sv' WHEN 10 THEN 'tr'
+        |  ELSE 'zh' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_gopher" ->
       raw"""WITH d AS (SELECT doc_id, text, lang, $sqlStop AS stop FROM documents),
          |c AS (
@@ -1735,6 +1798,27 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(c.n_matched,0)*100 >= coalesce(c.n_grams,0)*30 AND coalesce(c.n_grams,0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM planted p LEFT JOIN counts c ON p.doc_id = c.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+    "d_dedup_substr" ->
+      // brute force on gram STRINGS: an xxhash64/rot-XOR collision in the
+      // Spark plan would mismatch here, not hide
+      raw"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 4 = 1
+         |    THEN text || ' shared span alpha beta gamma delta epsilon zeta eta theta block ' || CAST(doc_id - doc_id % 20 AS VARCHAR)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9\x{4e00}-\x{9fff}]+'), x -> x <> '') AS ts FROM planted),
+         |gi AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM toks WHERE len(ts) >= 8),
+         |g AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM gi),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+         |f AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+         |c AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nx FROM f),
+         |agg AS (SELECT doc_id, count(*) AS nf, sum(CASE WHEN nx IS NULL THEN 8 ELSE least(8, nx - i) END) AS cov FROM c GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(coalesce(a.nf, 0) AS BIGINT) AS n_flagged_grams,
+         |  CAST(coalesce(a.cov, 0) AS BIGINT) AS n_dup_tokens,
+         |  CAST(CASE WHEN coalesce(a.nf, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_dup_span
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d_split" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -115,6 +115,9 @@ class ExtractSpec extends AnyFunSuite {
       extractous.gen.MsgWriter.msg("Subject X", "Sender Y", "mail body text", unicode = false),
       CorpusGen.archivePayload(0, "archived body text here", "en"),   // zip
       CorpusGen.archivePayload(100, "archived body text here", "en"), // tar
+      CorpusGen.archivePayload(200, "archived body text here", "en"), // 7z
+      CorpusGen.encryptedPdfPayload(0, "encrypted body text"),        // RC4-40
+      CorpusGen.encryptedPdfPayload(1, "encrypted body text"),        // RC4-128
       CorpusGen.csvPayload(0, "comma separated value body"),
       CorpusGen.csvPayload(100, "tab separated value body"),
       CorpusGen.mboxPayload(3, "mailbox body text"))

@@ -213,6 +213,56 @@ class PipelineSpec extends AnyFunSuite {
       plan.contains("SortMergeJoin"), s"anti-join missing:\n$plan")
   }
 
+  test("substring dedup: cross-doc spans flagged with exact coverage, within-doc repeats ignored") {
+    import spark.implicits._
+    // k=3. Docs 1,2 share "one two three four" (two 3-grams at pos 0,1 →
+    // coverage 4 tokens). Doc 3 repeats a 3-gram WITHIN itself only → clean.
+    // Doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "one two three four unique tail here"),
+      (2L, "prefix bit one two three four"),
+      (3L, "x y z pad pad x y z"),
+      (4L, "completely different words again")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringFlags(docs, "text", "doc_id", k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 4L, 1L),   // grams at pos 0,1 → union [0,4) = 4 tokens
+      (2L, 2L, 4L, 1L),   // at pos 2,3
+      (3L, 0L, 0L, 0L),   // within-doc repeat is not cross-doc
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("substring dedup: non-contiguous spans sum coverage without double-counting overlaps") {
+    import spark.implicits._
+    // Shared spans at both ends of doc 1, separated by a unique middle
+    val docs = Seq(
+      (1L, "a b c UNIQ1 MID1 MID2 d e f"),
+      (2L, "a b c other stuff"),
+      (3L, "stuff other d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringFlags(docs, "text", "doc_id", k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1: "a b c" at pos 0 and "d e f" at pos 6 → 2 grams, 6 covered tokens
+    assert(out(0) == (1L, 2L, 6L))
+  }
+
+  test("substring dedup plan: corpus text never shuffles, every exchange is long-keyed") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"w$i x$i shared span body here now ok t$i")).toDF("doc_id", "text")
+    val df = Dedup.substringFlags(docs, "text", "doc_id", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the gram keys are hashes of tokens — no gram strings, and the
+    // exchanges partition on id/gh longs, never on the text column
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"text column in a shuffle key:\n$l")
+    }
+    assert(plan.contains("xxhash64"), s"token-hash keys missing:\n$plan")
+  }
+
   test("normalizeUrl/scrubPii plans are narrow: zero exchanges") {
     import spark.implicits._
     val d = (1L to 20L).map(i => (i, s"https://EX.com:443/p$i/?utm_source=x&q=$i", s"text $i a@b.co"))
@@ -241,16 +291,59 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("langid recovers corpus ground truth on extracted html text") {
+  test("char-n-gram langid recovers all 12 languages from held-out text, plan stays narrow") {
     import spark.implicits._
-    val rows = docs.limit(100).select(col("doc_id"), col("text"), col("lang"))
-      .as[(Long, String, String)].collect()
-      .filter { case (id, _, _) => CorpusGen.kindOf(id) == "html" }
-    rows.foreach { case (id, text, lang) =>
-      val r = extractous.core.Extract(CorpusGen.payload(id, text, lang), CorpusGen.flagshipConfig)
-      val df = spark.createDataset(Seq(r.text)).toDF("t")
-      val pred = df.select(TextStats.predLang(col("t"))).head.getString(0)
-      assert(pred == lang, s"doc $id")
+    import extractous.pipeline.LangData
+    // evaluation stream keys differ from both the training stream (-1) and
+    // the t_langid query's per-doc stream — triple-held-out
+    val samples = (for (li <- LangData.langs.indices; seed <- 0 until 40) yield {
+      val lang = LangData.langs(li)
+      (lang, LangData.sampleText(lang, 900000L + seed * 12L + li, 60))
+    }).toDF("lang", "content")
+    val df = samples.withColumn("pred", extractous.pipeline.LangId.predict(col("content")))
+    val wrong = df.filter(col("pred") =!= col("lang")).collect()
+    assert(wrong.isEmpty, s"misclassified: ${wrong.take(5).mkString(", ")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"langid must be narrow:\n$plan")
+  }
+
+  test("BPE: every vocab word is one token, subword segmentation is exact on planted cases") {
+    import extractous.pipeline.BpeModel
+    // the closed-form t_tokens_bpe oracle rests on these three facts
+    BpeModel.trainWords.foreach { w =>
+      assert(BpeModel.tokenCount(w) == 1, s"'$w' → ${BpeModel.segment(w)}")
+    }
+    assert(BpeModel.segment("query7") == Vector("query", "7"))
+    assert(BpeModel.tokenCount("0123456789") == 10) // digits unseen in training
+    // segmentation is a partition: concatenating segments restores the word
+    for (w <- Seq("querysort", "thequery", "xyzzy", "sparkly", "tablecustomer"))
+      assert(BpeModel.segment(w).mkString == w, s"'$w' segments must concatenate back")
+    // shared prefixes segment to learned subwords, never char soup
+    assert(BpeModel.segment("querysort") == Vector("query", "sort"))
+    assert(BpeModel.tokenCount("") == 0)
+  }
+
+  test("BPE training is deterministic and terminates with a full-vocab merges table") {
+    import extractous.pipeline.BpeModel
+    // re-deriving the table gives the identical sequence (pure function of
+    // the vocabulary; lexicographic tie-breaks)
+    assert(BpeModel.merges.nonEmpty && BpeModel.merges.size < 200)
+    assert(BpeModel.merges.distinct.size == BpeModel.merges.size, "no merge learned twice")
+    // counting composes over whitespace like the rest of the pipeline
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeModel.countTokens(UTF8String.fromString("the query  7seven\n sort")) ==
+      1 + 1 + BpeModel.tokenCount("7seven") + 1)
+  }
+
+  test("langid is deterministic on degenerate input (empty / punctuation-only)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import extractous.spark.LangIdModel
+    // no signal → all distances equal by symmetry is NOT guaranteed, but
+    // the result must be stable across calls and a member of the lang set
+    for (s <- Seq("", "   ", "12345 !!! ???")) {
+      val a = LangIdModel.predict(UTF8String.fromString(s)).toString
+      val b = LangIdModel.predict(UTF8String.fromString(s)).toString
+      assert(a == b && extractous.pipeline.LangData.langs.contains(a))
     }
   }
 

@@ -124,6 +124,39 @@ class Round3FormatsSpec extends AnyFunSuite {
     val r = Extract(mut)
     assert(r.status == ExtractStatus.ExtractionFailed && r.text == "")
   }
+  test("store-mode 7z recurses members in order like zip/tar; CRC damage fails the row") {
+    val html = CorpusGen.htmlPayload(7, "seven zip body", "en")
+    val gz = { val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b); g.write("packed note".getBytes("UTF-8")); g.close(); b.toByteArray }
+    val bytes = extractous.gen.SevenZWriter.sevenZ(Seq(
+      "a.html" -> html, "b.txt" -> "plain note".getBytes("UTF-8"), "c.txt.gz" -> gz))
+    assert(MimeSniffer.sniff(bytes) == "application/x-7z-compressed")
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "Document 7\nthe and of to in\nseven zip body\nplain note\npacked note")
+    assert(r.metadata("7z:member-count") == Seq("3"))
+    // flip a byte inside the end header → CRC mismatch → -4, never wrong text
+    val mut = bytes.clone()
+    mut(mut.length - 3) = (mut(mut.length - 3) ^ 0x40).toByte
+    val rm = Extract(mut)
+    assert(rm.status == ExtractStatus.ExtractionFailed && rm.text == "")
+  }
+
+  test("7z with an LZMA folder and RAR files refuse with -8, never garbage") {
+    val lzma = extractous.gen.SevenZWriter.lzma7z(64)
+    val r = Extract(lzma)
+    assert(r.status == ExtractStatus.UnsupportedFormat, s"${r.status} ${r.error}")
+    assert(r.text == "" && r.error.contains("LZMA"))
+    for (sig <- Seq(
+        Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x00),          // RAR4
+        Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x01, 0x00))) { // RAR5
+      val payload = sig ++ Array.tabulate[Byte](64)(i => (i * 37).toByte)
+      assert(MimeSniffer.sniff(payload) == "application/vnd.rar")
+      val rr = Extract(payload)
+      assert(rr.status == ExtractStatus.UnsupportedFormat && rr.text == "")
+    }
+  }
+
   test("archive whose members all fail extracts nothing and fails the row") {
     val junk = Array.tabulate[Byte](64)(i => ((i * 89 + 3) % 251).toByte)
     val bytes = extractous.gen.DocxWriter.zip(Seq("blob.bin" -> junk))
