@@ -47,14 +47,25 @@ object Decontam {
   /** 64-bit keys of all word n-grams, WITHOUT materializing gram strings:
     * each token is xxhash64'd once and gram keys combine the token hashes
     * with rotate-21-XOR — order-sensitive ("a b" ≠ "b a"), full 64-bit key
-    * space, and pure bitwise ops (long multiplication would trip ANSI
-    * overflow checking, default-on in Spark 4). For a corpus-scale document
-    * this does 1 hash per token instead of 1 hash over ~n·tokenLen bytes per
-    * gram — the dominant cost of the exploded side. Key equality ⟺ gram
-    * equality up to 64-bit collisions, same contract as hashing the gram
-    * string.
+    * space. For a corpus-scale document this does 1 hash per token instead
+    * of 1 hash over ~n·tokenLen bytes per gram — the dominant cost of the
+    * exploded side. Key equality ⟺ gram equality up to 64-bit collisions,
+    * same contract as hashing the gram string.
+    *
+    * Implementation is the imperative one-pass
+    * [[extractous.spark.NgramKeysExpr]] — bit-identical to the HOF
+    * formulation below (QualitySpec property-tests the equality), which
+    * cost ~38 µs PER GRAM in interpreted lambda overhead and made the
+    * gram stage the slowest part of decontamination and substring dedup.
     */
-  def ngramKeys(c: Column, n: Int): Column = {
+  def ngramKeys(c: Column, n: Int): Column =
+    extractous.spark.signatures.ngram_keys(c, n)
+
+  /** The original HOF formulation, kept as the spec-side reference the
+    * imperative kernel is property-tested against (same role as the
+    * brute-force twins elsewhere). Not on any wired query path.
+    */
+  private[extractous] def ngramKeysHof(c: Column, n: Int): Column = {
     val hs = transform(normTokens(c), t => xxhash64(t))
     def rot21(x: Column): Column =
       shiftleft(x, 21).bitwiseOR(shiftrightunsigned(x, 43))

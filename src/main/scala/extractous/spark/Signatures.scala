@@ -266,6 +266,67 @@ final case class Top2GramExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional word-n-gram keys over normalized tokens — the shared kernel of
+  * decontamination and substring dedup. Bit-identical to the HOF
+  * formulation it replaced (`transform(normTokens, xxhash64)` +
+  * `aggregate(slice(...))` rotate-XOR combine — kept as the spec-side
+  * reference in `Decontam.ngramKeysHof`): same Spark `lower`
+  * (UTF8String.toLowerCase), same `[^a-z0-9一-鿿]+` split, same
+  * seed-42 xxhash64 per token, same rot21-XOR combine. One pass, one token
+  * hash each, no per-gram slice allocation — the HOF version cost ~38 µs
+  * PER GRAM (interpreted lambda per element), which made the substring
+  * dedup's gram stage the slowest headline query.
+  */
+object NgramKeys {
+  private val SplitRe = java.util.regex.Pattern.compile("[^a-z0-9\\u4e00-\\u9fff]+")
+  final val Seed = 1125899906842597L
+
+  @inline private def rot21(x: Long): Long = (x << 21) | (x >>> 43)
+
+  def compute(s: UTF8String, n: Int): Array[Long] = {
+    val toks0 = SplitRe.split(s.toLowerCase.toString, -1)
+    var nTok = 0
+    var i = 0
+    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
+    if (nTok < n) return Array.emptyLongArray
+    val hs = new Array[Long](nTok)
+    var j = 0
+    i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) {
+        hs(j) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          UTF8String.fromString(toks0(i)), org.apache.spark.sql.types.StringType, 42L)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    i = 0
+    while (i <= nTok - n) {
+      var acc = Seed
+      var k = 0
+      while (k < n) { acc = rot21(acc) ^ hs(i + k); k += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+}
+
+final case class NgramKeysExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ngram_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      NgramKeys.compute(input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(extractous.spark.NgramKeys.compute($c, $n))")
+  override protected def withNewChildInternal(newChild: Expression): NgramKeysExpr =
+    copy(child = newChild)
+}
+
 object signatures {
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
@@ -279,4 +340,6 @@ object signatures {
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c)))
   def bpe_count(c: Column): Column =
     ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(c)))
+  def ngram_keys(c: Column, n: Int): Column =
+    ColumnBridge.column(NgramKeysExpr(ColumnBridge.expression(c), n))
 }

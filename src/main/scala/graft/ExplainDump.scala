@@ -55,6 +55,15 @@ object ExplainDump {
       docs.select(col("doc_id") +:
         (extractous.pipeline.TextStats.gopherReport(col("text"), 10) ++
          extractous.pipeline.TextStats.repetitionReport(col("text"))).map { case (n, c) => c.as(n) }: _*))
+
+    // round-4 additions (EXPLAIN.md §9)
+    dump("10. substring dedup (long-keyed exchanges only, text never shuffles)",
+      Dedup.substringFlags(docs, "text", "doc_id", k = 8))
+    dump("11. langid + bpe + fingerprint (one narrow imperative projection)",
+      docs.select(col("doc_id"),
+        extractous.pipeline.LangId.predict(col("text")).as("lang"),
+        extractous.pipeline.Bpe.countTokens(col("text")).as("bpe"),
+        extractous.pipeline.TextStats.fingerprint(col("text")).as("fp")))
     spark.stop()
   }
 }

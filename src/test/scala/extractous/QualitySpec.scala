@@ -261,6 +261,24 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("imperative ngram_keys is bit-identical to the HOF formulation on varied unicode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("The", "cat", "SAT", "北京", "héllo", "a1", "x", "", "mat,dog", "tail.")
+    val cases = Seq("", "one", "a b c d", "  spaced   out  ", "ALL CAPS WORDS HERE NOW") ++
+      (1 to 120).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(Seq(" ", ", ", "\n", "!")(rnd.nextInt(4)))
+      }
+    for (n <- Seq(2, 3, 8)) {
+      val df = cases.toDF("t").select(
+        extractous.pipeline.Decontam.ngramKeys(col("t"), n).as("imp"),
+        extractous.pipeline.Decontam.ngramKeysHof(col("t"), n).as("hof"))
+      val bad = df.filter(col("imp") =!= col("hof")).count()
+      assert(bad == 0, s"n=$n: $bad mismatching rows")
+    }
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
