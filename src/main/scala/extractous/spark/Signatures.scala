@@ -327,6 +327,55 @@ final case class NgramKeysExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingle STRINGS in one pass — input to the MinHash
+  * signature and the exact-Jaccard verify. Produces exactly the arrays of
+  * the HOF formulation (`array_distinct(transform(sequence, concat_ws(" ",
+  * slice(split(trim(text))))))` — kept as `Dedup.shinglesHof`, property-
+  * tested): UTF8String.trim is Spark's space-only `trim`, `String.split`
+  * is Spark's `split`, first-occurrence order preserved, and the
+  * fewer-than-n-tokens fallback is the whole text as ONE shingle. The HOF
+  * version cost ~2.8 s per evaluation at sf0.1 and the near-dup plan
+  * evaluates shingles three times (signature + both verify sides).
+  */
+object ShingleKernel {
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.trim.toString.split("\\s+", -1)
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+final case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"extractous.spark.ShingleKernel.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 object signatures {
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
@@ -342,4 +391,6 @@ object signatures {
     ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(c)))
   def ngram_keys(c: Column, n: Int): Column =
     ColumnBridge.column(NgramKeysExpr(ColumnBridge.expression(c), n))
+  def shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n))
 }

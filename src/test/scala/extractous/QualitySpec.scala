@@ -279,6 +279,24 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("imperative shingles are identical to the HOF formulation incl. short-text fallback") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "词语", "x")
+    val cases = Seq("", " ", "one", "one two", "a b c", "  lead and trail  ", "a\tb\nc d e") ++
+      (1 to 120).map { _ =>
+        (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(Seq(" ", "  ", " \n")(rnd.nextInt(3)))
+      }
+    for (n <- Seq(2, 3)) {
+      val df = cases.toDF("t").select(
+        extractous.pipeline.Dedup.shingles(col("t"), n).as("imp"),
+        extractous.pipeline.Dedup.shinglesHof(col("t"), n).as("hof"))
+      val bad = df.filter(col("imp") =!= col("hof")).count()
+      assert(bad == 0, s"n=$n: $bad mismatching rows")
+    }
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
