@@ -101,6 +101,20 @@ object TextStats {
     * which IS Gopher's documented behavior).
     */
   def gopherReport(content: Column, minWords: Int = 50): Seq[(String, Column)] = {
+    // One imperative pass ([[extractous.spark.GopherExpr]]) — the HOF
+    // formulation below re-scans the document ~15 times (two tokenizations,
+    // several whole-string regexp passes, per-line filters), a real linear
+    // constant at 20–100 KB/page. Identical fixed-point arithmetic
+    // (QualitySpec property-tests the equality against the HOF twin); the
+    // DuckDB oracle is unchanged.
+    val r = extractous.spark.signatures.gopher_report(content, minWords)
+    extractous.spark.GopherKernel.Fields.map(f => f -> r.getField(f))
+  }
+
+  /** The original HOF formulation — spec-side reference for the kernel's
+    * property test; not on any wired query path.
+    */
+  private[extractous] def gopherReportHof(content: Column, minWords: Int = 50): Seq[(String, Column)] = {
     val lines = split(content, "\n")
     val nLines = size(lines)
     val words = filter(split(content, "\\s+"), w => w =!= "")

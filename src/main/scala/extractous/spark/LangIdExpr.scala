@@ -59,9 +59,18 @@ object LangIdModel {
   private val langNames: Array[UTF8String] =
     profiles.map { case (l, _) => UTF8String.fromString(l) }
 
+  /** Gram statistics saturate within a few hundred bytes (Cavnar & Trenkle
+    * report reliable ID at 300 B); capping the analyzed prefix bounds the
+    * per-row cost on real 20–100 KB pages to O(1) instead of O(page) with
+    * a sort — the same defensive bound the truncating TextEmitter applies
+    * to extraction. 4 KB is ~13× the saturation point.
+    */
+  final val MaxChars = 4096
+
   /** Static entry point referenced by generated code. */
   def predict(s: UTF8String): UTF8String = {
-    val doc = topRanks(grams(s.toString), K)
+    val capped = if (s.numChars() > MaxChars) s.substringSQL(1, MaxChars) else s
+    val doc = topRanks(grams(capped.toString), K)
     var bestIdx = 0
     var bestDist = Long.MaxValue
     var li = 0

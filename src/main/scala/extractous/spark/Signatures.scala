@@ -393,4 +393,6 @@ object signatures {
     ColumnBridge.column(NgramKeysExpr(ColumnBridge.expression(c), n))
   def shingles(c: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n))
+  def gopher_report(c: Column, minWords: Int): Column =
+    ColumnBridge.column(GopherExpr(ColumnBridge.expression(c), minWords))
 }

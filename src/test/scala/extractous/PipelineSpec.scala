@@ -335,6 +335,27 @@ class PipelineSpec extends AnyFunSuite {
       1 + 1 + BpeModel.tokenCount("7seven") + 1)
   }
 
+  test("langid on huge documents: bounded-prefix analysis still classifies correctly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import extractous.pipeline.LangData
+    import extractous.spark.LangIdModel
+    for (li <- Seq(0, 4, 8, 11)) { // de, it, ru, zh — three scripts
+      val lang = LangData.langs(li)
+      val big = LangData.sampleText(lang, 555L + li, 20000) // ~100+ KB
+      assert(big.length > 39000) // zh words are single hanzi
+      val u = UTF8String.fromString(big)
+      LangIdModel.predict(u) // JIT warmup outside the timed window
+      val ms = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        assert(LangIdModel.predict(u).toString == lang)
+        (System.nanoTime() - t0) / 1e6
+      }.min
+      // O(1) bounded-prefix, not O(page): an unbounded scan of 100 KB took
+      // seconds; generous bound because CI shares cores
+      assert(ms < 500, s"bounded-prefix classify took $ms ms")
+    }
+  }
+
   test("langid is deterministic on degenerate input (empty / punctuation-only)") {
     import org.apache.spark.unsafe.types.UTF8String
     import extractous.spark.LangIdModel

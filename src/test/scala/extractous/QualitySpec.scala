@@ -297,6 +297,24 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("imperative gopher kernel equals the HOF formulation on varied content") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val frag = Seq("the cat sat", "- bullet", "* star", "• dot", "###", "to be continued...",
+      "…", "dup line", "北京 一个 the", "a", "", "of to in and", ".... ..", "word")
+    val cases = Seq("", "\n", "   ", "the and of to in") ++ (1 to 150).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => frag(rnd.nextInt(frag.length)))
+        .mkString(Seq("\n", " ", "\n\n")(rnd.nextInt(3)))
+    }
+    for (minWords <- Seq(1, 10)) {
+      val df = cases.toDF("c").select(
+        struct(TextStats.gopherReport(col("c"), minWords).map { case (n, cc) => cc.as(n) }: _*).as("imp"),
+        struct(TextStats.gopherReportHof(col("c"), minWords).map { case (n, cc) => cc.as(n) }: _*).as("hof"))
+      val bad = df.filter(col("imp") =!= col("hof")).collect()
+      assert(bad.isEmpty, s"minWords=$minWords: ${bad.take(2).mkString("; ")}")
+    }
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
