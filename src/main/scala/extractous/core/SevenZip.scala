@@ -100,8 +100,11 @@ object SevenZip {
   private final val kEmptyStream = 0x0E
   private final val kName = 0x11
 
-  /** Skip a CRC digest structure for `n` streams. */
-  private def skipDigests(r: Rd, n: Int): Unit = {
+  /** Skip a CRC digest structure for `n` streams; returns how many streams
+    * had a DEFINED digest (SubStreamsInfo needs this: its digest set covers
+    * only streams whose CRC was NOT already defined at folder level).
+    */
+  private def skipDigests(r: Rd, n: Int): Int = {
     val allDefined = r.byte()
     val defined =
       if (allDefined != 0) n
@@ -121,7 +124,7 @@ object SevenZip {
         cnt
       }
     r.bytes(4 * defined)
-    ()
+    defined
   }
 
   /** Ordered (name, bytes) members of a store-mode archive. */
@@ -150,6 +153,7 @@ object SevenZip {
     var packPos = 0L
     var numFolders = 0
     var unpackSizes: Array[Long] = Array.empty
+    var folderCrcDefined = 0
     var names: Seq[String] = Seq.empty
 
     var id = r.byte()
@@ -175,36 +179,32 @@ object SevenZip {
                 if (r.byte() != kFolder) throw new IllegalArgumentException("7z: expected kFolder")
                 numFolders = r.numInt(1 << 20, "folder count")
                 if (r.byte() != 0) throw new UnsupportedArchiveException("external folder data")
-                var totalOut = 0
                 (0 until numFolders).foreach { _ =>
                   val numCoders = r.numInt(64, "coder count")
-                  var numIn = 0
-                  var numOut = 0
-                  (0 until numCoders).foreach { _ =>
-                    val flag = r.byte()
-                    val idSize = flag & 0x0f
-                    val coderId = r.bytes(idSize)
-                    val (ci, co) =
-                      if ((flag & 0x10) != 0) (r.numInt(64, "in streams"), r.numInt(64, "out streams"))
-                      else (1, 1)
-                    if ((flag & 0x20) != 0) { val ps = r.numInt(1 << 16, "coder props"); r.bytes(ps); () }
-                    val hexId = coderId.map(b => f"${b & 0xff}%02x").mkString
-                    if (!(idSize == 1 && coderId(0) == 0x00))
-                      throw new UnsupportedArchiveException(
-                        s"compressed member (coder 0x$hexId) — store-mode (Copy) only, no LZMA decoder in scope")
-                    numIn += ci; numOut += co
-                  }
-                  // bind pairs (numOut - 1 of them) only exist for coder chains
-                  (0 until numOut - 1).foreach { _ => r.num(); r.num() }
-                  if (numIn - (numOut - 1) > 1)
-                    throw new UnsupportedArchiveException("multi-pack-stream folder")
-                  totalOut += numOut
+                  // ONE simple Copy coder per folder: with coder chains the
+                  // per-output-stream kCodersUnpackSize list no longer maps
+                  // 1:1 onto folders, and a chained folder's final size sits
+                  // at a bind-pair-dependent index — out of scope, refused
+                  // honestly (−8) rather than risking a desynced size check
+                  if (numCoders != 1)
+                    throw new UnsupportedArchiveException(
+                      s"coder chain ($numCoders coders per folder) — store-mode single-coder only")
+                  val flag = r.byte()
+                  val idSize = flag & 0x0f
+                  val coderId = r.bytes(idSize)
+                  if ((flag & 0x10) != 0)
+                    throw new UnsupportedArchiveException("complex (multi-stream) coder")
+                  if ((flag & 0x20) != 0) { val ps = r.numInt(1 << 16, "coder props"); r.bytes(ps); () }
+                  val hexId = coderId.map(b => f"${b & 0xff}%02x").mkString
+                  if (!(idSize == 1 && coderId(0) == 0x00))
+                    throw new UnsupportedArchiveException(
+                      s"compressed member (coder 0x$hexId) — store-mode (Copy) only, no LZMA decoder in scope")
                 }
                 var uid = r.byte()
                 while (uid != kEnd) {
                   uid match {
-                    case `kCodersUnpackSize` => unpackSizes = Array.fill(totalOut)(r.num())
-                    case `kCRC`              => skipDigests(r, numFolders)
+                    case `kCodersUnpackSize` => unpackSizes = Array.fill(numFolders)(r.num())
+                    case `kCRC`              => folderCrcDefined = skipDigests(r, numFolders)
                     case other => throw new IllegalArgumentException(f"7z: UnPackInfo property 0x$other%02x")
                   }
                   uid = r.byte()
@@ -219,7 +219,12 @@ object SevenZip {
                           throw new UnsupportedArchiveException("multiple substreams per folder")
                       }
                     case `kSize` => // sizes of non-last substreams: none when all counts are 1
-                    case `kCRC`  => skipDigests(r, numFolders)
+                    case `kCRC`  =>
+                      // spec: digests only for streams whose CRC is not
+                      // already defined at folder level (one substream per
+                      // folder is enforced above, so counts line up)
+                      skipDigests(r, numFolders - folderCrcDefined)
+                      ()
                     case other   => throw new IllegalArgumentException(f"7z: SubStreams property 0x$other%02x")
                   }
                   ssid = r.byte()
@@ -266,6 +271,9 @@ object SevenZip {
     if (numFolders != packSizes.length || names.length != numFolders)
       throw new UnsupportedArchiveException(
         s"folder/pack/file mismatch ($numFolders folders, ${packSizes.length} packs, ${names.length} files)")
+    if (unpackSizes.length != numFolders)
+      throw new IllegalArgumentException(
+        s"7z: kCodersUnpackSize carries ${unpackSizes.length} sizes for $numFolders folders")
     var off = 32 + packPos
     names.indices.map { i =>
       val sz = packSizes(i)

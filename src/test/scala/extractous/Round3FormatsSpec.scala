@@ -157,6 +157,76 @@ class Round3FormatsSpec extends AnyFunSuite {
     }
   }
 
+  // Hand-assembled 7z container with an arbitrary end header (all numeric
+  // fields < 0x80 → single-byte 7z numbers), CRCs computed so only the
+  // TARGETED structural property differs from a valid file.
+  private def sevenZWith(packed: Array[Byte], header: Array[Byte]): Array[Byte] = {
+    def crc(b: Array[Byte]): Long = { val c = new java.util.zip.CRC32(); c.update(b); c.getValue }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C, 0, 4))
+    val sh = new java.io.ByteArrayOutputStream()
+    var x = packed.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = header.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = crc(header)
+    (0 until 4).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    val shb = sh.toByteArray
+    x = crc(shb)
+    (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>>= 8 }
+    out.write(shb); out.write(packed); out.write(header)
+    out.toByteArray
+  }
+  private val nameAtxt: Array[Byte] = { // kName: external=0, "a.txt" UTF-16LE + NUL
+    val nb = new java.io.ByteArrayOutputStream()
+    nb.write(0x11); nb.write(13); nb.write(0)
+    nb.write("a.txt".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)); nb.write(0); nb.write(0)
+    nb.toByteArray
+  }
+
+  test("7z with a chained-coder folder refuses with -8 (no desynced size check)") {
+    // numCoders=2 would desync the per-folder kCodersUnpackSize mapping —
+    // the walker must refuse BEFORE any size comparison
+    val header = Array[Byte](0x01, 0x04,
+      0x06, 0x00, 0x01, 0x09, 0x02, 0x00,              // PackInfo: 1 stream of 2 B
+      0x07, 0x0B, 0x01, 0x00, 0x02,                    // UnPackInfo: 1 folder, TWO coders
+      0x01, 0x00, 0x01, 0x00,                          // two simple Copy coders
+      0x01, 0x00,                                      // one bind pair
+      0x0C, 0x02, 0x02, 0x00, 0x00,                    // unpack sizes + ends
+      0x05, 0x01) ++ nameAtxt ++ Array[Byte](0x00, 0x00)
+    val r = Extract(sevenZWith("hi".getBytes("US-ASCII"), header))
+    assert(r.status == ExtractStatus.UnsupportedFormat, s"${r.status} ${r.error}")
+    assert(r.error.contains("coder chain"))
+  }
+
+  test("7z missing kCodersUnpackSize fails with a typed 7z diagnostic, not AIOOBE") {
+    val header = Array[Byte](0x01, 0x04,
+      0x06, 0x00, 0x01, 0x09, 0x02, 0x00,              // PackInfo
+      0x07, 0x0B, 0x01, 0x00, 0x01, 0x01, 0x00, 0x00,  // UnPackInfo: folder, NO kCodersUnpackSize
+      0x00,                                            // end MainStreamsInfo
+      0x05, 0x01) ++ nameAtxt ++ Array[Byte](0x00, 0x00)
+    val r = Extract(sevenZWith("hi".getBytes("US-ASCII"), header))
+    assert(r.status == ExtractStatus.ExtractionFailed)
+    assert(r.error.contains("kCodersUnpackSize"), r.error)
+  }
+
+  test("7z SubStreamsInfo CRC set skips only folders WITHOUT a folder-level digest") {
+    // folder-level kCRC defines the folder's digest; the SubStreams kCRC
+    // then carries ZERO digests per spec — the walker must not over-consume
+    val header = Array[Byte](0x01, 0x04,
+      0x06, 0x00, 0x01, 0x09, 0x02, 0x00,              // PackInfo: 1 stream of 2 B
+      0x07, 0x0B, 0x01, 0x00, 0x01, 0x01, 0x00,        // UnPackInfo: 1 Copy folder
+      0x0C, 0x02,                                      // unpack size 2
+      0x0A, 0x01, 0x11, 0x22, 0x33, 0x44,              // folder-level CRC (defined)
+      0x00,                                            // end UnPackInfo
+      0x08, 0x0A, 0x01, 0x00,                          // SubStreams: kCRC allDefined, 0 digests
+      0x00,                                            // end MainStreamsInfo
+      0x05, 0x01) ++ nameAtxt ++ Array[Byte](0x00, 0x00)
+    val r = Extract(sevenZWith("hi".getBytes("US-ASCII"), header))
+    assert(r.status == ExtractStatus.Ok, s"${r.status} ${r.error}")
+    assert(r.text == "hi")
+  }
+
   test("archive whose members all fail extracts nothing and fails the row") {
     val junk = Array.tabulate[Byte](64)(i => ((i * 89 + 3) % 251).toByte)
     val bytes = extractous.gen.DocxWriter.zip(Seq("blob.bin" -> junk))
