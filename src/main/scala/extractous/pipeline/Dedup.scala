@@ -144,6 +144,32 @@ object Dedup {
         (coalesce(col("nf"), lit(0)) > 0).cast("long").as("has_dup_span"))
   }
 
+  /** The REMOVAL companion of [[substringFlags]]: cut every flagged ≥k-token
+    * span out of the normalized token stream and return the surviving
+    * tokens joined with single spaces — what a Lee-et-al-2022 dedup pass
+    * actually writes back. Same gram/flag plan as substringFlags (long-keyed
+    * exchanges only); the cut itself is one imperative two-pointer pass per
+    * row ([[extractous.spark.CutSpansExpr]]) over (text, sorted flagged
+    * positions). Docs with no flagged span return their full normalized
+    * token stream, so output text is uniformly normalized.
+    */
+  def cutFlaggedSpans(docs: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      posexplode(Decontam.ngramKeys(col(textCol), k)).as(Seq("pos", "gh")))
+    val crossDoc = grams.groupBy(col("gh"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val perDoc = grams.join(crossDoc, Seq("gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        extractous.spark.signatures.cut_spans(col("text"),
+          coalesce(col("ps"), array().cast("array<int>")), k).as("clean_text"))
+  }
+
   /** Distinct word n-gram shingles of a single-space-tokenized text column.
     * Imperative one-pass kernel (extractous.spark.ShinglesExpr) — the
     * near-dup plan evaluates shingles three times (signature + both verify

@@ -2,7 +2,7 @@ package extractous.spark
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -283,25 +283,38 @@ object NgramKeys {
 
   @inline private def rot21(x: Long): Long = (x << 21) | (x >>> 43)
 
-  def compute(s: UTF8String, n: Int): Array[Long] = {
+  /** The pipeline's shared normalization: Spark `lower` + split on
+    * non-alphanumerics, empties dropped. Gram positions, decontamination
+    * keys, and span cutting must all index the SAME token stream.
+    */
+  def normTokens(s: UTF8String): Array[String] = {
     val toks0 = SplitRe.split(s.toLowerCase.toString, -1)
     var nTok = 0
     var i = 0
     while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
-    if (nTok < n) return Array.emptyLongArray
-    val hs = new Array[Long](nTok)
+    val out = new Array[String](nTok)
     var j = 0
     i = 0
     while (i < toks0.length) {
-      if (toks0(i).nonEmpty) {
-        hs(j) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          UTF8String.fromString(toks0(i)), org.apache.spark.sql.types.StringType, 42L)
-        j += 1
-      }
+      if (toks0(i).nonEmpty) { out(j) = toks0(i); j += 1 }
       i += 1
     }
+    out
+  }
+
+  def compute(s: UTF8String, n: Int): Array[Long] = {
+    val toks = normTokens(s)
+    val nTok = toks.length
+    if (nTok < n) return Array.emptyLongArray
+    val hs = new Array[Long](nTok)
+    var j = 0
+    while (j < nTok) {
+      hs(j) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(toks(j)), org.apache.spark.sql.types.StringType, 42L)
+      j += 1
+    }
     val out = new Array[Long](nTok - n + 1)
-    i = 0
+    var i = 0
     while (i <= nTok - n) {
       var acc = Seed
       var k = 0
@@ -376,6 +389,55 @@ final case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Remove flagged ≥k-token spans from the NORMALIZED token stream — the
+  * actual dedup cut of Lee et al. 2022 (the flags variant only reports).
+  * Inputs: the document text and the SORTED array of flagged gram start
+  * positions (indices into [[NgramKeys.normTokens]], the same token stream
+  * the gram keys were computed over). A token at index i is cut iff some
+  * flagged position p ≤ i has p + k > i — a two-pointer walk, O(tokens +
+  * positions) per row, no per-token membership scans. Output is the
+  * surviving tokens joined with single spaces (span removal is defined on
+  * the normalized stream, as in minhash-dedup pipelines — original
+  * whitespace/punctuation of removed regions is not reconstructible).
+  */
+object CutSpans {
+  def compute(s: UTF8String, ps: ArrayData, k: Int): UTF8String = {
+    val toks = NgramKeys.normTokens(s)
+    val m = ps.numElements()
+    val sb = new java.lang.StringBuilder
+    var coverEnd = -1
+    var j = 0
+    var i = 0
+    var first = true
+    while (i < toks.length) {
+      while (j < m && ps.getInt(j) <= i) {
+        val e = ps.getInt(j) + k
+        if (e > coverEnd) coverEnd = e
+        j += 1
+      }
+      if (i >= coverEnd) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+final case class CutSpansExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "cut_spans"
+  override protected def nullSafeEval(text: Any, ps: Any): Any =
+    CutSpans.compute(text.asInstanceOf[UTF8String], ps.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"extractous.spark.CutSpans.compute($t, $p, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CutSpansExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object signatures {
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
@@ -391,6 +453,8 @@ object signatures {
     ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(c)))
   def ngram_keys(c: Column, n: Int): Column =
     ColumnBridge.column(NgramKeysExpr(ColumnBridge.expression(c), n))
+  def cut_spans(text: Column, ps: Column, k: Int): Column =
+    ColumnBridge.column(CutSpansExpr(ColumnBridge.expression(text), ColumnBridge.expression(ps), k))
   def shingles(c: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n))
   def gopher_report(c: Column, minWords: Int): Column =

@@ -136,6 +136,27 @@ object SparkEntry {
           (length(col("error")) > 0).cast("long").as("has_error"))
         .orderBy(col("url"))
     }),
+    "q_stream_quality" -> ((s, dir) => {
+      // the Gopher gate composes into Structured Streaming UNCHANGED: the
+      // quality report is one stateless narrow imperative projection, so
+      // micro-batch APPEND output must equal the batch result (oracle
+      // recomputes the signals over raw text in SQL). A real pipeline runs
+      // this gate on the live crawl stream before anything is stored.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val qn = "stream_quality_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val streamDir = java.nio.file.Files.createTempDirectory("qualstream")
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("doc_id") +: TextStats.gopherReport(col("text"), minWords = 10)
+          .map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+          col("stop_hits"), col("gopher_pass"))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy(col("doc_id"))
+    }),
     "q_stream_extract" -> ((s, dir) => {
       // incremental crawl processing: the FLAGSHIP extraction as a stream —
       // the corpus table consumed by the file source (a new day-file arrives
@@ -1068,6 +1089,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "d_dedup_substr_cut" -> ((s, dir) => {
+      // the REMOVAL companion of d_dedup_substr: the planted block-shared
+      // spans (and any natural cross-doc repeats) are CUT from the
+      // normalized token stream; the oracle rebuilds the surviving tokens
+      // from the gram-string brute force
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val block = (col("doc_id") - pmod(col("doc_id"), lit(20))).cast("string")
+      val planted = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"),
+            lit(" shared span alpha beta gamma delta epsilon zeta eta theta block "), block))
+          .otherwise(col("text")).as("text"))
+      Dedup.cutFlaggedSpans(planted, "text", "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "d_split" -> ((s, dir) => {
       // deterministic train/val/test split keyed on the CONTENT fingerprint
       // (dup-leakage-proof; narrow, RNG-free, engine-reproducible)
@@ -1282,8 +1319,42 @@ object SparkEntry {
       s"""SELECT $sqlUrl AS url, CAST(3 AS BIGINT) AS n_keys, CAST(1 AS BIGINT) AS has_desc,
          |'Synthetic page ' || $sqlId AS description
          |FROM documents WHERE $sqlKind < 52 ORDER BY url""".stripMargin,
+    "q_stream_quality" ->
+      // the streaming gate's output must equal a from-scratch batch
+      // recomputation of the signals over raw text
+      raw"""WITH m AS (
+         |  SELECT doc_id, text AS content,
+         |    string_split(text, chr(10)) AS lines,
+         |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+         |    list_aggregate(list_transform(words, w -> length(w)), 'sum') AS sumwl,
+         |    length(content) - length(regexp_replace(content, '#', '', 'g')) AS nhash,
+         |    (length(content) - length(regexp_replace(content, '\.\.\.', '', 'g'))) / 3
+         |      + (length(content) - length(regexp_replace(content, '…', '', 'g'))) AS nell,
+         |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS nbullet,
+         |    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS nellline,
+         |    len(list_distinct(lines)) AS ndl,
+         |    list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS charsall,
+         |    list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS charsdistinct,
+         |    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z一-鿿]'))) AS nalpha,
+         |    len(list_intersect(list_distinct(words), ['the','and','of','to','in'])) AS stops
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(floor(100.0 * sumwl / greatest(n_words, 1)) AS BIGINT) AS mean_word_len_x100,
+         |  CAST(stops AS BIGINT) AS stop_hits,
+         |  CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
+         |    AND floor(100.0*sumwl/greatest(n_words,1)) >= 300 AND floor(100.0*sumwl/greatest(n_words,1)) <= 1000
+         |    AND floor(1000.0*(nhash+nell)/greatest(n_words,1)) <= 100 AND floor(1000.0*nbullet/n_lines) <= 900
+         |    AND floor(1000.0*nellline/n_lines) <= 300 AND floor(1000.0*(n_lines-ndl)/n_lines) <= 300
+         |    AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
+         |    AND floor(1000.0*nalpha/greatest(n_words,1)) >= 800 AND stops >= 2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM x ORDER BY doc_id""".stripMargin,
     "q_stream_window" ->
-      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events
         |GROUP BY 1, 2
@@ -1819,6 +1890,29 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(a.nf, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_dup_span
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "d_dedup_substr_cut" ->
+      // rebuilds the surviving token stream from the gram-STRING brute
+      // force — verifies both the flag set and the two-pointer cut
+      raw"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 4 = 1
+         |    THEN text || ' shared span alpha beta gamma delta epsilon zeta eta theta block ' || CAST(doc_id - doc_id % 20 AS VARCHAR)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9\x{4e00}-\x{9fff}]+'), x -> x <> '') AS ts FROM planted),
+         |gi AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM toks WHERE len(ts) >= 8),
+         |g AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM gi),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+         |f AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+         |cov AS (SELECT DISTINCT f.doc_id, f.i + t.d AS ci FROM f, range(0, 8) t(d)),
+         |tokpos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.p, tp.ts[tp.p] AS tok
+         |  FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.ci
+         |  WHERE c.ci IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text FROM kept GROUP BY doc_id)
+         |SELECT pl.doc_id AS doc_id, coalesce(a.clean_text, '') AS clean_text
+         |FROM planted pl LEFT JOIN agg a ON pl.doc_id = a.doc_id
+         |ORDER BY pl.doc_id""".stripMargin,
     "d_split" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -249,6 +249,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0) == (1L, 2L, 6L))
   }
 
+  test("substring cut: flagged spans removed from the normalized stream, overlaps merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "AA one two three four tail words here"),  // shares "one two three four" region
+      (2L, "prefix one two three four BB"),
+      (3L, "nothing shared in this doc at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutFlaggedSpans(docs, "text", "doc_id", k = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // k=3 grams: docs 1,2 share "one two three" and "two three four" →
+    // covered tokens 1..4 in doc1 (0-based), 1..4 in doc2; normalized = lowercase
+    assert(out(1L) == "aa tail words here")
+    assert(out(2L) == "prefix bb")
+    assert(out(3L) == "nothing shared in this doc at all")
+  }
+
+  test("substring cut: non-contiguous spans cut independently; all-cut doc yields empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c MID d e f"),
+      (2L, "a b c x"),
+      (3L, "y d e f"),
+      (4L, "a b c")   // whole doc is one shared gram → fully cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutFlaggedSpans(docs, "text", "doc_id", k = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "mid")
+    assert(out(4L) == "")
+  }
+
   test("substring dedup plan: corpus text never shuffles, every exchange is long-keyed") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, s"w$i x$i shared span body here now ok t$i")).toDF("doc_id", "text")
