@@ -50,17 +50,17 @@ object SignatureHash {
   }
 }
 
-/** array<string> shingles → array<bigint> minhash signature. */
-final case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+/** array<string> shingles → array<bigint> minhash signature. Static-call
+  * codegen (no CodegenFallback): the containing projection stays in
+  * whole-stage codegen and CSE applies. Coefficient arrays are cached per
+  * numHashes (executor-wide, deterministic).
+  */
+object MinHashSig {
   import SignatureHash._
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
-  override def prettyName: String = "minhash_sig"
-  @transient private lazy val (ca, cb) = coeffs(numHashes)
+  private val coeffCache = new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
 
-  override def eval(input: InternalRow): Any = {
-    val arr = child.eval(input).asInstanceOf[ArrayData]
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val (ca, cb) = coeffCache.computeIfAbsent(numHashes, n => coeffs(n))
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (arr != null) {
       var i = 0
@@ -78,6 +78,15 @@ final case class MinHashSigExpr(child: Expression, numHashes: Int)
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
   }
+}
+
+final case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"extractous.spark.MinHashSig.compute($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr = copy(child = newChild)
 }
 
@@ -91,19 +100,25 @@ final case class MinHashSigExpr(child: Expression, numHashes: Int)
   * unverifiable). 62 effective bits (h1 < 2³⁰); bits 62-63 vote all-negative
   * and stay 0 on both engines.
   */
-final case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+final case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
   override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpr.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"extractous.spark.SimHashExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr = copy(child = newChild)
+}
 
-  override def eval(input: InternalRow): Any = {
-    val arr = child.eval(input).asInstanceOf[ArrayData]
+object SimHashExpr {
+  /** Static entry point referenced by generated code. */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     if (arr != null) {
       var i = 0
       val n = arr.numElements()
       while (i < n) {
-        val h = SimHashExpr.sqlTokenHash(arr.getUTF8String(i).toString)
+        val h = sqlTokenHash(arr.getUTF8String(i).toString)
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
@@ -118,12 +133,9 @@ final case class SimHashExpr(child: Expression) extends UnaryExpression with Cod
       if (votes(bit) > 0) fp |= (1L << bit)
       bit += 1
     }
-    java.lang.Long.valueOf(fp)
+    fp
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHashExpr = copy(child = newChild)
-}
 
-object SimHashExpr {
   /** SQL-twin token hash: iterate CODEPOINTS (what SQL `ascii(substr(t,i,1))`
     * yields per character), two polynomial folds, pack into one long.
     */
