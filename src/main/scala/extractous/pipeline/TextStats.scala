@@ -36,6 +36,46 @@ object TextStats {
   // stop lists above remain only as the Gopher stopword gate and the
   // generator mirror.
 
+  /** Corpus-frequency rarity report — the order-0 analog of CCNet's
+    * LM-perplexity quality filter: documents dominated by corpus-rare tokens
+    * are disproportionately gibberish/boilerplate-noise, documents of only
+    * ultra-common tokens are template filler. Scores every document by the
+    * mean INVERSE corpus frequency of its tokens.
+    *
+    * Determinism contract: every per-token term is floored to a LONG
+    * (`floor(1e6 · total / cnt(w))` — IEEE division is correctly rounded,
+    * so the floor is engine-exact) and the per-document aggregate sums
+    * longs, which is order-free — unlike a float sum, whose value depends
+    * on partial-aggregation order and could never hash-match an oracle.
+    *
+    * Scale shape: token explode is narrow; the vocabulary count aggregates
+    * with map-side partial combine (the exchange carries (token, count),
+    * zipf-collapsed); the count table joins back broadcast (a web-scale
+    * type vocabulary of ~10⁸ rows would switch this to a shuffle join on
+    * the token — same knob pattern as the robots gate); the per-doc
+    * aggregate exchanges (id, partial sums) longs.
+    */
+  def rarityReport(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+    val scored = toks.join(broadcast(counts), Seq("w"))
+      .select(col("id"),
+        floor(lit(1000000.0) * total / col("cnt")).cast("long").as("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("term")).as("rarity_sum"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n"), lit(0L)).as("n_words"),
+        coalesce(col("rarity_sum"), lit(0L)).as("rarity_sum"))
+      // integral `div`, not float `/`: a double quotient of big longs would
+      // lose bits past 2^53 and truncate differently than the oracle
+      .withColumn("rarity_mean_x1e6", expr("rarity_sum div greatest(n_words, 1)"))
+  }
+
   /** Punctuation character count. */
   def punctCount(c: Column): Column =
     length(regexp_replace(c, "[^.,!?;:]", ""))

@@ -973,6 +973,16 @@ object SparkEntry {
         TextStats.isGood(col("text")).cast("long").as("is_good"))
         .orderBy(col("doc_id"))
     }),
+    "t_rarity" -> ((s, dir) => {
+      // corpus-frequency rarity (order-0 CCNet-LM-filter analog): every
+      // per-token term floors to a long before the order-free long sum, so
+      // the score is bit-exact across engines and parallelism levels
+      TextStats.rarityReport(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "t_tokens_bpe" -> ((s, dir) => {
       // BPE subword counting: merges trained offline from the generator's
       // closed 31-word vocabulary until every vocab word is ONE token
@@ -1761,6 +1771,22 @@ object SparkEntry {
         |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10 <= length(text)
         |  AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_good
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_rarity" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS w
+         |  FROM documents),
+         |counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |tot AS (SELECT sum(cnt) AS total FROM counts),
+         |scored AS (
+         |  SELECT t.doc_id, CAST(floor(1000000.0 * tot.total / c.cnt) AS BIGINT) AS term
+         |  FROM toks t JOIN counts c USING (w), tot),
+         |agg AS (SELECT doc_id, count(*) AS n, sum(term) AS rsum FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.rsum, 0) AS BIGINT) AS rarity_sum,
+         |  CAST(coalesce(a.rsum, 0) // greatest(coalesce(a.n, 0), 1) AS BIGINT) AS rarity_mean_x1e6
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t_tokens_bpe" ->
       raw"""SELECT doc_id,
          |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,

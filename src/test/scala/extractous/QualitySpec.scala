@@ -315,6 +315,24 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("rarity report: hand-computed inverse-frequency scores, integral mean") {
+    import spark.implicits._
+    // corpus: "a a a b" → total=4; cnt(a)=3, cnt(b)=1
+    // term(a) = floor(1e6·4/3) = 1333333; term(b) = 4000000
+    val docs = Seq((1L, "a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.rarityReport(docs, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L * 1333333L, 1333333L),
+      (2L, 1L, 4000000L, 4000000L),
+      (3L, 0L, 0L, 0L)))
+    // the broadcast-join shape: no sort-merge join of token rows
+    val plan = TextStats.rarityReport(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"count table must broadcast:\n$plan")
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
