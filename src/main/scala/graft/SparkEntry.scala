@@ -973,6 +973,15 @@ object SparkEntry {
         TextStats.isGood(col("text")).cast("long").as("is_good"))
         .orderBy(col("doc_id"))
     }),
+    "s_kmv" -> ((s, dir) => {
+      // KMV distinct-count sketch over the content fingerprint: the corpus
+      // is UNIONED with a full duplicate copy (distinct count unchanged) —
+      // a sketch that over-counted duplicates would mismatch immediately.
+      // The oracle replays the whole sketch (same hashes, same k-th value,
+      // same integer estimate), not just row counts.
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("text"))
+      extractous.pipeline.Sketch.kmvDistinct(d.union(d), "text", k = 64)
+    }),
     "t_rarity" -> ((s, dir) => {
       // corpus-frequency rarity (order-0 CCNet-LM-filter analog): every
       // per-token term floors to a long before the order-free long sum, so
@@ -1771,6 +1780,19 @@ object SparkEntry {
         |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10 <= length(text)
         |  AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_good
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_kmv" ->
+      """WITH u AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
+        |h AS (SELECT DISTINCT
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS h
+        |  FROM u),
+        |sm AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |agg AS (SELECT count(*) AS k_used, max(h) AS kth FROM sm)
+        |SELECT CAST(k_used AS BIGINT) AS k_used,
+        |  CAST(coalesce(kth, 0) AS BIGINT) AS kth_hash,
+        |  CAST(CASE WHEN k_used < 64 THEN k_used
+        |    ELSE floor(63.0 * 1000000007.0 / greatest(kth, 1)) END AS BIGINT) AS distinct_est
+        |FROM agg""".stripMargin,
     "t_rarity" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS w

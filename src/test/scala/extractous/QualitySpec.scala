@@ -333,6 +333,22 @@ class QualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"count table must broadcast:\n$plan")
   }
 
+  test("KMV sketch: exact below k, duplicate-invariant, estimate within KMV error above k") {
+    import spark.implicits._
+    // below k: exact
+    val small = (1 to 10).map(i => s"doc body $i").toDF("text")
+    val r1 = extractous.pipeline.Sketch.kmvDistinct(small, "text", k = 64).head
+    assert(r1.getLong(0) == 10 && r1.getLong(2) == 10)
+    // duplicates cannot move the sketch (distinct hashes)
+    val r1d = extractous.pipeline.Sketch.kmvDistinct(small.union(small).union(small), "text", k = 64).head
+    assert(r1d.getLong(2) == 10)
+    // above k: relative error should be within ~3/sqrt(k) of truth
+    val big = (1 to 5000).map(i => s"unique document number $i with body").toDF("text")
+    val r2 = extractous.pipeline.Sketch.kmvDistinct(big, "text", k = 64).head
+    val est = r2.getLong(2).toDouble
+    assert(math.abs(est - 5000) / 5000 < 3.0 / math.sqrt(64), s"estimate $est too far from 5000")
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
