@@ -81,15 +81,22 @@ object Dedup {
       maxOccurrences: Long): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .filter(col("line") =!= "")
+      .filter(col("line") =!= "") // blank lines drop with the boilerplate (normalization)
       .withColumn("lh", xxhash64(col("line")))
     val hot = lines.groupBy(col("lh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxOccurrences)
       .select(col("lh"))
-    lines.join(hot, Seq("lh"), "left_anti")
+    val kept = lines.join(hot, Seq("lh"), "left_anti")
       .groupBy(col("id"))
       .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("line")))),
         s => s.getField("line")), "\n").as("text"))
+    // EVERY input doc gets an output row: a page whose every line is
+    // corpus-hot boilerplate (or blank) survives as text='' rather than
+    // vanishing — downstream joins must see the id, same one-row-per-doc
+    // contract as substringFlags/cutFlaggedSpans/Decontam.flag
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Sub-document exact-substring dedup (Lee et al. 2022, "Deduplicating
@@ -232,6 +239,13 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 16, rows: Int = 4,
       shingleN: Int = 3): DataFrame = {
+    // out-of-range bands would slice past the signature: every slice comes
+    // back empty, every doc hashes to ONE bucket, and the self-join
+    // degenerates to the ~n²/2 all-pairs shape LSH exists to avoid —
+    // silently. Fail construction instead (simhashNearDups has the
+    // analogous radius guard).
+    require(bands * rows <= numHashes,
+      s"bands ($bands) × rows ($rows) must cover ≤ numHashes ($numHashes)")
     val withSig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
     val cands = lshCandidates(withSig, "id", "sig", bands, rows)

@@ -131,6 +131,7 @@ object Multimodal {
     * (feature extraction downstream of sampling).
     */
   def frameSample(ds: Dataset[(Long, Array[Byte])], step: Int): Dataset[VideoFrames] = {
+    require(step > 0, s"frameSample step must be positive, got $step")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { case (id, bytes) =>

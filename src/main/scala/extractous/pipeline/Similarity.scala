@@ -20,10 +20,27 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Zero-norm-safe cosine: a single all-zero embedding (an empty document)
+    * must not throw DIVIDE_BY_ZERO under Spark 4's ANSI defaults and kill
+    * the job — a poison row never kills the job anywhere in this engine.
+    * Zero-norm pairs score 0 (never near anything), matching the zero-safe
+    * posture of quantizeInt8 and NearestCellsExpr.
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    val den = norm(ad) * norm(bd)
+    when(den === 0d, lit(0d)).otherwise(dot(ad, bd) / den)
+  }
+
+  /** Cosine from a precomputed-norm pair — the kNN hot paths score
+    * |Q|·|C| pairs, and recomputing both norms per pair triples the array
+    * folds; norms fold once per VECTOR in the projections instead. Same
+    * per-vector fold order, so the value is bit-identical to [[cosine]].
+    */
+  def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column = {
+    val den = na * nb
+    when(den === 0d, lit(0d)).otherwise(dot(a, b) / den)
   }
 
   /** Brute-force cosine top-k: every query vs every corpus vector.
@@ -56,10 +73,14 @@ object Similarity {
 
   def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
       .groupBy(col("query_id"))
       .agg(extractous.spark.topk.topk_by_score(col("sim"), col("neighbor_id").cast("long"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))
@@ -114,14 +135,16 @@ object Similarity {
     val assigned = corpus.select(
       col(idCol).as("vid"), vd.as("cv"),
       element_at(extractous.spark.vectors.nearest_cells(vd, cells, cents, 1), 1).as("cell"))
+      .withColumn("cn", norm(col("cv")))
 
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), vd.as("qv"),
-        explode(extractous.spark.vectors.nearest_cells(vd, cells, cents, nprobe)).as("cell")))
+        explode(extractous.spark.vectors.nearest_cells(vd, cells, cents, nprobe)).as("cell"))
+        .withColumn("qn", norm(col("qv"))))
 
     probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineWithNorms(col("qv"), col("qn"), col("cv"), col("cn")))
       .groupBy(col("query_id"))
       .agg(extractous.spark.topk.topk_by_score(col("sim"), col("vid").cast("long"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "neighbor_id")))

@@ -20,10 +20,16 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "et", "ne"),
     "zh" -> Seq("的", "了", "是", "在", "不"))
 
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens, empties dropped: `trim` strips only 0x20 spaces, so
+    * text leading with a tab/newline used to yield a phantom "" first token
+    * (off-by-one counts, a spurious simhash vote). The filter makes the
+    * count honest for any whitespace mix; the t_tokens/t_quality oracles
+    * mirror the same list_filter.
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), w => w =!= "")
 
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+  def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Distinct-presence stopword hits (bounded by the stop list size — robust
     * against one common word dominating).
@@ -60,7 +66,10 @@ object TextStats {
     val toks = docs.select(col(idCol).as("id"),
       explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+    // sum() over zero rows is NULL — an empty/whitespace-only corpus must
+    // yield the all-zeros report, not a driver NPE
+    val totalRow = counts.agg(sum(col("cnt"))).head
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val scored = toks.join(broadcast(counts), Seq("w"))
       .select(col("id"),
         floor(lit(1000000.0) * total / col("cnt")).cast("long").as("term"))

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object UrlFilter {
 
-  /** Lowercased host of a URL ('' when the URL has no scheme/authority). */
+  /** Lowercased host of a URL ('' when the URL has no scheme/authority).
+    * The userinfo class permits ':' — `user:pass@evil.com` must yield
+    * `evil.com`, not `user` (a gate-bypassing mis-parse the old
+    * `[^/:?#@]+@` class allowed, since it could not match across the
+    * password colon).
+    */
   def host(url: Column): Column =
-    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#@]+@)?([^/:?#]+)", 2))
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
   /** All dot-suffixes of a host: `a.b.example.com` →
     * [a.b.example.com, b.example.com, example.com, com].

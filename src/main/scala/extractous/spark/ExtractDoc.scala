@@ -183,9 +183,15 @@ final case class WarcRecordsExpr(child: Expression) extends UnaryExpression with
             case e: Exception =>
               Some(row(rec.targetUri, rec.date, "response_error", trimMsg(e), Array.emptyByteArray))
           }
+        case "response" =>
+          // a response record whose Content-Type is not application/http
+          // (missing header, exotic value) is a LOSS and must be accounted —
+          // "losses are ACCOUNTED, never silent" is this source's contract
+          Some(row(rec.targetUri, rec.date, "response_error",
+            s"non-http response content-type '${rec.contentType}'", Array.emptyByteArray))
         case "resource" | "conversion" =>
           Some(row(rec.targetUri, rec.date, rec.warcType, rec.contentType, rec.block))
-        case _ => None
+        case _ => None // warcinfo/request/metadata: structural skip by design
       }
     } ++ fileErr.map(msg => row("", "", "file_error", trimMsg(msg), Array.emptyByteArray))
     new GenericArrayData(rows.toArray[Any])

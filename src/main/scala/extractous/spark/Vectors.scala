@@ -127,6 +127,10 @@ final case class HyperplaneBandsExpr(
   extends UnaryExpression with CodegenFallback {
 
   require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62, "bad LSH geometry")
+  // the plane seed pi*131 + d is collision-free only while d < 131; a larger
+  // dim would silently correlate hyperplanes across planes/bands and degrade
+  // the advertised recall — fail construction, don't degrade quietly
+  require(dim <= 131, s"hyperplane seed scheme supports dim ≤ 131, got $dim")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -142,6 +146,13 @@ final case class HyperplaneBandsExpr(
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return null
+    // a vector longer than the configured dim would silently bucket on a
+    // PREFIX (half the signal ignored at dim=64 vs 128-dim embeddings) —
+    // that is a configuration error, not data poison: all rows share the
+    // embedding dim, so failing fast here fails the job before it lies
+    if (arr.numElements() > dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_bands configured for dim=$dim but input vector has ${arr.numElements()} components")
     val nd = math.min(dim, arr.numElements())
     val v = new Array[Double](nd)
     var i = 0

@@ -1660,11 +1660,15 @@ object SparkEntry {
          |  UNION ALL SELECT url, 3, text FROM h
          |), counts AS (
          |  SELECT line, count(*) AS c FROM lines GROUP BY line
+         |), kept AS (
+         |  SELECT url, string_agg(line, chr(10) ORDER BY pos) AS text
+         |  FROM lines JOIN counts USING (line)
+         |  WHERE c <= 2
+         |  GROUP BY url
          |)
-         |SELECT url, string_agg(line, chr(10) ORDER BY pos) AS text
-         |FROM lines JOIN counts USING (line)
-         |WHERE c <= 2
-         |GROUP BY url ORDER BY url""".stripMargin,
+         |SELECT h.url AS url, coalesce(k.text, '') AS text
+         |FROM h LEFT JOIN kept k ON h.url = k.url
+         |ORDER BY url""".stripMargin,
     "d_clusters_star" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
          |p AS (
@@ -1770,13 +1774,14 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, CAST(vid AS BIGINT) AS neighbor_id
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "t_tokens" ->
-      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
         |CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality" ->
       """SELECT doc_id,
         |CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-        |CAST(CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000
+        |CAST(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) BETWEEN 5 AND 100000
         |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10 <= length(text)
         |  AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_good
         |FROM documents ORDER BY doc_id""".stripMargin,

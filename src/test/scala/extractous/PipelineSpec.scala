@@ -148,14 +148,14 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "unique title one\nSHARED FOOTER\nbody line A"),
       (2L, "unique title two\nSHARED FOOTER\nbody line B"),
       (3L, "unique title three\nSHARED FOOTER\nbody line C"),
-      (4L, "SHARED FOOTER"), // all-boilerplate doc: dropped entirely
+      (4L, "SHARED FOOTER"), // all-boilerplate doc: survives as text='' (one row per input doc)
       (5L, "kept once\nkept twice")).toDF("id", "text")
     val out = Dedup.dropRepeatedLines(docs, "id", "text", maxOccurrences = 2)
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "unique title one\nbody line A")
     assert(out(2L) == "unique title two\nbody line B")
     assert(out(3L) == "unique title three\nbody line C")
-    assert(!out.contains(4L), "doc with only hot lines is filtered out")
+    assert(out(4L) == "", "all-boilerplate doc keeps its row with empty text — downstream joins must see the id")
     assert(out(5L) == "kept once\nkept twice")
     // at the boundary: a line occurring exactly maxOccurrences times survives
     val pair = Seq((1L, "twice line"), (2L, "twice line")).toDF("id", "text")
