@@ -19,7 +19,17 @@ import extractous.text.{TextEmitter, XmlEmitter}
 object ArchiveExtractor {
   val TarMime = "application/x-tar"
 
+  /** Depth gate runs BEFORE any member decompression (same gate-first
+    * posture Warc.scala documents): a nested archive bomb must not buy a
+    * full inflate of up to MaxTotalBytes per layer before being refused.
+    */
+  private def depthGate(mime: String, label: String, depth: Int): Option[ExtractResult] =
+    if (depth >= 3)
+      Some(ExtractResult.fail(ExtractStatus.UnsupportedFormat, s"$label: nesting too deep", mime))
+    else None
+
   def zip(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    depthGate(MimeSniffer.Zip, "zip", depth).foreach(return _)
     val members =
       try zipMembers(bytes)
       catch {
@@ -30,6 +40,7 @@ object ArchiveExtractor {
   }
 
   def tar(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    depthGate(TarMime, "tar", depth).foreach(return _)
     val members =
       try tarMembers(bytes)
       catch {
@@ -43,6 +54,7 @@ object ArchiveExtractor {
     * structures refuse with −8 (see [[extractous.core.SevenZip]]).
     */
   def sevenZ(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    depthGate(MimeSniffer.SevenZ, "7z", depth).foreach(return _)
     val members =
       try SevenZip.members(bytes)
       catch {

@@ -29,6 +29,12 @@ object Extract {
           ExtractResult.fail(ExtractStatus.ExtractionFailed, "extraction failed: deep recursion")
         case e: OutOfMemoryError =>
           ExtractResult.fail(ExtractStatus.OutOfMemory, "out of memory")
+        // fatal deployment/control conditions must NOT become per-row -4:
+        // a missing class would otherwise fail 100% of rows "successfully",
+        // and a task-kill interrupt would be swallowed mid-cancellation
+        case e: InterruptedException => throw e
+        case e: LinkageError         => throw e
+        case e: VirtualMachineError  => throw e
         case e: Throwable =>
           ExtractResult.fail(ExtractStatus.ExtractionFailed, trim(s"extraction failed: ${e.getMessage}"))
       }

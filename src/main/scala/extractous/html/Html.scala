@@ -185,7 +185,10 @@ object HtmlDom {
         if (raw.nonEmpty) stack.head.children += HText(decodeEntities(raw))
       case StartTag(name, attrs, selfClosing) =>
         impliedClose.get(name).foreach { closes =>
-          if (closes(stack.head.name)) stack = stack.tail
+          // pop WHILE the head matches, not once: a new <tr> after an open
+          // <td> must close the td AND the enclosing tr, or the new row
+          // nests inside the old one and inherits its boiler/content scope
+          while (stack.head.name != "#root" && closes(stack.head.name)) stack = stack.tail
         }
         val el = HElem(name, attrs, ArrayBuffer.empty)
         stack.head.children += el
@@ -302,7 +305,10 @@ object HtmlExtractor {
     else if (b.inContentScope) true
     else if (b.linkDensity > 0.33) false
     else if (b.words >= 10) true
-    else b.words >= 4 && b.linkDensity == 0.0 && (b.tag == "p" || b.tag.startsWith("h") || b.tag == "pre")
+    // blocks carry only "p" or "h1".."h6" tags (headingTag collapses every
+    // other block element to "p"), so a finer tag restriction here would be
+    // dead code — the 4-9-word rule keys on link density alone
+    else b.words >= 4 && b.linkDensity == 0.0
   }
 
   def extract(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {

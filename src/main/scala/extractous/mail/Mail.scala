@@ -29,15 +29,31 @@ object MailExtractor {
     (headers, body)
   }
 
-  private def decodeBody(body: String, cte: String): String = cte.toLowerCase match {
+  /** The part's declared charset, honoring it during byte decode — an
+    * ISO-8859-1 base64 body decoded as UTF-8 would silently emit U+FFFD
+    * mojibake with status 0 ("wrong text never"). Unknown labels fall back
+    * to UTF-8 (the least-wrong default for a crawl).
+    */
+  private def charsetOf(headers: Map[String, String]): java.nio.charset.Charset = {
+    val ct = headers.getOrElse("content-type", "")
+    "(?i)charset=\"?([^\";\\s]+)\"?".r.findFirstMatchIn(ct).map(_.group(1)) match {
+      case Some(label) =>
+        try java.nio.charset.Charset.forName(label)
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      case None => java.nio.charset.StandardCharsets.UTF_8
+    }
+  }
+
+  private def decodeBody(body: String, cte: String,
+      charset: java.nio.charset.Charset): String = cte.toLowerCase match {
     case "base64" =>
-      new String(java.util.Base64.getMimeDecoder.decode(body), java.nio.charset.StandardCharsets.UTF_8)
+      new String(java.util.Base64.getMimeDecoder.decode(body), charset)
     case "quoted-printable" =>
       val sb = new java.lang.StringBuilder(body.length)
       val bytes = new java.io.ByteArrayOutputStream()
       var i = 0
       def flushBytes(): Unit = {
-        if (bytes.size > 0) { sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)); bytes.reset() }
+        if (bytes.size > 0) { sb.append(new String(bytes.toByteArray, charset)); bytes.reset() }
       }
       while (i < body.length) {
         val c = body.charAt(i)
@@ -54,26 +70,53 @@ object MailExtractor {
     case _ => body // 7bit / 8bit / binary
   }
 
-  /** (headers, decoded text body) of the best body part. */
-  private def bestBody(headers: Map[String, String], body: String): String = {
+  /** Decoded text of the best body part, recursing through nested multipart
+    * (multipart/mixed wrapping multipart/alternative is the STANDARD shape
+    * of any email with an attachment — a non-recursive walk failed those
+    * rows outright). Preference at every level: first text/plain, else
+    * first text/html (as text), else the first nested multipart that
+    * yields either.
+    */
+  private def bestBody(headers: Map[String, String], body: String): String =
+    bestBodyOpt(headers, body)
+      .getOrElse(throw new IllegalArgumentException("eml: no text part in multipart body"))
+
+  private def bestBodyOpt(headers: Map[String, String], body: String): Option[String] = {
     val ct = headers.getOrElse("content-type", "text/plain")
     if (ct.toLowerCase.startsWith("multipart/")) {
-      val b = "boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ct)
+      // RFC 2045 parameter names are case-insensitive (Boundary=…)
+      val b = "(?i)boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ct)
         .getOrElse(throw new IllegalArgumentException("eml: multipart without boundary"))
         .group(1)
       val parts = body.split(java.util.regex.Pattern.quote("--" + b)).toSeq
         .drop(1).takeWhile(p => !p.startsWith("--"))
-        .map(p => splitHeadersBody(p.dropWhile(c => c == '\n' || c == '\r')))
-      def partOf(typ: String) = parts.find(_._1.getOrElse("content-type", "").toLowerCase.startsWith(typ))
+        // strip ONLY the boundary line's own newline — eating every leading
+        // newline would consume a headerless part's header/body separator
+        // and feed its first paragraph to the header parser. A part whose
+        // next line is blank has NO headers (RFC 2046 allows it; defaults
+        // apply): empty header map, rest is body.
+        .map { p0 =>
+          val p = p0.replaceFirst("^\\r?\\n", "")
+          if (p.startsWith("\r\n")) (Map.empty[String, String], p.substring(2))
+          else if (p.startsWith("\n")) (Map.empty[String, String], p.substring(1))
+          else splitHeadersBody(p)
+        }
+      // RFC 2046 default for a part without Content-Type is text/plain
+      def partOf(typ: String) = parts.find(_._1.getOrElse("content-type", "text/plain").toLowerCase.startsWith(typ))
       partOf("text/plain").orElse(partOf("text/html")) match {
         case Some((ph, pb)) =>
-          val decoded = decodeBody(pb, ph.getOrElse("content-transfer-encoding", "7bit"))
-          if (ph.getOrElse("content-type", "").toLowerCase.startsWith("text/html"))
-            htmlText(decoded)
-          else decoded
-        case None => throw new IllegalArgumentException("eml: no text part in multipart body")
+          val decoded = decodeBody(pb, ph.getOrElse("content-transfer-encoding", "7bit"), charsetOf(ph))
+          Some(
+            if (ph.getOrElse("content-type", "").toLowerCase.startsWith("text/html")) htmlText(decoded)
+            else decoded)
+        case None =>
+          // no direct text part at this level: descend into nested multiparts
+          parts.iterator
+            .filter(_._1.getOrElse("content-type", "").toLowerCase.startsWith("multipart/"))
+            .flatMap { case (ph, pb) => bestBodyOpt(ph, pb) }
+            .nextOption()
       }
-    } else decodeBody(body, headers.getOrElse("content-transfer-encoding", "7bit"))
+    } else Some(decodeBody(body, headers.getOrElse("content-transfer-encoding", "7bit"), charsetOf(headers)))
   }
 
   private def htmlText(s: String): String = {

@@ -113,10 +113,44 @@ object MimeSniffer {
     false
   }
 
+  /** Best-effort LOCAL-header name walk, used only when the central
+    * directory is unreadable (ZIP64 sentinels: offset 0xFFFFFFFF / count
+    * 0xFFFF — a >4 GB or >65535-entry .docx would otherwise sniff as a
+    * generic archive and extract as raw member XML, silently wrong text).
+    * Local headers lie under streamed zips (bit 3: sizes deferred to data
+    * descriptors) — the walk stops at the first such entry; whatever names
+    * were collected before that still route OOXML correctly, and declining
+    * keeps today's behavior.
+    */
+  private def zipLocalNames(b: Array[Byte]): Seq[String] = {
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val out = Seq.newBuilder[String]
+    var off = 0
+    var n = 0
+    while (n < 64 && off + 30 <= b.length &&
+        b(off) == 'P' && b(off + 1) == 'K' && b(off + 2) == 3 && b(off + 3) == 4) {
+      val flags = u16(off + 6)
+      val compSize = u32(off + 18)
+      val nameLen = u16(off + 26)
+      val extraLen = u16(off + 28)
+      if (off + 30 + nameLen > b.length) return out.result()
+      out += new String(b, off + 30, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+      if ((flags & 0x8) != 0 || compSize == 0xffffffffL) return out.result() // streamed/ZIP64 member: size unknowable here
+      val next = off.toLong + 30 + nameLen + extraLen + compSize
+      if (next <= off || next > Int.MaxValue) return out.result()
+      off = next.toInt
+      n += 1
+    }
+    out.result()
+  }
+
   /** Entry names from the zip CENTRAL directory (EOCD scan from the tail,
     * then PK\x01\x02 walk) — the only reliable name source; local headers
     * lie under streamed zips (data descriptors) and raw-byte scans match
-    * member content. Malformed directory ⇒ empty (the rung just declines).
+    * member content. An unreadable directory (ZIP64 sentinels) falls back
+    * to [[zipLocalNames]]; a malformed one ⇒ empty (the rung declines).
     */
   private def zipEntryNames(b: Array[Byte]): Seq[String] = {
     // EOCD: PK\x05\x06 within the last 64 KB + 22 bytes
@@ -127,12 +161,15 @@ object MimeSniffer {
       if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6) eocd = i
       i -= 1
     }
-    if (eocd < 0) return Seq.empty
+    if (eocd < 0) return zipLocalNames(b)
     def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
     val count = u16(eocd + 10)
     var off = u32(eocd + 16)
+    // ZIP64 sentinels: the real values live in the ZIP64 EOCD — fall back
+    // to the local-header walk rather than misrouting the file
+    if (count == 0xffff || off == 0xffffffffL) return zipLocalNames(b)
     if (off < 0 || off > b.length - 4) return Seq.empty
     val out = Seq.newBuilder[String]
     var n = 0

@@ -129,13 +129,20 @@ final class SnapshotTable(val root: String) {
   // next id = 1 + max over ALL existing manifests (not just the current
   // chain) so a rollback of CURRENT never collides with orphaned snapshots
   private def nextSnapshotId: Long = {
-    val existing = Files.list(manifestsDir).iterator().asScala
+    val existing = listed(Files.list(manifestsDir))(_
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
         s.stripPrefix("snap-").stripSuffix(".json").toLong }
-      .toSeq
+      .toSeq)
     (existing :+ -1L).max + 1
   }
+
+  /** Files.list/Files.walk hold an open directory fd until closed — a
+    * long-running driver committing many snapshots would otherwise leak fds
+    * toward the ulimit. Every listing in this class drains through here.
+    */
+  private def listed[A](st: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
+    try f(st.iterator().asScala) finally st.close()
 
   private def publish(m: Manifest): Long = {
     val tmp = manifestsDir.resolve(s".snap-${m.snapshot_id}.tmp")
@@ -162,12 +169,12 @@ final class SnapshotTable(val root: String) {
       else {
         val dst = dataDir.resolve(s"warc_day=$day")
         Files.createDirectories(dst)
-        Files.list(src).iterator().asScala
+        listed(Files.list(src))(_
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .map { p =>
             val name = f"snap-$snapId%05d-${p.getFileName.toString}"
             (p, dst.resolve(name), s"data/warc_day=$day/$name")
-          }.toSeq
+          }.toSeq)
       }
     }
     moves.asJava.parallelStream().forEach { t =>
@@ -256,22 +263,22 @@ final class SnapshotTable(val root: String) {
       ms.head.extractor_version)
     val id = publish(squashed)
     // orphan GC: every non-squash manifest, every unreferenced data file
-    Files.list(manifestsDir).iterator().asScala.toSeq.foreach { p =>
+    listed(Files.list(manifestsDir))(_.toSeq).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("snap-") && n != f"snap-$id%05d.json") Files.delete(p)
     }
     val keep = visible.map(f => Paths.get(root, f).normalize).toSet
-    Files.walk(dataDir).iterator().asScala.toSeq
+    listed(Files.walk(dataDir))(_.toSeq)
       .filter(p => Files.isRegularFile(p) && !keep(p.normalize))
       .foreach(Files.delete)
     // staging left by a compact() whose JVM died mid-write (the in-process
     // path cleans up via finally; this covers hard kills)
-    Files.list(Paths.get(root)).iterator().asScala.toSeq
+    listed(Files.list(Paths.get(root)))(_.toSeq)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".compact"))
       .foreach(deleteRecursively)
     id
   }
 
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    listed(Files.walk(p))(_.toSeq).reverse.foreach(Files.delete)
 }

@@ -353,6 +353,56 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(r.contentType == "text/markdown")
     assert(r.text == "Title Here\nplain paragraph\nitem one\nitem two\ncode line\ntxt c b")
   }
+  test("eml: nested multipart/mixed→alternative finds the text part (attachment shape)") {
+    // the STANDARD layout of any email with an attachment
+    val eml =
+      ("Subject: Nested\n" +
+        "Content-Type: multipart/mixed; Boundary=\"outer\"\n" + // capital B: RFC 2045 params are case-insensitive
+        "\n--outer\n" +
+        "Content-Type: multipart/alternative; boundary=\"inner\"\n" +
+        "\n--inner\n" +
+        "Content-Type: text/plain\n" +
+        "\nthe real body text\n" +
+        "--inner\n" +
+        "Content-Type: text/html\n" +
+        "\n<p>the real body text</p>\n" +
+        "--inner--\n" +
+        "--outer\n" +
+        "Content-Type: application/pdf\n" +
+        "Content-Transfer-Encoding: base64\n" +
+        "\nAAAA\n" +
+        "--outer--\n").getBytes("UTF-8")
+    val r = extractous.mail.MailExtractor.extract(eml, extractous.config.ExtractorConfig())
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "Nested\nthe real body text")
+  }
+
+  test("eml: declared charset honored in base64 bodies; headerless part defaults to text/plain") {
+    val latin1Body = java.util.Base64.getEncoder.encodeToString(
+      "café crème".getBytes("ISO-8859-1"))
+    val eml =
+      ("Subject: Charset\n" +
+        "Content-Type: multipart/alternative; boundary=\"b\"\n" +
+        "\n--b\n" +
+        "Content-Type: text/plain; charset=ISO-8859-1\n" +
+        "Content-Transfer-Encoding: base64\n" +
+        s"\n$latin1Body\n" +
+        "--b--\n").getBytes("UTF-8")
+    val r = extractous.mail.MailExtractor.extract(eml, extractous.config.ExtractorConfig())
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "Charset\ncafé crème", r.text) // not U+FFFD mojibake
+    // RFC 2046: a part may have NO headers — defaults to text/plain
+    val eml2 =
+      ("Subject: Bare\n" +
+        "Content-Type: multipart/mixed; boundary=\"x\"\n" +
+        "\n--x\n" +
+        "\nbare default part body\n" +
+        "--x--\n").getBytes("UTF-8")
+    val r2 = extractous.mail.MailExtractor.extract(eml2, extractous.config.ExtractorConfig())
+    assert(r2.status == ExtractStatus.Ok, r2.error)
+    assert(r2.text == "Bare\nbare default part body", r2.text)
+  }
+
   test("eml: multipart QP part preferred, subject first; single-part too") {
     val even = Extract(CorpusGen.emlPayload(52, "body text here"))
     assert(even.contentType == "message/rfc822")
