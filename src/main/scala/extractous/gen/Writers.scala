@@ -37,6 +37,44 @@ object PdfWriter {
   def deflateBytes(data: Array[Byte]): Array[Byte] = deflate(data)
   def assembleObjects(objects: Seq[Array[Byte]], trailerExtra: String): Array[Byte] = assemble(objects, trailerExtra)
 
+  /** Assemble objects into a PDF 1.5+ file whose ONLY cross-reference is an
+    * XRef STREAM (no `xref` table, no `trailer` keyword anywhere): the
+    * trailer entries (/Root /Encrypt /ID /Size) live in the stream's own
+    * dict per ISO 32000 §7.5.8. Acrobat 6+ writes most files this way — the
+    * shape that catches a reader that only hunts the `trailer` keyword.
+    * The entry data is honest /W [1 4 1] type/offset/gen triples.
+    */
+  def assembleObjectsXrefStream(objects: Seq[Array[Byte]], trailerExtra: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    val offsets = new Array[Int](objects.length + 1)
+    objects.zipWithIndex.foreach { case (body, i) =>
+      offsets(i + 1) = out.size()
+      w(s"${i + 1} 0 obj\n")
+      out.write(body)
+      w("\nendobj\n")
+    }
+    val xrefNum = objects.length + 1
+    val xrefPos = out.size()
+    val entries = new ByteArrayOutputStream()
+    def entry(t: Int, off: Int, g: Int): Unit = {
+      entries.write(t)
+      entries.write((off >> 24) & 0xff); entries.write((off >> 16) & 0xff)
+      entries.write((off >> 8) & 0xff); entries.write(off & 0xff)
+      entries.write(g)
+    }
+    entry(0, 0, 255)
+    (1 to objects.length).foreach(i => entry(1, offsets(i), 0))
+    entry(1, xrefPos, 0) // the XRef stream object itself
+    val data = entries.toByteArray
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 4 1] /Index [0 ${xrefNum + 1}] " +
+      s"$trailerExtra /Length ${data.length} >>\nstream\n")
+    out.write(data)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Assemble objects (1-based bodies, ASCII or binary) into a PDF file with a
     * classic xref table and trailer.
     */
@@ -240,7 +278,8 @@ object PdfEncWriter {
     *                stratum; non-empty = a fixture the extractor must REJECT
     *                with a status, since it only tries the empty password)
     */
-  def encryptedTextPdf(lines: Seq[String], title: String, rev: Int, userPwd: String = ""): Array[Byte] = {
+  def encryptedTextPdf(lines: Seq[String], title: String, rev: Int, userPwd: String = "",
+      xrefStream: Boolean = false): Array[Byte] = {
     require(rev == 2 || rev == 3, s"standard handler revision 2 or 3, got $rev")
     val keyLen = if (rev == 2) 5 else 16
     val perms = -4 // all permission bits granted; still a valid encrypted doc
@@ -300,8 +339,9 @@ object PdfEncWriter {
       val vPart = if (rev == 2) "/V 1" else "/V 2 /Length 128"
       s"<< /Filter /Standard $vPart /R $rev /O <${hex(o)}> /U <${hex(u)}> /P $perms >>".getBytes("US-ASCII")
     }
-    PdfWriter.assembleObjects(objs.result(),
-      s"/Root 1 0 R /Info 6 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")
+    val trailerEntries = s"/Root 1 0 R /Info 6 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>]"
+    if (xrefStream) PdfWriter.assembleObjectsXrefStream(objs.result(), trailerEntries)
+    else PdfWriter.assembleObjects(objs.result(), trailerEntries)
   }
 
   /** A V4/AESV2 /Encrypt marker the extractor must honestly refuse (status
@@ -521,8 +561,23 @@ object CfbWriter {
   private val Eoc = 0xfffffffe
   private val FatSect = 0xfffffffd
 
-  def multi(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val nDir = 1 + streams.length
+  def multi(streams: Seq[(String, Array[Byte])]): Array[Byte] = build(streams, nSub = 0, storageName = "")
+
+  /** Like [[multi]], but the FIRST `nSub` streams live inside a substorage
+    * named `storageName` (the Outlook attachment layout: an
+    * `__attach_version1.0_#00000000` storage carrying its own
+    * `__substg1.0_*` property streams). The substorage's streams come FIRST
+    * in flat directory order — the exact shadowing trap MS-OXMSG readers
+    * must survive by walking the root's red-black tree instead of scanning
+    * the directory flat.
+    */
+  def withStorage(storageName: String, subStreams: Seq[(String, Array[Byte])],
+      rootStreams: Seq[(String, Array[Byte])]): Array[Byte] =
+    build(subStreams ++ rootStreams, nSub = subStreams.length, storageName = storageName)
+
+  private def build(streams: Seq[(String, Array[Byte])], nSub: Int, storageName: String): Array[Byte] = {
+    val hasStorage = nSub > 0
+    val nDir = 1 + (if (hasStorage) 1 else 0) + streams.length
     val dirSectors = (nDir * 128 + SectorSize - 1) / SectorSize
     val isMini: ((String, Array[Byte])) => Boolean = _._2.length < 4096
     val miniSectorsOf = (b: Array[Byte]) => (b.length + 63) / 64
@@ -599,9 +654,16 @@ object CfbWriter {
       ob.putInt(base + 116, start)
       ob.putLong(base + 120, size)
     }
+    val slotShift = if (hasStorage) 2 else 1 // stream k's directory slot = k + slotShift
     dirEntry(0, "Root Entry", 5,
       if (useMini) firstMiniData else Eoc, miniTotal.toLong,
-      child = if (streams.nonEmpty) 1 else Free, right = Free)
+      child = if (hasStorage) 1 else if (streams.nonEmpty) 1 else Free, right = Free)
+    if (hasStorage)
+      // the storage's OWN children are the substreams (slots 2..1+nSub);
+      // its right sibling starts the root-level stream chain
+      dirEntry(1, storageName, 1, 0, 0L,
+        child = slotShift,
+        right = if (streams.length > nSub) slotShift + nSub else Free)
 
     // ---- stream data + per-stream start sectors ----
     var miniIdx = 0   // running mini-sector index inside the mini stream
@@ -609,18 +671,22 @@ object CfbWriter {
     val mfOff = sectorOff(miniFatSector)
     if (useMini) (0 until SectorSize / 4).foreach(i => ob.putInt(mfOff + i * 4, Free))
     streams.zipWithIndex.foreach { case ((name, data), k) =>
-      val right = if (k == streams.length - 1) Free else k + 2
+      // sibling chains end at the substorage boundary and at the last stream
+      val right =
+        if (hasStorage && k == nSub - 1) Free
+        else if (k == streams.length - 1) Free
+        else k + slotShift + 1
       if (isMini((name, data))) {
         val n = miniSectorsOf(data)
         (0 until n).foreach { i =>
           ob.putInt(mfOff + (miniIdx + i) * 4, if (i == n - 1) Eoc else miniIdx + i + 1)
         }
         System.arraycopy(data, 0, out, sectorOff(firstMiniData) + miniIdx * 64, data.length)
-        dirEntry(k + 1, name, 2, miniIdx, data.length.toLong, child = Free, right = right)
+        dirEntry(k + slotShift, name, 2, miniIdx, data.length.toLong, child = Free, right = right)
         miniIdx += n
       } else {
         System.arraycopy(data, 0, out, sectorOff(bigSector), data.length)
-        dirEntry(k + 1, name, 2, bigSector, data.length.toLong, child = Free, right = right)
+        dirEntry(k + slotShift, name, 2, bigSector, data.length.toLong, child = Free, right = right)
         bigSector += (data.length + SectorSize - 1) / SectorSize
       }
     }

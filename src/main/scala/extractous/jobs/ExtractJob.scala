@@ -56,11 +56,13 @@ object ExtractJob {
     val snapshots = Seq.newBuilder[Long]
     var totalDocs = 0L
     todo.grouped(groupSize).foreach { group =>
+      // provenance stamped BEFORE any repartition: input_file_name() returns
+      // "" once rows cross an exchange, which would silently blank lineage
       val slice0 = input.filter(col("warc_day").isin(group: _*))
-      val slice = if (salt) slice0.repartition(spark.sparkContext.defaultParallelism, col("url")) else slice0
-      val out = xf.extractFrame(slice, cfg, keep = Seq("warc_day"))
-        .withColumn("part_id", spark_partition_id())
         .withColumn("input_file", input_file_name())
+      val slice = if (salt) slice0.repartition(spark.sparkContext.defaultParallelism, col("url")) else slice0
+      val out = xf.extractFrame(slice, cfg, keep = Seq("warc_day", "input_file"))
+        .withColumn("part_id", spark_partition_id())
         .withColumn("n_bytes", octet_length(col("text")))
       // stage INSIDE the table dir: the commit's ATOMIC_MOVE renames are then
       // guaranteed same-filesystem (a /tmp staging dir on another mount would

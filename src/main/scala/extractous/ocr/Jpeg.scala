@@ -368,6 +368,10 @@ object Jpeg {
           val len = u16(pos)
           require((bytes(pos + 2) & 0xff) == 8, "jpeg: only 8-bit precision supported")
           height = u16(pos + 3); width = u16(pos + 5)
+          // same 64-megapixel cap as BMP/GIF/TIFF (long math): a crafted SOF
+          // claiming ~46k x 46k must hit the guard, not a ~2 GB luma alloc
+          require(width > 0 && height > 0 && width.toLong * height <= 64L * 1024 * 1024,
+            "jpeg: dims out of range")
           val n = bytes(pos + 7) & 0xff
           require(n == 1 || n == 3, s"jpeg: $n components unsupported")
           comps = Array.tabulate(n) { i =>

@@ -55,9 +55,10 @@ object Bmp {
     val height = b.getInt(22)
     val bpp = b.getShort(28).toInt
     require(bpp == 24, s"unsupported BMP bpp=$bpp")
-    require(width > 0 && height > 0 && width * height <= 64 * 1024 * 1024, "BMP dims out of range")
+    // long math: 65536×65536 overflows Int to 0 and would bypass the guard
+    require(width > 0 && height > 0 && width.toLong * height <= 64L * 1024 * 1024, "BMP dims out of range")
     val rowBytes = (width * 3 + 3) / 4 * 4
-    require(bytes.length >= dataOffset + rowBytes * height, "truncated BMP")
+    require(bytes.length >= dataOffset.toLong + rowBytes.toLong * height, "truncated BMP")
     val px = new Array[Byte](width * height)
     var y = 0
     while (y < height) {
@@ -152,7 +153,10 @@ object Png {
       pos = dataOff + len + 4
       if (typ == "IEND") pos = bytes.length
     }
-    require(width > 0 && height > 0, "bad PNG header")
+    // same 64-megapixel cap as BMP/GIF/TIFF (long math — crafted headers
+    // must hit the guard, not a multi-GB allocation)
+    require(width > 0 && height > 0 && width.toLong * height <= 64L * 1024 * 1024,
+      "PNG dims out of range")
     require(bitDepth == 8 && colorType == 0, s"unsupported PNG depth=$bitDepth color=$colorType")
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -161,6 +165,9 @@ object Png {
     while (!inf.finished() && off < raw.length) {
       val n = inf.inflate(raw, off, raw.length - off)
       if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated PNG IDAT")
+      // FDICT zlib streams return 0 with needsInput()==false forever — an
+      // exception maps to status -4; an unbroken loop pins an executor core
+      if (n == 0 && inf.needsDictionary()) throw new IllegalArgumentException("PNG IDAT needs preset dictionary")
       off += n
     }
     inf.end()

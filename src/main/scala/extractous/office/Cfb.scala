@@ -20,16 +20,49 @@ object Cfb {
   final val EndOfChain = 0xfffffffe
   final val FreeSect = 0xffffffff
 
-  final case class DirEntry(name: String, objType: Int, startSector: Int, size: Long)
+  /** slot/leftSib/rightSib/child are directory-slot ids (MS-CFB red-black
+    * tree; 0xFFFFFFFF → -1 = none): needed to tell ROOT-level streams from
+    * identically-named streams inside attachment/recipient substorages.
+    */
+  final case class DirEntry(name: String, objType: Int, startSector: Int, size: Long,
+      slot: Int = -1, leftSib: Int = -1, rightSib: Int = -1, child: Int = -1)
 
   final case class Container(sectorSize: Int, fat: Array[Int], miniFat: Array[Int],
       dir: Vector[DirEntry], data: Array[Byte], miniCutoff: Int, miniStream: Array[Byte]) {
 
+    /** Directory entries that are DIRECT children of the root storage —
+      * the red-black-tree walk from the root entry's child over sibling
+      * pointers, NOT descending into a storage's own child (its contents).
+      * A .msg attachment carries its own __substg1.0_* property streams
+      * inside a substorage; a flat name scan could return the attached
+      * message's subject/body instead of the mail's own. Falls back to the
+      * full directory when the tree is unwalkable (damaged pointers) —
+      * today's behavior, never worse.
+      */
+    lazy val rootDir: Vector[DirEntry] = {
+      val bySlot = dir.iterator.map(e => e.slot -> e).toMap
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
+      def walk(id: Int): Unit =
+        if (id >= 0 && !seen.contains(id)) bySlot.get(id).foreach { e =>
+          seen += id
+          walk(e.leftSib); walk(e.rightSib)
+        }
+      bySlot.get(0).foreach(root => walk(root.child))
+      val found = seen.iterator.flatMap(bySlot.get).toVector
+      if (found.exists(_.objType == 2)) found else dir
+    }
+
     def stream(name: String): Option[Array[Byte]] =
-      dir.find(e => e.objType == 2 && e.name.equalsIgnoreCase(name)).map { e =>
-        if (e.size < miniCutoff) readMini(e.startSector, e.size.toInt)
-        else readChain(e.startSector, e.size.toInt)
-      }
+      dir.find(e => e.objType == 2 && e.name.equalsIgnoreCase(name)).map(streamOf)
+
+    /** Read a SPECIFIC directory entry's stream. Name-based lookup re-scans
+      * the flat directory and can land on an identically-named stream in a
+      * substorage — a caller that already resolved an entry (e.g. via
+      * [[rootDir]]) must read THAT entry's chain.
+      */
+    def streamOf(e: DirEntry): Array[Byte] =
+      if (e.size < miniCutoff) readMini(e.startSector, e.size.toInt)
+      else readChain(e.startSector, e.size.toInt)
 
     private def readChain(start: Int, size: Int): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(size)
@@ -129,7 +162,9 @@ object Cfb {
         val objType = dirBytes(base + 66) & 0xff
         val start = dbb.getInt(base + 116)
         val size = dbb.getLong(base + 120) & 0xffffffffL // 32-bit sizes in v3
-        Some(DirEntry(name, objType, start, size))
+        Some(DirEntry(name, objType, start, size,
+          slot = k, leftSib = dbb.getInt(base + 68),
+          rightSib = dbb.getInt(base + 72), child = dbb.getInt(base + 76)))
       }
     }.toVector
 

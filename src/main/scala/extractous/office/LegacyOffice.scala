@@ -51,11 +51,14 @@ object MsgExtractor {
   def extract(container: Cfb.Container, cfg: ExtractorConfig): ExtractResult = {
     try {
       def prop(pid: String): Option[String] =
-        container.dir.collectFirst {
+        // root-level streams only: an attached message's identically-named
+        // property streams live in a substorage and must not shadow the
+        // mail's own subject/body
+        container.rootDir.collectFirst {
           case e if e.objType == 2 &&
               e.name.toUpperCase.startsWith(s"__SUBSTG1.0_$pid") &&
               (e.name.toUpperCase.endsWith("001F") || e.name.toUpperCase.endsWith("001E")) =>
-            val raw = container.stream(e.name).getOrElse(Array.emptyByteArray)
+            val raw = container.streamOf(e) // NOT stream(name): the flat scan could re-find the attachment's twin
             if (e.name.toUpperCase.endsWith("001F"))
               new String(raw, java.nio.charset.StandardCharsets.UTF_16LE)
             else new String(raw, java.nio.charset.Charset.forName("windows-1252"))

@@ -251,7 +251,9 @@ object OfficeExtractor {
 
     val emitter = new TextEmitter(cfg.maxStringLength)
     val xe = new XmlEmitter(cfg.maxStringLength)
-    val sheets = entries.keys.filter(k => k.startsWith("xl/worksheets/sheet") && k.endsWith(".xml")).toSeq.sorted
+    // numeric order: lexicographic would put sheet10 before sheet2 (pptx idiom)
+    val sheets = entries.keys.filter(k => k.startsWith("xl/worksheets/sheet") && k.endsWith(".xml")).toSeq
+      .sortBy(k => k.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toIntOption.getOrElse(0))
     sheets.foreach { name =>
       val root = xml(entries(name))
       def cellValue(c: HElem): String = {

@@ -311,7 +311,21 @@ object PdfExtractor {
       if (trailerIdx >= 0) {
         val lex = new CosLexer(buf, trailerIdx + 7, buf.length)
         lex.next() match { case d: Dict => Some(d); case _ => None }
-      } else None
+      } else {
+        // PDF 1.5+ cross-reference streams: no `trailer` keyword exists — the
+        // trailer entries (/Root /Encrypt /ID) live in the XRef stream's own
+        // dict. Without this fallback an encrypted xref-stream file would
+        // silently skip decryption and emit RC4 ciphertext as text (violating
+        // the decryptIfNeeded "never mojibake" contract). Prefer the dict
+        // that names /Encrypt, then /Root (incremental updates can leave
+        // several XRef streams; the scan-order Map gives no file order).
+        val xrefDicts = objs.values.collect {
+          case StreamObj(d, _) if d.m.get("Type").contains(Name("XRef")) => d
+        }.toSeq
+        xrefDicts.find(_.m.contains("Encrypt"))
+          .orElse(xrefDicts.find(_.m.contains("Root")))
+          .orElse(xrefDicts.headOption)
+      }
     (objs.toMap, trailer)
   }
 
@@ -584,8 +598,14 @@ object PdfExtractor {
       case StreamObj(d, b) => StreamObj(dec(d, k).asInstanceOf[Dict], PdfCrypt.rc4(k, b))
       case other           => other
     }
+    // XRef streams are never encrypted (ISO 32000 §7.5.8.2) — "decrypting"
+    // one would garble the dict that may be serving as our trailer fallback
+    def isXrefStream(value: V): Boolean = value match {
+      case StreamObj(d, _) => d.m.get("Type").contains(Name("XRef"))
+      case _               => false
+    }
     Right(objs.map { case (n, value) =>
-      if (encNum.contains(n)) n -> value
+      if (encNum.contains(n) || isXrefStream(value)) n -> value
       else n -> dec(value, PdfCrypt.objKey(key, n, 0))
     })
   }

@@ -144,6 +144,7 @@ object Bench {
         .asScala.toSeq.sliding(2).collect {
           case Seq("--add-opens", v) => Seq("--add-opens", v)
         }.flatten.toSeq
+      val workerErrFor = new java.util.concurrent.ConcurrentHashMap[Process, java.io.File]()
       def spawn(sliceArg: String): Process = {
         // ActiveProcessorCount pins EVERY pool the worker sizes off CPU count
         // (GC threads, ForkJoin, netty) to its core share; fixed pre-touched
@@ -153,14 +154,27 @@ object Bench {
           "-XX:+UseParallelGC", s"-XX:ActiveProcessorCount=$coresEach") ++ moduleArgs ++
           Seq("-cp", cp, "graft.BenchWorker", coresEach.toString, sliceArg, reps.toString)
         val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(false)
-        pb.start()
+        // stderr goes to a file, not a pipe: an undrained pipe fills at ~64KB
+        // of Spark stack traces and deadlocks both worker (blocked write) and
+        // parent (blocked readAllBytes); the file keeps diagnostics harvestable
+        val errFile = java.io.File.createTempFile("bench-worker-", ".stderr")
+        errFile.deleteOnExit()
+        pb.redirectError(ProcessBuilder.Redirect.to(errFile))
+        val p = pb.start()
+        workerErrFor.put(p, errFile)
+        p
       }
       def harvest(p: Process): (Long, Double) = {
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         p.waitFor()
         val m = "\\[worker\\] docs=(\\d+) secs=([0-9.]+)".r.findFirstMatchIn(out)
-          .getOrElse(throw new IllegalStateException(s"worker produced no result: $out"))
+          .getOrElse {
+            val errTail = Option(workerErrFor.get(p)).map { f =>
+              val b = java.nio.file.Files.readAllBytes(f.toPath)
+              new String(b, math.max(0, b.length - 2048), math.min(b.length, 2048), "UTF-8")
+            }.getOrElse("")
+            throw new IllegalStateException(s"worker produced no result: $out\nstderr tail: $errTail")
+          }
         (m.group(1).toLong, m.group(2).toDouble)
       }
       var totalDocs = 0L
@@ -279,7 +293,6 @@ object Bench {
     }
     spark.stop()
 
-    val mbPerSec = totalBytes / 1e6 * (tputBig / docs)
     val jobMbPerSec = totalBytes / 1e6 * (jobTput / docs)
     val qJson = timings.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val bestFull = math.max(tputBig, tputFullExec)

@@ -1274,7 +1274,6 @@ object SparkEntry {
          |CAST(length(substr(t, 1, 100)) AS BIGINT) AS n_chars
          |FROM (SELECT doc_id,
          |  CASE WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
-         |       WHEN $sqlKind = 60 THEN '$gbkPrefix' || text
          |       WHEN $sqlKind = 63 THEN '$latin1Prefix' || text
          |       WHEN $sqlKind = 64 THEN '$sjisPrefix' || text
          |       WHEN $sqlKind >= 68 AND $sqlKind < 70 THEN '$cp1252Prefix' || text

@@ -61,6 +61,13 @@ class JpegSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { Jpeg.decode(bad) }
     assert(e.getMessage.contains("restart"))
   }
+  test("SOF claiming ~46k x 46k hits the dim cap, not a ~2 GB luma allocation") {
+    val sof = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b,
+      8, 46340 >> 8, 46340 & 0xff, 46340 >> 8, 46340 & 0xff, 1, 1, 0x11, 0)
+      .map(_.toByte)
+    val e = intercept[IllegalArgumentException] { Jpeg.decode(sof) }
+    assert(e.getMessage.contains("dims out of range"))
+  }
   test("dimensions: EOI before SOF and stray no-payload markers raise cleanly") {
     // SOI then EOI — previously read a bogus length past the buffer
     val eoiOnly = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)

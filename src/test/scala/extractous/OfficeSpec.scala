@@ -61,6 +61,17 @@ class OfficeSpec extends AnyFunSuite {
     val r = OfficeExtractor.extract(zipb, MimeSniffer.Xlsx, cfg)
     assert(r.text == "alpha 42\nbeta")
   }
+  test("xlsx sheets in numeric order (sheet10 after sheet2, not lexicographic)") {
+    def sheet(v: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="x"><sheetData><row><c r="A1"><v>$v</v></c></row></sheetData></worksheet>"""
+    val zipb = DocxWriter.zip(Seq(
+      "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+      "xl/worksheets/sheet10.xml" -> sheet("ten").getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" -> sheet("one").getBytes("UTF-8"),
+      "xl/worksheets/sheet2.xml" -> sheet("two").getBytes("UTF-8")))
+    val r = OfficeExtractor.extract(zipb, MimeSniffer.Xlsx, cfg)
+    assert(r.text == "one\ntwo\nten")
+  }
   test("pptx slide text in order") {
     def slide(ts: String*) =
       s"""<?xml version="1.0"?><p:sld xmlns:p="p" xmlns:a="a"><p:txBody>${ts.map(t => s"<a:p><a:r><a:t>$t</a:t></a:r></a:p>").mkString}</p:txBody></p:sld>"""

@@ -161,6 +161,36 @@ class PdfSpec extends AnyFunSuite {
     assert(r.metadata("pdf:producer") == Seq("extractous-spark-gen"))
   }
 
+  test("encrypted pdf with an XRef-STREAM trailer (PDF 1.5+, no `trailer` keyword) still decrypts") {
+    // Acrobat 6+ writes cross-reference streams; /Encrypt lives in the XRef
+    // stream's dict. A reader that only hunts the `trailer` keyword would
+    // skip decryption and emit RC4 ciphertext as text.
+    for (rev <- Seq(2, 3)) {
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+        Seq("XRef stream body", "second line"), "XSTitle", rev = rev, xrefStream = true)
+      assert(!new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1).contains("trailer"))
+      val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+      assert(r.status == 0, s"rev=$rev: ${r.error}")
+      assert(r.text == "XRef stream body\nsecond line", s"rev=$rev")
+      assert(r.metadata("dc:title") == Seq("XSTitle"))
+    }
+  }
+
+  test("UNencrypted pdf with an XRef-stream trailer parses (fallback must not break plain files)") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = "BT /F1 12 Tf 72 720 Td\n(plain xref body) Tj\nET".getBytes(iso)
+    val streamObj = s"<< /Length ${content.length} >>\nstream\n".getBytes(iso) ++
+      content ++ "\nendstream".getBytes(iso)
+    val pdf = PdfWriter.assembleObjectsXrefStream(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(iso),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(iso),
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>".getBytes(iso),
+      streamObj), "/Root 1 0 R")
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0, r.error)
+    assert(r.text == "plain xref body")
+  }
+
   test("encrypted pdf with a NON-empty user password is rejected with -4, never garbage") {
     for (rev <- Seq(2, 3)) {
       val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(

@@ -85,6 +85,26 @@ class Round3FormatsSpec extends AnyFunSuite {
     val r = Extract(extractous.gen.MsgWriter.msg("S", "F", big, unicode = true))
     assert(r.status == ExtractStatus.Ok && r.text == s"S\nF\n$big")
   }
+  test(".msg attachment substorage cannot shadow the mail's own subject/body") {
+    // the attached message's identically-named property streams come FIRST
+    // in flat directory order; a flat collectFirst would return them. The
+    // reader must walk the root's sibling tree and see only root-level
+    // streams (MS-OXMSG: attachments live under __attach_version1.0_#NNNNNNNN)
+    def enc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val bytes = extractous.gen.CfbWriter.withStorage(
+      "__attach_version1.0_#00000000",
+      subStreams = Seq(
+        "__substg1.0_0037001F" -> enc("ATTACHED subject"),
+        "__substg1.0_1000001F" -> enc("ATTACHED body")),
+      rootStreams = Seq(
+        "__substg1.0_0037001F" -> enc("Real subject"),
+        "__substg1.0_0C1A001F" -> enc("Real sender"),
+        "__substg1.0_1000001F" -> enc("Real body")))
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.Ok, r.error)
+    assert(r.text == "Real subject\nReal sender\nReal body")
+    assert(r.metadata("subject") == Seq("Real subject"))
+  }
   test(".msg with no text property streams fails the row, never wrong text") {
     val bytes = extractous.gen.CfbWriter.multi(Seq(
       "__substg1.0_30070040" -> Array.fill[Byte](8)(1), // PT_SYSTIME — not text

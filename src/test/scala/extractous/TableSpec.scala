@@ -181,6 +181,13 @@ class TableSpec extends AnyFunSuite {
     val b = new SnapshotTable(t2).read(spark).select("url", "text", "status")
       .as[(String, String, Int)].collect().toSet
     assert(a == b)
+    // provenance survives the salt repartition: input_file_name() returns ""
+    // once rows cross an exchange, so it must be stamped pre-shuffle
+    val lineage = new SnapshotTable(t2).chain().head.lineage
+    assert(lineage.nonEmpty)
+    val files = lineage.flatMap(_.input_files)
+    assert(files.nonEmpty && files.forall(f => f.nonEmpty && f.contains("parquet")),
+      s"salted lineage lost input files: ${files.take(3)}")
   }
 
   test("readers ignore uncommitted orphan files") {
