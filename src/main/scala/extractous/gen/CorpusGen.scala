@@ -330,14 +330,16 @@ object CorpusGen {
     PdfWriter.markedPdf(s"Document $id", Seq(text), titleOf(id, "en"))
 
   /** Standard-security encrypted PDF, empty user password (the crawl's
-    * openable encrypted stratum): RC4-40 (V1/R2, uncompressed) on even ids,
-    * RC4-128 (V2/R3, Flate-then-encrypt) on odd ids (x_pdf_encrypted).
+    * openable encrypted stratum), rotating the handler generation by id:
+    * RC4-40 (V1/R2, uncompressed), RC4-128 (V2/R3, Flate-then-encrypt),
+    * AES-128 (V4/R4 /AESV2 crypt filter), AES-256 (V5/R6 /AESV3, PDF 2.0)
+    * (x_pdf_encrypted).
     */
   def encryptedPdfPayload(id: Long, text: String): Array[Byte] =
     PdfEncWriter.encryptedTextPdf(
       lines = Seq(s"Document $id", text),
       title = titleOf(id, "en"),
-      rev = if (id % 2 == 0) 2 else 3)
+      rev = Array(2, 3, 4, 6)((id % 4).toInt))
 
   /** DOCX carrying a vbaProject.bin with one printable macro line on even ids
     * (x_office_macros).

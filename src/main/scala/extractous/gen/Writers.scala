@@ -269,42 +269,125 @@ object PdfEncWriter {
 
   private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
 
+  private def sha2(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcRaw(mode: Int, key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** PDF wire-format AES: PKCS#7-pad, CBC-encrypt, prepend the IV. */
+  private def aesEncObj(key: Array[Byte], iv: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - (plain.length % 16)
+    val padded = plain ++ Array.fill(padLen)(padLen.toByte)
+    iv ++ aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE, key, iv, padded)
+  }
+
+  /** §7.6.4.3.4 Algorithm 2.B (R6 password hash) — the writer's own copy,
+    * independent of the reader's `PdfCrypt.hash2b` so the round-trip is a
+    * genuine two-implementation check.
+    */
+  private def hash2b6(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = sha2("SHA-256", pwd, salt, udata)
+    var e: Array[Byte] = Array.emptyByteArray
+    var round = 0
+    while (round < 64 || (e(e.length - 1) & 0xff) > round - 32) {
+      val block = pwd ++ k ++ udata
+      val k1 = Array.fill(64)(block).flatten
+      e = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE, k.take(16), k.slice(16, 32), k1)
+      k = (e.take(16).map(_ & 0xff).sum % 3: @unchecked) match {
+        case 0 => sha2("SHA-256", e)
+        case 1 => sha2("SHA-384", e)
+        case 2 => sha2("SHA-512", e)
+      }
+      round += 1
+    }
+    k.take(32)
+  }
+
   /** One-page text PDF encrypted under the standard handler.
     *
     * @param rev 2 → V1/R2 RC4-40 (content uncompressed); 3 → V2/R3 RC4-128
     *            (content Flate-compressed then encrypted — filters apply to
-    *            plaintext, encryption is outermost)
+    *            plaintext, encryption is outermost); 4 → V4/R4 /AESV2
+    *            AES-128-CBC crypt filter; 6 → V5/R6 /AESV3 AES-256 (the
+    *            PDF-2.0 handler)
     * @param userPwd the user password baked into the key ("" = the openable
     *                stratum; non-empty = a fixture the extractor must REJECT
     *                with a status, since it only tries the empty password)
     */
   def encryptedTextPdf(lines: Seq[String], title: String, rev: Int, userPwd: String = "",
       xrefStream: Boolean = false): Array[Byte] = {
-    require(rev == 2 || rev == 3, s"standard handler revision 2 or 3, got $rev")
-    val keyLen = if (rev == 2) 5 else 16
+    require(Set(2, 3, 4, 6).contains(rev), s"standard handler revision 2/3/4/6, got $rev")
+    val keyLen = rev match { case 2 => 5; case 6 => 32; case _ => 16 }
     val perms = -4 // all permission bits granted; still a valid encrypted doc
     val id0 = md5(s"$title|${lines.length}|$rev".getBytes("UTF-8"))
-    // Algorithm 3: /O from the owner password (full-digest 50x rehash for R3)
-    val ownerDigest0 = md5(padPwd("owner-secret".getBytes("UTF-8")))
-    val ownerDigest = if (rev >= 3) (1 to 50).foldLeft(ownerDigest0)((d, _) => md5(d)) else ownerDigest0
-    val ownerKey = ownerDigest.take(keyLen)
-    var o = rc4(ownerKey, padPwd(userPwd.getBytes("UTF-8")))
-    if (rev >= 3) for (i <- 1 to 19) o = rc4(ownerKey.map(bb => (bb ^ i).toByte), o)
-    // Algorithm 2: file key (first-keyLen-bytes 50x rehash for R3)
-    var d = md5(padPwd(userPwd.getBytes("UTF-8")) ++ o ++ intLE(perms) ++ id0)
-    if (rev >= 3) for (_ <- 1 to 50) d = md5(d.take(keyLen))
-    val key = d.take(keyLen)
-    // Algorithms 4/5: /U
-    val u =
-      if (rev == 2) rc4(key, Pad)
-      else {
-        var x = rc4(key, md5(Pad ++ id0))
-        for (i <- 1 to 19) x = rc4(key.map(bb => (bb ^ i).toByte), x)
-        x ++ new Array[Byte](16)
-      }
-    def objKey(num: Int): Array[Byte] =
-      md5(key ++ Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
-        ((num >> 16) & 0xff).toByte, 0, 0)).take(math.min(keyLen + 5, 16))
+    // IVs need only be unique per object; derive them from (id0, objnum) so
+    // the same inputs yield byte-identical fixtures (FixedTime precedent)
+    def objIv(num: Int): Array[Byte] = md5(id0 ++ intLE(num) ++ "iv".getBytes("US-ASCII")).take(16)
+
+    // ---- legacy key schedule (R2/R3/R4 share Algorithms 2/3/4/5) ----
+    lazy val (legacyKey, legacyO, legacyU) = {
+      // Algorithm 3: /O from the owner password (full-digest 50x rehash for R≥3)
+      val ownerDigest0 = md5(padPwd("owner-secret".getBytes("UTF-8")))
+      val ownerDigest = if (rev >= 3) (1 to 50).foldLeft(ownerDigest0)((d, _) => md5(d)) else ownerDigest0
+      val ownerKey = ownerDigest.take(keyLen)
+      var o = rc4(ownerKey, padPwd(userPwd.getBytes("UTF-8")))
+      if (rev >= 3) for (i <- 1 to 19) o = rc4(ownerKey.map(bb => (bb ^ i).toByte), o)
+      // Algorithm 2: file key (first-keyLen-bytes 50x rehash for R≥3)
+      var d = md5(padPwd(userPwd.getBytes("UTF-8")) ++ o ++ intLE(perms) ++ id0)
+      if (rev >= 3) for (_ <- 1 to 50) d = md5(d.take(keyLen))
+      val key = d.take(keyLen)
+      // Algorithms 4/5: /U
+      val u =
+        if (rev == 2) rc4(key, Pad)
+        else {
+          var x = rc4(key, md5(Pad ++ id0))
+          for (i <- 1 to 19) x = rc4(key.map(bb => (bb ^ i).toByte), x)
+          x ++ new Array[Byte](16)
+        }
+      (key, o, u)
+    }
+    // ---- V5/R6 key schedule (§7.6.4.4: U/UE from the user password,
+    // O/OE from the owner password over U, /Perms seals P) ----
+    lazy val (v5Key, v5O, v5U, v5Oe, v5Ue, v5Perms) = {
+      val fileKey = sha2("SHA-256", s"fk|$title".getBytes("UTF-8"), id0)
+      val pwd = userPwd.getBytes("UTF-8")
+      val uvSalt = md5("uv".getBytes ++ id0).take(8)
+      val ukSalt = md5("uk".getBytes ++ id0).take(8)
+      val u48 = hash2b6(pwd, uvSalt, Array.emptyByteArray) ++ uvSalt ++ ukSalt
+      val ue = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+        hash2b6(pwd, ukSalt, Array.emptyByteArray), new Array[Byte](16), fileKey)
+      val opwd = "owner-secret".getBytes("UTF-8")
+      val ovSalt = md5("ov".getBytes ++ id0).take(8)
+      val okSalt = md5("ok".getBytes ++ id0).take(8)
+      val o48 = hash2b6(opwd, ovSalt, u48) ++ ovSalt ++ okSalt
+      val oe = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+        hash2b6(opwd, okSalt, u48), new Array[Byte](16), fileKey)
+      // /Perms: AES-ECB(fileKey, P‖0xFFFFFFFF‖'T'‖"adb"‖4 arbitrary bytes)
+      val permsBlock = intLE(perms) ++ Array.fill(4)(0xff.toByte) ++
+        "Tadb".getBytes("US-ASCII") ++ md5(id0).take(4)
+      val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      ecb.init(javax.crypto.Cipher.ENCRYPT_MODE, new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      (fileKey, o48, u48, oe, ue, ecb.doFinal(permsBlock))
+    }
+    def objKey(num: Int): Array[Byte] = {
+      val salt = if (rev == 4) "sAlT".getBytes("US-ASCII") else Array.emptyByteArray
+      md5(legacyKey ++ Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, 0, 0) ++ salt).take(math.min(keyLen + 5, 16))
+    }
+    /** The outermost per-object cipher, by revision. */
+    def encObj(num: Int, plain: Array[Byte]): Array[Byte] = rev match {
+      case 2 | 3 => rc4(objKey(num), plain)
+      case 4     => aesEncObj(objKey(num), objIv(num), plain)
+      case 6     => aesEncObj(v5Key, objIv(num), plain) // V5: file key direct
+    }
 
     val content = {
       val sb = new StringBuilder
@@ -318,9 +401,9 @@ object PdfEncWriter {
       sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     }
     val (filter, plainData) =
-      if (rev == 3) (" /Filter /FlateDecode", PdfWriter.deflateBytes(content)) else ("", content)
-    val encData = rc4(objKey(4), plainData)
-    val encTitle = rc4(objKey(6), title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (rev >= 3) (" /Filter /FlateDecode", PdfWriter.deflateBytes(content)) else ("", content)
+    val encData = encObj(4, plainData)
+    val encTitle = encObj(6, title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
 
     val objs = Seq.newBuilder[Array[Byte]]
     objs += "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII")
@@ -334,27 +417,39 @@ object PdfEncWriter {
       out.toByteArray
     }
     objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>".getBytes("US-ASCII")
-    objs += s"<< /Title <${hex(encTitle)}> /Producer <${hex(rc4(objKey(6), "extractous-spark-gen".getBytes("US-ASCII")))}> >>".getBytes("US-ASCII")
+    objs += s"<< /Title <${hex(encTitle)}> /Producer <${hex(encObj(6, "extractous-spark-gen".getBytes("US-ASCII")))}> >>".getBytes("US-ASCII")
     objs += {
-      val vPart = if (rev == 2) "/V 1" else "/V 2 /Length 128"
-      s"<< /Filter /Standard $vPart /R $rev /O <${hex(o)}> /U <${hex(u)}> /P $perms >>".getBytes("US-ASCII")
+      rev match {
+        case 2 =>
+          s"<< /Filter /Standard /V 1 /R 2 /O <${hex(legacyO)}> /U <${hex(legacyU)}> /P $perms >>".getBytes("US-ASCII")
+        case 3 =>
+          s"<< /Filter /Standard /V 2 /Length 128 /R 3 /O <${hex(legacyO)}> /U <${hex(legacyU)}> /P $perms >>".getBytes("US-ASCII")
+        case 4 =>
+          ("<< /Filter /Standard /V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            s"/StmF /StdCF /StrF /StdCF /O <${hex(legacyO)}> /U <${hex(legacyU)}> /P $perms >>").getBytes("US-ASCII")
+        case 6 =>
+          ("<< /Filter /Standard /V 5 /R 6 /Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+            s"/StmF /StdCF /StrF /StdCF /O <${hex(v5O)}> /U <${hex(v5U)}> /OE <${hex(v5Oe)}> /UE <${hex(v5Ue)}> " +
+            s"/Perms <${hex(v5Perms)}> /P $perms >>").getBytes("US-ASCII")
+      }
     }
     val trailerEntries = s"/Root 1 0 R /Info 6 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>]"
     if (xrefStream) PdfWriter.assembleObjectsXrefStream(objs.result(), trailerEntries)
     else PdfWriter.assembleObjects(objs.result(), trailerEntries)
   }
 
-  /** A V4/AESV2 /Encrypt marker the extractor must honestly refuse (status
-    * -8 unsupported format) — the dict is structurally valid but the
-    * handler is out of scope.
+  /** An /Encrypt dict naming a crypt-filter method the extractor does not
+    * speak (a made-up /CFM /AESV9) — must be honestly refused with status
+    * -8 unsupported format, never garbage. (AESV2/AESV3 themselves are
+    * SUPPORTED since round 4 — see `encryptedTextPdf` rev 4/6.)
     */
-  def aesEncryptedPdf(): Array[Byte] = {
+  def unknownCfmEncryptedPdf(): Array[Byte] = {
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"),
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII"),
       "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>".getBytes("US-ASCII"),
       "<< /Length 4 >>\nstream\nq Q\nendstream".getBytes("US-ASCII"),
-      ("<< /Filter /Standard /V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF " +
+      ("<< /Filter /Standard /V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV9 >> >> /StmF /StdCF /StrF /StdCF " +
         s"/O <${"00" * 32}> /U <${"00" * 32}> /P -4 >>").getBytes("US-ASCII"))
     PdfWriter.assembleObjects(objs, s"/Root 1 0 R /Encrypt 5 0 R /ID [<${"11" * 16}> <${"11" * 16}>]")
   }

@@ -263,12 +263,31 @@ object PdfExtractor {
                   var dataStart = lex.pos + 6
                   if (dataStart < buf.length && buf(dataStart) == '\r') dataStart += 1
                   if (dataStart < buf.length && buf(dataStart) == '\n') dataStart += 1
-                  val endStream = s.indexOf("endstream", dataStart)
-                  val dataEnd0 = if (endStream < 0) bodyEnd else endStream
-                  // strip trailing EOL before endstream
-                  var dataEnd = dataEnd0
-                  if (dataEnd > dataStart && buf(dataEnd - 1) == '\n') dataEnd -= 1
-                  if (dataEnd > dataStart && buf(dataEnd - 1) == '\r') dataEnd -= 1
+                  // Prefer a DIRECT /Length that lands on an endstream
+                  // marker — the spec's source of truth. The marker-scan
+                  // fallback's trailing-EOL strip eats a real data byte when
+                  // binary stream data (AES ciphertext, image bytes) happens
+                  // to END with 0x0D/0x0A — fatal for block ciphers where
+                  // (len-16)%16 must be 0. (Indirect /Length refs can't be
+                  // resolved mid-scan; they take the fallback.)
+                  val byLength: Option[Int] = d.m.get("Length") match {
+                    case Some(Num(x)) if x >= 0 && dataStart + x.toLong <= bodyEnd =>
+                      val e = dataStart + x.toInt
+                      var p = e
+                      if (p < buf.length && buf(p) == '\r') p += 1
+                      if (p < buf.length && buf(p) == '\n') p += 1
+                      if (s.startsWith("endstream", p)) Some(e) else None
+                    case _ => None
+                  }
+                  val dataEnd = byLength.getOrElse {
+                    val endStream = s.indexOf("endstream", dataStart)
+                    val dataEnd0 = if (endStream < 0) bodyEnd else endStream
+                    // strip trailing EOL before endstream
+                    var de = dataEnd0
+                    if (de > dataStart && buf(de - 1) == '\n') de -= 1
+                    if (de > dataStart && buf(de - 1) == '\r') de -= 1
+                    de
+                  }
                   v = StreamObj(d, java.util.Arrays.copyOfRange(buf, dataStart, dataEnd))
                 }
               case _ =>
@@ -550,9 +569,11 @@ object PdfExtractor {
     }
   }
 
-  /** Decrypt every string and stream of an RC4-standard-security document
-    * (empty user password). Returns Left(failure) for handlers we don't
-    * speak — AES (V≥4), crypt filters, non-empty user passwords — never
+  /** Decrypt every string and stream of a standard-security document
+    * (empty user password): RC4 (V1/V2), V4 crypt filters (/V2 RC4 or
+    * /AESV2 AES-128-CBC), and V5 /AESV3 AES-256 (R5/R6). Returns
+    * Left(failure) for handlers we don't speak — unknown crypt-filter
+    * methods, split StmF/StrF, non-empty user passwords — never
     * mojibake text. The /Encrypt dictionary's own strings (O/U) and the
     * trailer /ID are NOT encrypted per spec and are skipped by object
     * number. Generation numbers are 0 throughout recovery-scan parsing
@@ -573,12 +594,15 @@ object PdfExtractor {
     val filterOk = encDict.m.get("Filter").contains(Name("Standard"))
     val v = num("V", 0)
     val r = num("R", 0)
-    if (!filterOk || v < 1 || v > 2 || r < 2 || r > 3)
+    val supported = filterOk &&
+      ((v >= 1 && v <= 2 && r >= 2 && r <= 3) || (v == 4 && r == 4) || (v == 5 && (r == 5 || r == 6)))
+    if (!supported)
       return Left(ExtractResult.fail(ExtractStatus.UnsupportedFormat,
-        s"pdf: unsupported encryption (filter=${encDict.m.get("Filter")} V=$v R=$r; AES/crypt-filter handlers not implemented)",
+        s"pdf: unsupported encryption (filter=${encDict.m.get("Filter")} V=$v R=$r)",
         "application/pdf"))
+    val minU = if (v == 5) 48 else 32
     val (o, u) = (encDict.m.get("O"), encDict.m.get("U")) match {
-      case (Some(Str(ob)), Some(Str(ub))) if ob.length >= 32 && ub.length >= 32 => (ob, ub)
+      case (Some(Str(ob)), Some(Str(ub))) if ob.length >= 32 && ub.length >= minU => (ob, ub)
       case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
         "pdf: malformed /Encrypt O/U entries", "application/pdf"))
     }
@@ -586,16 +610,89 @@ object PdfExtractor {
       case Some(Arr(Str(b) +: _)) => b
       case _ => Array.emptyByteArray // spec allows missing ID; key just omits it
     }
-    val sec = PdfCrypt.StdSecurity(v, r, num("Length", 40), o, u, num("P", -1), id0)
-    val key = PdfCrypt.fileKey(sec)
-    if (!PdfCrypt.emptyUserPasswordMatches(sec, key))
-      return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
-        "pdf: document requires a user password", "application/pdf"))
-    def dec(value: V, k: Array[Byte]): V = value match {
-      case Str(b)          => Str(PdfCrypt.rc4(k, b))
-      case Arr(items)      => Arr(items.map(dec(_, k)))
-      case Dict(m)         => Dict(m.map { case (kk, vv) => kk -> dec(vv, k) })
-      case StreamObj(d, b) => StreamObj(dec(d, k).asInstanceOf[Dict], PdfCrypt.rc4(k, b))
+    // V4/V5 name their string+stream ciphers through crypt filters (§7.6.5);
+    // resolve /StmF + /StrF to a method. V<4 is plain RC4 with Algorithm-1
+    // per-object keys.
+    sealed trait Cfm
+    case object CfmRc4 extends Cfm; case object CfmAes2 extends Cfm
+    case object CfmAes3 extends Cfm; case object CfmIdentity extends Cfm
+    val encryptMetadata = encDict.m.get("EncryptMetadata") match {
+      case Some(Bool(b)) => b
+      case _             => true
+    }
+    val (cfm, keyLenBits): (Cfm, Int) =
+      if (v < 4) (CfmRc4, num("Length", 40))
+      else {
+        def cfName(k: String): String = encDict.m.get(k) match {
+          case Some(Name(n)) => n
+          case _             => "Identity"
+        }
+        val stmF = cfName("StmF"); val strF = cfName("StrF")
+        if (stmF != strF)
+          return Left(ExtractResult.fail(ExtractStatus.UnsupportedFormat,
+            s"pdf: split crypt filters (StmF=$stmF StrF=$strF) not supported", "application/pdf"))
+        if (stmF == "Identity") (CfmIdentity, num("Length", 128))
+        else {
+          val cf = encDict.m.get("CF").map(resolve(_, objs)) match {
+            case Some(Dict(m)) => m.get(stmF).map(resolve(_, objs))
+            case _             => None
+          }
+          cf match {
+            case Some(Dict(cfe)) =>
+              val method = cfe.get("CFM") match { case Some(Name(n)) => n; case _ => "" }
+              // /CF /Length is in BYTES per spec (common writers emit bits;
+              // accept both), falling back to the top-level bits entry
+              val cfLen = cfe.get("Length") match {
+                case Some(Num(d)) if d.toInt > 40 => d.toInt      // bits
+                case Some(Num(d))                 => d.toInt * 8  // bytes
+                case _                            => num("Length", if (v == 5) 256 else 128)
+              }
+              method match {
+                case "V2"    => (CfmRc4, cfLen)
+                case "AESV2" => (CfmAes2, cfLen)
+                case "AESV3" => (CfmAes3, cfLen)
+                case other => return Left(ExtractResult.fail(ExtractStatus.UnsupportedFormat,
+                  s"pdf: unsupported crypt-filter method /$other", "application/pdf"))
+              }
+            case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+              s"pdf: /StmF names /$stmF but /CF has no such filter", "application/pdf"))
+          }
+        }
+      }
+    if (v == 5 && cfm != CfmAes3 && cfm != CfmIdentity)
+      return Left(ExtractResult.fail(ExtractStatus.UnsupportedFormat,
+        "pdf: V5 encryption requires an /AESV3 crypt filter", "application/pdf"))
+    // Password check + per-object byte cipher, by handler generation
+    val decBytes: (Int, Array[Byte]) => Array[Byte] =
+      if (v == 5) {
+        if (!PdfCrypt.v5EmptyUserPasswordMatches(r, u))
+          return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+            "pdf: document requires a user password", "application/pdf"))
+        val ue = encDict.m.get("UE") match {
+          case Some(Str(b)) if b.length >= 32 => b
+          case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+            "pdf: V5 /Encrypt missing /UE", "application/pdf"))
+        }
+        val key = PdfCrypt.v5FileKey(r, u, ue)
+        // V5 uses the FILE key directly for every object (§7.6.2 note)
+        (_, b) => PdfCrypt.aesCbcDecrypt(key, b)
+      } else {
+        val sec = PdfCrypt.StdSecurity(v, r, keyLenBits, o, u, num("P", -1), id0, encryptMetadata)
+        val key = PdfCrypt.fileKey(sec)
+        if (!PdfCrypt.emptyUserPasswordMatches(sec, key))
+          return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+            "pdf: document requires a user password", "application/pdf"))
+        cfm match {
+          case CfmAes2 => (n, b) => PdfCrypt.aesCbcDecrypt(PdfCrypt.objKeyAes(key, n, 0), b)
+          case _       => (n, b) => PdfCrypt.rc4(PdfCrypt.objKey(key, n, 0), b)
+        }
+      }
+    if (cfm == CfmIdentity) return Right(objs) // named Identity: nothing is encrypted
+    def dec(value: V, n: Int): V = value match {
+      case Str(b)          => Str(decBytes(n, b))
+      case Arr(items)      => Arr(items.map(dec(_, n)))
+      case Dict(m)         => Dict(m.map { case (kk, vv) => kk -> dec(vv, n) })
+      case StreamObj(d, b) => StreamObj(dec(d, n).asInstanceOf[Dict], decBytes(n, b))
       case other           => other
     }
     // XRef streams are never encrypted (ISO 32000 §7.5.8.2) — "decrypting"
@@ -606,7 +703,7 @@ object PdfExtractor {
     }
     Right(objs.map { case (n, value) =>
       if (encNum.contains(n) || isXrefStream(value)) n -> value
-      else n -> dec(value, PdfCrypt.objKey(key, n, 0))
+      else n -> dec(value, n)
     })
   }
 

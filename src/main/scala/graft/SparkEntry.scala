@@ -708,11 +708,12 @@ object SparkEntry {
     "x_pdf_encrypted" -> ((s, dir) => {
       // standard-security encrypted PDFs, empty user password — the crawl's
       // "openable encrypted" stratum the reference handles via Tika/PDFBox
-      // (/root/reference/README.md:269-273): RC4-40 (V1/R2) on even ids,
-      // RC4-128+Flate (V2/R3) on odd. Text AND the RC4-encrypted Info
-      // /Title must round-trip; wrong-password/AES rejection is spec-tested
-      // in PdfSpec (no oracle row can carry a must-fail payload without
-      // making the whole query a fixture).
+      // (/root/reference/README.md:269-273), rotating all four supported
+      // handler generations by id%4: RC4-40 (V1/R2), RC4-128+Flate (V2/R3),
+      // AES-128 (V4/R4 /AESV2), AES-256 (V5/R6 /AESV3). Text AND the
+      // encrypted Info /Title must round-trip; wrong-password/unknown-CFM
+      // rejection is spec-tested in PdfSpec (no oracle row can carry a
+      // must-fail payload without making the whole query a fixture).
       import s.implicits._
       val ds = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -722,7 +723,8 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"),
           col("r.status").cast("long").as("status"),
           coalesce(try_element_at(try_element_at(col("r.metadata"), lit("dc:title")), lit(1)), lit("")).as("title"),
-          (pmod(col("doc_id"), lit(2)) + 2).cast("long").as("enc_rev"))
+          element_at(array(lit(2L), lit(3L), lit(4L), lit(6L)),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("enc_rev"))
         .orderBy(col("doc_id"))
     }),
     "x_office_macros" -> ((s, dir) => {
@@ -1542,13 +1544,15 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_pdf_encrypted" ->
       // the oracle knows only what plaintext was embedded — if either the
-      // writer's or the reader's RC4/MD5 key schedule drifts from the spec,
-      // extraction yields ciphertext garbage and every row mismatches
+      // writer's or the reader's RC4/MD5/AES/SHA-2 key schedule drifts from
+      // the spec, extraction yields ciphertext garbage and every row
+      // mismatches (revisions rotate by id%4: R2 RC4-40, R3 RC4-128,
+      // R4 AESV2, R6 AESV3)
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) || text AS text,
          |CAST(0 AS BIGINT) AS status,
          |'Document ' || $sqlId || ' (en)' AS title,
-         |CAST(2 + doc_id % 2 AS BIGINT) AS enc_rev
+         |CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 6 END AS BIGINT) AS enc_rev
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_office_macros" ->
       s"""SELECT doc_id,

@@ -118,6 +118,8 @@ class ExtractSpec extends AnyFunSuite {
       CorpusGen.archivePayload(200, "archived body text here", "en"), // 7z
       CorpusGen.encryptedPdfPayload(0, "encrypted body text"),        // RC4-40
       CorpusGen.encryptedPdfPayload(1, "encrypted body text"),        // RC4-128
+      CorpusGen.encryptedPdfPayload(2, "encrypted body text"),        // AES-128 (AESV2)
+      CorpusGen.encryptedPdfPayload(3, "encrypted body text"),        // AES-256 (AESV3/R6)
       CorpusGen.csvPayload(0, "comma separated value body"),
       CorpusGen.csvPayload(100, "tab separated value body"),
       CorpusGen.mboxPayload(3, "mailbox body text"))

@@ -191,8 +191,45 @@ class PdfSpec extends AnyFunSuite {
     assert(r.text == "plain xref body")
   }
 
+  test("encrypted pdf AES-128 (V4/R4 /AESV2 crypt filter): text and title decrypt") {
+    val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+      Seq("AES line one", "with (parens) and \\ slash"), "AesTitle", rev = 4)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0, r.error)
+    assert(r.text == "AES line one\nwith (parens) and \\ slash")
+    assert(r.metadata.get("dc:title").contains(Seq("AesTitle")))
+  }
+
+  test("encrypted pdf AES-256 (V5/R6 /AESV3, PDF 2.0): text and title decrypt") {
+    val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+      Seq("Top secret to nobody", "second line"), "R6Title", rev = 6)
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0, r.error)
+    assert(r.text == "Top secret to nobody\nsecond line")
+    assert(r.metadata.get("dc:title").contains(Seq("R6Title")))
+  }
+
+  test("AES stream whose ciphertext ENDS with 0x0D survives (trailing-EOL strip must not eat data bytes)") {
+    // the recovery scan's endstream-marker fallback strips one trailing
+    // \n\r — fine for text/RC4, fatal for AES where losing a byte breaks
+    // (len-16)%16==0; the direct-/Length path must win. Probe texts until
+    // the content ciphertext's last byte is 0x0D (p≈1/256 per candidate).
+    val hit = (0 until 4096).view.map { i =>
+      val lines = Seq(s"probe text $i", "second line")
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(lines, s"T$i", rev = 4)
+      val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val es = s.indexOf("\nendstream")
+      (lines, pdf, es > 0 && pdf(es - 1) == 0x0d.toByte)
+    }.find(_._3)
+    assert(hit.isDefined, "no probe produced a 0x0D-final ciphertext in 4096 tries")
+    val (lines, pdf, _) = hit.get
+    val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
+    assert(r.status == 0, r.error)
+    assert(r.text == lines.mkString("\n"))
+  }
+
   test("encrypted pdf with a NON-empty user password is rejected with -4, never garbage") {
-    for (rev <- Seq(2, 3)) {
+    for (rev <- Seq(2, 3, 4, 6)) {
       val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
         Seq("locked away"), "T", rev = rev, userPwd = "hunter2")
       val r = PdfExtractor.extract(pdf, cfg, GlyphTemplateOcr)
@@ -202,10 +239,10 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
-  test("AES (V4) encryption is refused with -8 unsupported format") {
-    val r = PdfExtractor.extract(extractous.gen.PdfEncWriter.aesEncryptedPdf(), cfg, GlyphTemplateOcr)
+  test("unknown crypt-filter method (/CFM /AESV9) is refused with -8 unsupported format") {
+    val r = PdfExtractor.extract(extractous.gen.PdfEncWriter.unknownCfmEncryptedPdf(), cfg, GlyphTemplateOcr)
     assert(r.status == ExtractStatus.UnsupportedFormat)
     assert(r.text == "")
-    assert(r.error.contains("unsupported encryption"))
+    assert(r.error.contains("crypt-filter"))
   }
 }
