@@ -50,8 +50,9 @@ object ArchiveExtractor {
     emit(members, TarMime, "tar", cfg, ocr, depth)
   }
 
-  /** Store-mode .7z descent; LZMA/LZMA2 folders and other out-of-scope
-    * structures refuse with −8 (see [[extractous.core.SevenZip]]).
+  /** .7z descent: Copy, LZMA and LZMA2 folders decode (incl. compressed
+    * headers); other coders and out-of-scope structures refuse with −8
+    * (see [[extractous.core.SevenZip]]).
     */
   def sevenZ(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
     depthGate(MimeSniffer.SevenZ, "7z", depth).foreach(return _)

@@ -1,18 +1,21 @@
 package extractous.core
 
-/** Store-mode 7z (.7z) member walk — the archive format's container
-  * structure from the published 7zFormat.txt spec, WITHOUT any LZMA/LZMA2
-  * decoder: folders whose coder chain is anything but Copy (id 0x00) are
+/** 7z (.7z) member walk — the archive format's container structure from the
+  * published 7zFormat.txt spec. Copy (0x00), LZMA1 (0x030101) and LZMA2
+  * (0x21) folders are decoded through the from-scratch [[Lzma]] decoder;
+  * compressed (kEncodedHeader) metadata — what `7z a` writes by default —
+  * is decoded and re-parsed, so real-world archives open, not just store
+  * mode. Folders with any other coder (BCJ filters, BZip2, AES) are
   * rejected with [[UnsupportedArchiveException]] → status −8 upstream —
   * honest "we can see the members but won't guess their bytes", never
   * garbage. File-heavy crawl strata carry .7z alongside zip/tar; Tika (the
   * reference's engine) descends them via Commons Compress
   * (/root/reference/README.md:271-273).
   *
-  * Scope: single-coder Copy folders, one pack stream per folder, no empty
-  * streams, no encrypted headers (kEncodedHeader → unsupported). Both
-  * header CRCs are verified; any structural damage throws
-  * IllegalArgumentException → status −4.
+  * Scope: single-coder folders, one pack stream and one substream per
+  * folder, no empty streams. Both header CRCs are verified; any structural
+  * damage throws IllegalArgumentException → status −4. Unpacked sizes are
+  * bomb-capped inside the LZMA decoders.
   */
 final class UnsupportedArchiveException(msg: String) extends RuntimeException(msg)
 
@@ -127,7 +130,142 @@ object SevenZip {
     defined
   }
 
-  /** Ordered (name, bytes) members of a store-mode archive. */
+  private final case class FolderInfo(coderId: Array[Byte], props: Array[Byte])
+  private final case class StreamsInfo(packPos: Long, packSizes: Array[Long],
+      folders: Array[FolderInfo], unpackSizes: Array[Long])
+
+  /** Parse a StreamsInfo property set (the body of kMainStreamsInfo, or the
+    * payload of kEncodedHeader) up to and including its terminating kEnd.
+    * Enforces the supported shape: one non-complex coder per folder, one
+    * pack stream per folder, one substream per folder.
+    */
+  private def parseStreamsInfo(r: Rd): StreamsInfo = {
+    var packSizes: Array[Long] = Array.empty
+    var packPos = 0L
+    var numFolders = 0
+    var folders: Array[FolderInfo] = Array.empty
+    var unpackSizes: Array[Long] = Array.empty
+    var folderCrcDefined = 0
+    var sid = r.byte()
+    while (sid != kEnd) {
+      sid match {
+        case `kPackInfo` =>
+          packPos = r.num()
+          val numPack = r.numInt(1 << 20, "pack stream count")
+          var pid = r.byte()
+          while (pid != kEnd) {
+            pid match {
+              case `kSize` => packSizes = Array.fill(numPack)(r.num())
+              case `kCRC`  => skipDigests(r, numPack)
+              case other   => throw new IllegalArgumentException(f"7z: PackInfo property 0x$other%02x")
+            }
+            pid = r.byte()
+          }
+        case `kUnPackInfo` =>
+          if (r.byte() != kFolder) throw new IllegalArgumentException("7z: expected kFolder")
+          numFolders = r.numInt(1 << 20, "folder count")
+          if (r.byte() != 0) throw new UnsupportedArchiveException("external folder data")
+          folders = (0 until numFolders).map { _ =>
+            val numCoders = r.numInt(64, "coder count")
+            // ONE simple coder per folder: with coder chains the
+            // per-output-stream kCodersUnpackSize list no longer maps 1:1
+            // onto folders, and a chained folder's final size sits at a
+            // bind-pair-dependent index - out of scope, refused honestly
+            // (-8) rather than risking a desynced size check
+            if (numCoders != 1)
+              throw new UnsupportedArchiveException(
+                s"coder chain ($numCoders coders per folder) - single-coder only")
+            val flag = r.byte()
+            val idSize = flag & 0x0f
+            val coderId = r.bytes(idSize)
+            if ((flag & 0x10) != 0)
+              throw new UnsupportedArchiveException("complex (multi-stream) coder")
+            val props =
+              if ((flag & 0x20) != 0) r.bytes(r.numInt(1 << 16, "coder props"))
+              else Array.emptyByteArray
+            FolderInfo(coderId, props)
+          }.toArray
+          var uid = r.byte()
+          while (uid != kEnd) {
+            uid match {
+              case `kCodersUnpackSize` => unpackSizes = Array.fill(numFolders)(r.num())
+              case `kCRC`              => folderCrcDefined = skipDigests(r, numFolders)
+              case other => throw new IllegalArgumentException(f"7z: UnPackInfo property 0x$other%02x")
+            }
+            uid = r.byte()
+          }
+        case `kSubStreamsInfo` =>
+          var ssid = r.byte()
+          while (ssid != kEnd) {
+            ssid match {
+              case `kNumUnPackStream` =>
+                (0 until numFolders).foreach { _ =>
+                  if (r.num() != 1L)
+                    throw new UnsupportedArchiveException("multiple substreams per folder")
+                }
+              case `kSize` => // sizes of non-last substreams: none when all counts are 1
+              case `kCRC`  =>
+                // spec: digests only for streams whose CRC is not already
+                // defined at folder level (one substream per folder is
+                // enforced above, so counts line up)
+                skipDigests(r, numFolders - folderCrcDefined)
+                ()
+              case other   => throw new IllegalArgumentException(f"7z: SubStreams property 0x$other%02x")
+            }
+            ssid = r.byte()
+          }
+        case other => throw new IllegalArgumentException(f"7z: StreamsInfo property 0x$other%02x")
+      }
+      sid = r.byte()
+    }
+    if (numFolders != packSizes.length)
+      throw new UnsupportedArchiveException(
+        s"folder/pack mismatch ($numFolders folders, ${packSizes.length} packs)")
+    if (unpackSizes.length != numFolders)
+      throw new IllegalArgumentException(
+        s"7z: kCodersUnpackSize carries ${unpackSizes.length} sizes for $numFolders folders")
+    StreamsInfo(packPos, packSizes, folders, unpackSizes)
+  }
+
+  /** Slice folder i's (single) pack stream out of the archive body. */
+  private def packSlice(bytes: Array[Byte], si: StreamsInfo, i: Int): Array[Byte] = {
+    var off = 32 + si.packPos
+    var j = 0
+    while (j < i) { off += si.packSizes(j); j += 1 }
+    val sz = si.packSizes(i)
+    if (sz < 0 || sz > Int.MaxValue || off < 0 || off + sz > bytes.length)
+      throw new IllegalArgumentException("7z: pack stream overruns archive")
+    java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+  }
+
+  private final val CoderCopy = Array[Byte](0x00)
+  private final val CoderLzma = Array[Byte](0x03, 0x01, 0x01)
+  private final val CoderLzma2 = Array[Byte](0x21)
+
+  /** Decode one folder's bytes by its coder: Copy, LZMA1, or LZMA2 (the
+    * decoders enforce the decompression-bomb cap); everything else refuses
+    * with -8, never garbage.
+    */
+  private def decodeFolder(f: FolderInfo, packed: Array[Byte], unpackSize: Long): Array[Byte] = {
+    if (java.util.Arrays.equals(f.coderId, CoderCopy)) {
+      if (packed.length.toLong != unpackSize)
+        throw new IllegalArgumentException("7z: Copy folder pack/unpack size mismatch")
+      packed
+    } else if (java.util.Arrays.equals(f.coderId, CoderLzma)) {
+      Lzma.decode(f.props, packed, unpackSize)
+    } else if (java.util.Arrays.equals(f.coderId, CoderLzma2)) {
+      Lzma.decodeLzma2(packed, unpackSize)
+    } else {
+      val hexId = f.coderId.map(b => f"${b & 0xff}%02x").mkString
+      throw new UnsupportedArchiveException(s"unsupported coder 0x$hexId (Copy/LZMA/LZMA2 only)")
+    }
+  }
+
+  /** Ordered (name, bytes) members. Copy, LZMA and LZMA2 folders are
+    * decoded (one coder / one substream per folder); compressed
+    * (kEncodedHeader) metadata - what `7z a` writes by default - is
+    * decoded and re-parsed.
+    */
   def members(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     if (!looksLike7z(bytes)) throw new IllegalArgumentException("7z: bad signature")
     if (crc32(bytes, 12, 20) != u32le(bytes, 8))
@@ -137,102 +275,35 @@ object SevenZip {
     if (nhOffset < 0 || nhSize <= 0 || nhSize > Int.MaxValue ||
         32 + nhOffset + nhSize > bytes.length)
       throw new IllegalArgumentException("7z: end header out of bounds")
-    val header = java.util.Arrays.copyOfRange(bytes, (32 + nhOffset).toInt, (32 + nhOffset + nhSize).toInt)
-    if (crc32(header, 0, header.length) != u32le(bytes, 28))
+    val rawHeader = java.util.Arrays.copyOfRange(bytes, (32 + nhOffset).toInt, (32 + nhOffset + nhSize).toInt)
+    if (crc32(rawHeader, 0, rawHeader.length) != u32le(bytes, 28))
       throw new IllegalArgumentException("7z: end header CRC mismatch")
 
-    val r = new Rd(header)
+    var r = new Rd(rawHeader)
     r.byte() match {
       case `kHeader` => ()
       case `kEncodedHeader` =>
-        throw new UnsupportedArchiveException("compressed (kEncodedHeader) metadata — store-mode only")
+        // the header itself is a compressed folder; decode it and re-parse
+        val hsi = parseStreamsInfo(r)
+        if (hsi.folders.length != 1)
+          throw new UnsupportedArchiveException("multi-folder encoded header")
+        val decoded = decodeFolder(hsi.folders(0), packSlice(bytes, hsi, 0), hsi.unpackSizes(0))
+        r = new Rd(decoded)
+        if (r.byte() != kHeader)
+          throw new IllegalArgumentException("7z: encoded header does not contain kHeader")
       case other => throw new IllegalArgumentException(f"7z: unexpected root property 0x$other%02x")
     }
 
-    var packSizes: Array[Long] = Array.empty
-    var packPos = 0L
-    var numFolders = 0
-    var unpackSizes: Array[Long] = Array.empty
-    var folderCrcDefined = 0
+    var si: StreamsInfo = StreamsInfo(0L, Array.empty, Array.empty, Array.empty)
     var names: Seq[String] = Seq.empty
+    var sawStreams = false
 
     var id = r.byte()
     while (id != kEnd) {
       id match {
         case `kMainStreamsInfo` =>
-          var sid = r.byte()
-          while (sid != kEnd) {
-            sid match {
-              case `kPackInfo` =>
-                packPos = r.num()
-                val numPack = r.numInt(1 << 20, "pack stream count")
-                var pid = r.byte()
-                while (pid != kEnd) {
-                  pid match {
-                    case `kSize` => packSizes = Array.fill(numPack)(r.num())
-                    case `kCRC`  => skipDigests(r, numPack)
-                    case other   => throw new IllegalArgumentException(f"7z: PackInfo property 0x$other%02x")
-                  }
-                  pid = r.byte()
-                }
-              case `kUnPackInfo` =>
-                if (r.byte() != kFolder) throw new IllegalArgumentException("7z: expected kFolder")
-                numFolders = r.numInt(1 << 20, "folder count")
-                if (r.byte() != 0) throw new UnsupportedArchiveException("external folder data")
-                (0 until numFolders).foreach { _ =>
-                  val numCoders = r.numInt(64, "coder count")
-                  // ONE simple Copy coder per folder: with coder chains the
-                  // per-output-stream kCodersUnpackSize list no longer maps
-                  // 1:1 onto folders, and a chained folder's final size sits
-                  // at a bind-pair-dependent index — out of scope, refused
-                  // honestly (−8) rather than risking a desynced size check
-                  if (numCoders != 1)
-                    throw new UnsupportedArchiveException(
-                      s"coder chain ($numCoders coders per folder) — store-mode single-coder only")
-                  val flag = r.byte()
-                  val idSize = flag & 0x0f
-                  val coderId = r.bytes(idSize)
-                  if ((flag & 0x10) != 0)
-                    throw new UnsupportedArchiveException("complex (multi-stream) coder")
-                  if ((flag & 0x20) != 0) { val ps = r.numInt(1 << 16, "coder props"); r.bytes(ps); () }
-                  val hexId = coderId.map(b => f"${b & 0xff}%02x").mkString
-                  if (!(idSize == 1 && coderId(0) == 0x00))
-                    throw new UnsupportedArchiveException(
-                      s"compressed member (coder 0x$hexId) — store-mode (Copy) only, no LZMA decoder in scope")
-                }
-                var uid = r.byte()
-                while (uid != kEnd) {
-                  uid match {
-                    case `kCodersUnpackSize` => unpackSizes = Array.fill(numFolders)(r.num())
-                    case `kCRC`              => folderCrcDefined = skipDigests(r, numFolders)
-                    case other => throw new IllegalArgumentException(f"7z: UnPackInfo property 0x$other%02x")
-                  }
-                  uid = r.byte()
-                }
-              case `kSubStreamsInfo` =>
-                var ssid = r.byte()
-                while (ssid != kEnd) {
-                  ssid match {
-                    case `kNumUnPackStream` =>
-                      (0 until numFolders).foreach { _ =>
-                        if (r.num() != 1L)
-                          throw new UnsupportedArchiveException("multiple substreams per folder")
-                      }
-                    case `kSize` => // sizes of non-last substreams: none when all counts are 1
-                    case `kCRC`  =>
-                      // spec: digests only for streams whose CRC is not
-                      // already defined at folder level (one substream per
-                      // folder is enforced above, so counts line up)
-                      skipDigests(r, numFolders - folderCrcDefined)
-                      ()
-                    case other   => throw new IllegalArgumentException(f"7z: SubStreams property 0x$other%02x")
-                  }
-                  ssid = r.byte()
-                }
-              case other => throw new IllegalArgumentException(f"7z: StreamsInfo property 0x$other%02x")
-            }
-            sid = r.byte()
-          }
+          si = parseStreamsInfo(r)
+          sawStreams = true
         case `kFilesInfo` =>
           val numFiles = r.numInt(1 << 20, "file count")
           var fid = r.byte()
@@ -257,7 +328,7 @@ object SevenZip {
                 names = out.toSeq
               case `kEmptyStream` =>
                 throw new UnsupportedArchiveException("empty-stream entries (directories/empty files)")
-              case _ => r.bytes(size) // kMTime, kAttributes, … — structurally skipped
+              case _ => r.bytes(size) // kMTime, kAttributes, ... - structurally skipped
             }
             fid = r.byte()
           }
@@ -268,22 +339,11 @@ object SevenZip {
       id = r.byte()
     }
 
-    if (numFolders != packSizes.length || names.length != numFolders)
+    if (!sawStreams || names.length != si.folders.length)
       throw new UnsupportedArchiveException(
-        s"folder/pack/file mismatch ($numFolders folders, ${packSizes.length} packs, ${names.length} files)")
-    if (unpackSizes.length != numFolders)
-      throw new IllegalArgumentException(
-        s"7z: kCodersUnpackSize carries ${unpackSizes.length} sizes for $numFolders folders")
-    var off = 32 + packPos
+        s"folder/file mismatch (${si.folders.length} folders, ${names.length} files)")
     names.indices.map { i =>
-      val sz = packSizes(i)
-      if (sz != unpackSizes(i))
-        throw new IllegalArgumentException("7z: Copy folder pack/unpack size mismatch")
-      if (sz < 0 || sz > Int.MaxValue || off + sz > bytes.length)
-        throw new IllegalArgumentException("7z: member overruns archive")
-      val m = (names(i), java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt))
-      off += sz
-      m
+      (names(i), decodeFolder(si.folders(i), packSlice(bytes, si, i), si.unpackSizes(i)))
     }
   }
 }

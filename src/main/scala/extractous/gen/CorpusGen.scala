@@ -400,7 +400,17 @@ object CorpusGen {
     ((id / 100) % 3) match {
       case 0 => DocxWriter.zip(members)
       case 1 => TarWriter.tar(members)
-      case _ => SevenZWriter.sevenZ(members)
+      case _ =>
+        // rotate the 7z stratum through its coder/layout variants — the
+        // extracted text is container-invariant, so the closed-form oracle
+        // is unchanged while store, LZMA, LZMA2 and compressed-header
+        // archives all flow through the corpus
+        (id % 4) match {
+          case 0 => SevenZWriter.sevenZ(members)
+          case 1 => SevenZWriter.sevenZ(members, coder = "lzma")
+          case 2 => SevenZWriter.sevenZ(members, coder = "lzma2")
+          case _ => SevenZWriter.sevenZ(members, coder = "lzma2", encodedHeader = true)
+        }
     }
   }
 

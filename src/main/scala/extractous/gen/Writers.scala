@@ -817,9 +817,11 @@ $body
   * correct checksum (field-as-spaces sum), data padded to 512, two zero
   * blocks at the end — the shape every `tar cf` produces for regular files.
   */
-/** Store-mode .7z writer (7zFormat.txt): one Copy folder per member, no
-  * CRC digests, no empty streams — minimal but spec-conformant, and
-  * independent of the reader in extractous.core.SevenZip.
+/** .7z writer (7zFormat.txt): one folder per member (Copy, LZMA or LZMA2
+  * via the independent [[LzmaWriter]] encoder), optional LZMA-compressed
+  * kEncodedHeader metadata (what `7z a` emits by default), no CRC digests,
+  * no empty streams — minimal but spec-conformant, and independent of the
+  * reader in extractous.core.SevenZip.
   */
 object SevenZWriter {
   private def crc32(b: Array[Byte]): Long = {
@@ -838,10 +840,50 @@ object SevenZWriter {
       while (i < 8) { out.write((x & 0xff).toInt); x >>>= 8; i += 1 }
     }
 
-  def sevenZ(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+  /** Signature + start header (with both CRCs) + pack area + end header. */
+  private def container(packed: Array[Byte], endHeader: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C, 0, 4))
+    val sh = new ByteArrayOutputStream() // the 20 CRC-protected bytes
+    var x = packed.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = endHeader.length.toLong
+    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    x = crc32(endHeader)
+    (0 until 4).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
+    val shBytes = sh.toByteArray
+    x = crc32(shBytes)
+    (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>>= 8 }
+    out.write(shBytes)
+    out.write(packed)
+    out.write(endHeader)
+    out.toByteArray
+  }
+
+  /** (packed bytes, coder id, coder props) for one member. */
+  private def encodeMember(d: Array[Byte], coder: String): (Array[Byte], Array[Byte], Array[Byte]) =
+    coder match {
+      case "copy" => (d, Array[Byte](0x00), Array.emptyByteArray)
+      case "lzma" =>
+        val (props, enc) = LzmaWriter.encode(d)
+        (enc, Array[Byte](0x03, 0x01, 0x01), props)
+      case "lzma2" =>
+        // props: one dictionary-size byte; 24 → (2|0) << 23 = 16 MiB
+        (LzmaWriter.encodeLzma2(d), Array[Byte](0x21), Array[Byte](24))
+      case other => throw new IllegalArgumentException(s"unknown 7z coder $other")
+    }
+
+  /** One folder per member with the chosen coder for every member; when
+    * `encodedHeader` is set the metadata block is LZMA-compressed and the
+    * root property becomes kEncodedHeader (0x17) — the layout `7z a`
+    * produces by default.
+    */
+  def sevenZ(members: Seq[(String, Array[Byte])], coder: String = "copy",
+             encodedHeader: Boolean = false): Array[Byte] = {
     val n = members.length
+    val enc = members.map { case (_, d) => encodeMember(d, coder) }
     val packed = new ByteArrayOutputStream()
-    members.foreach { case (_, d) => packed.write(d) }
+    enc.foreach { case (p, _, _) => packed.write(p) }
 
     val h = new ByteArrayOutputStream()
     h.write(0x01) // kHeader
@@ -850,16 +892,17 @@ object SevenZWriter {
     num(h, 0)     // PackPos
     num(h, n)     // NumPackStreams
     h.write(0x09) // kSize
-    members.foreach { case (_, d) => num(h, d.length) }
+    enc.foreach { case (p, _, _) => num(h, p.length) }
     h.write(0x00) // end PackInfo
     h.write(0x07) // kUnPackInfo
     h.write(0x0B) // kFolder
     num(h, n)
     h.write(0x00) // not external
-    members.foreach { _ =>
+    enc.foreach { case (_, id, props) =>
       num(h, 1)   // one coder
-      h.write(0x01) // flag: id size 1, simple, no attrs
-      h.write(0x00) // Copy
+      h.write(id.length | (if (props.nonEmpty) 0x20 else 0x00)) // flag: id size, simple
+      h.write(id)
+      if (props.nonEmpty) { num(h, props.length); h.write(props) }
     }
     h.write(0x0C) // kCodersUnpackSize
     members.foreach { case (_, d) => num(h, d.length) }
@@ -880,38 +923,46 @@ object SevenZWriter {
     h.write(0x00) // end kHeader
     val header = h.toByteArray
 
-    val out = new ByteArrayOutputStream()
-    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C, 0, 4))
-    val sh = new ByteArrayOutputStream() // the 20 CRC-protected bytes
-    var x = packed.size().toLong
-    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
-    x = header.length.toLong
-    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
-    x = crc32(header)
-    (0 until 4).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
-    val shBytes = sh.toByteArray
-    x = crc32(shBytes)
-    (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>>= 8 }
-    out.write(shBytes)
-    packed.writeTo(out)
-    out.write(header)
-    out.toByteArray
+    if (!encodedHeader) container(packed.toByteArray, header)
+    else {
+      // compress the metadata block itself; the end header becomes a
+      // kEncodedHeader StreamsInfo pointing at one LZMA folder appended
+      // after the member pack streams
+      val (hProps, hPacked) = LzmaWriter.encode(header)
+      val raw = new ByteArrayOutputStream()
+      raw.write(0x17)                   // kEncodedHeader
+      raw.write(0x06)                   // kPackInfo
+      num(raw, packed.size())           // PackPos: after the member streams
+      num(raw, 1)
+      raw.write(0x09); num(raw, hPacked.length)
+      raw.write(0x00)
+      raw.write(0x07); raw.write(0x0B)  // kUnPackInfo, kFolder
+      num(raw, 1); raw.write(0x00)
+      num(raw, 1)                       // one coder
+      raw.write(0x23)                   // id size 3, has attributes
+      raw.write(0x03); raw.write(0x01); raw.write(0x01) // LZMA
+      num(raw, hProps.length); raw.write(hProps)
+      raw.write(0x0C); num(raw, header.length)
+      raw.write(0x00)                   // end UnPackInfo
+      raw.write(0x00)                   // end StreamsInfo
+      packed.write(hPacked)
+      container(packed.toByteArray, raw.toByteArray)
+    }
   }
 
-  /** A .7z whose single folder declares the LZMA coder (0x030101) — the
-    * honest-rejection fixture (status −8; we refuse to guess compressed
-    * bytes).
+  /** A .7z whose single folder declares a coder outside the decoded set
+    * (BZip2, 0x040202) — the honest-rejection fixture (status −8; we
+    * refuse to guess compressed bytes, never emit garbage).
     */
-  def lzma7z(payloadLen: Int): Array[Byte] = {
+  def unsupportedCoder7z(payloadLen: Int): Array[Byte] = {
     val fake = new Array[Byte](payloadLen) // opaque "compressed" bytes
     val h = new ByteArrayOutputStream()
     h.write(0x01); h.write(0x04)
     h.write(0x06); num(h, 0); num(h, 1); h.write(0x09); num(h, payloadLen); h.write(0x00)
     h.write(0x07); h.write(0x0B); num(h, 1); h.write(0x00)
     num(h, 1)        // one coder
-    h.write(0x23)    // flag: id size 3, has attributes
-    h.write(0x03); h.write(0x01); h.write(0x01) // LZMA
-    num(h, 5); (0 until 5).foreach(_ => h.write(0x5d)) // fake props
+    h.write(0x03)    // flag: id size 3, simple, no attrs
+    h.write(0x04); h.write(0x02); h.write(0x02) // BZip2
     h.write(0x0C); num(h, payloadLen * 4); h.write(0x00)
     h.write(0x00)
     h.write(0x05); num(h, 1)
@@ -920,23 +971,7 @@ object SevenZWriter {
     nb.write("a.txt".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)); nb.write(0); nb.write(0)
     h.write(0x11); num(h, nb.size()); nb.writeTo(h)
     h.write(0x00); h.write(0x00)
-    val header = h.toByteArray
-    val out = new ByteArrayOutputStream()
-    out.write(Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C, 0, 4))
-    val sh = new ByteArrayOutputStream()
-    var x = fake.length.toLong
-    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
-    x = header.length.toLong
-    (0 until 8).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
-    x = crc32(header)
-    (0 until 4).foreach { _ => sh.write((x & 0xff).toInt); x >>>= 8 }
-    val shBytes = sh.toByteArray
-    x = crc32(shBytes)
-    (0 until 4).foreach { _ => out.write((x & 0xff).toInt); x >>>= 8 }
-    out.write(shBytes)
-    out.write(fake)
-    out.write(header)
-    out.toByteArray
+    container(fake, h.toByteArray)
   }
 }
 

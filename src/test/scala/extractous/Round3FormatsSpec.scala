@@ -162,11 +162,32 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(rm.status == ExtractStatus.ExtractionFailed && rm.text == "")
   }
 
-  test("7z with an LZMA folder and RAR files refuse with -8, never garbage") {
-    val lzma = extractous.gen.SevenZWriter.lzma7z(64)
-    val r = Extract(lzma)
+  test("7z LZMA/LZMA2 folders and compressed (kEncodedHeader) metadata extract") {
+    val html = CorpusGen.htmlPayload(7, "seven zip body", "en")
+    val members = Seq("a.html" -> html, "b.txt" -> "plain note".getBytes("UTF-8"))
+    val expected = "Document 7\nthe and of to in\nseven zip body\nplain note"
+    for ((coder, eh) <- Seq(("lzma", false), ("lzma2", false), ("copy", true), ("lzma2", true))) {
+      val bytes = extractous.gen.SevenZWriter.sevenZ(members, coder = coder, encodedHeader = eh)
+      assert(MimeSniffer.sniff(bytes) == "application/x-7z-compressed")
+      val r = Extract(bytes)
+      assert(r.status == ExtractStatus.Ok, s"$coder eh=$eh: ${r.status} ${r.error}")
+      assert(r.text == expected, s"$coder eh=$eh")
+      assert(r.metadata("7z:member-count") == Seq("2"))
+      // LZMA actually compresses: the repetitive HTML member shrinks the archive
+      if (coder != "copy") assert(bytes.length < members.map(_._2.length).sum)
+    }
+    // truncating a compressed pack stream → typed failure, never a hang/garbage
+    val whole = extractous.gen.SevenZWriter.sevenZ(members, coder = "lzma2", encodedHeader = true)
+    val cut = java.util.Arrays.copyOf(whole, whole.length / 2)
+    val rt = Extract(cut)
+    assert(rt.status != ExtractStatus.Ok && rt.text == "")
+  }
+
+  test("7z with an unsupported coder (BZip2) and RAR files refuse with -8, never garbage") {
+    val bz = extractous.gen.SevenZWriter.unsupportedCoder7z(64)
+    val r = Extract(bz)
     assert(r.status == ExtractStatus.UnsupportedFormat, s"${r.status} ${r.error}")
-    assert(r.text == "" && r.error.contains("LZMA"))
+    assert(r.text == "" && r.error.contains("coder"))
     for (sig <- Seq(
         Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x00),          // RAR4
         Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x01, 0x00))) { // RAR5
