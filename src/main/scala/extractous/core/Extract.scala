@@ -81,6 +81,26 @@ object Extract {
             else r
           chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("gzip")))
         }
+      case MimeSniffer.Xz =>
+        // xz-wrapped payload (.xz/.tar.xz): decode through the LZMA2 path
+        // and re-dispatch on the inner bytes; shares the wrapper depth cap
+        if (depth >= 3)
+          ExtractResult.fail(ExtractStatus.UnsupportedFormat, "xz nesting too deep", MimeSniffer.Xz)
+        else
+          try {
+            val inner = Xz.decode(bytes)
+            val r = dispatch(inner, cfg, ocr, depth + 1)
+            val chained =
+              if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+                r.copy(error = s"${r.error} <- xz layer ${depth + 1}")
+              else r
+            chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("xz")))
+          } catch {
+            // out-of-scope filter chains refuse with -8 (honest), while
+            // structural damage falls through to the top-level -4 mapping
+            case e: UnsupportedArchiveException =>
+              ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Xz)
+          }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx |

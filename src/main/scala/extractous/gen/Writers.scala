@@ -975,6 +975,89 @@ object SevenZWriter {
   }
 }
 
+/** .xz writer (XZ file-format spec v1.0.4): one LZMA2 block via the
+  * independent [[LzmaWriter]], sizes carried in the index like the `xz`
+  * CLI's default layout (no block-header size fields), selectable check
+  * type — independent of the reader in extractous.core.Xz, so round-trips
+  * are a genuine two-implementation oracle.
+  */
+object XzWriter {
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new CRC32(); c.update(b, off, len); c.getValue
+  }
+
+  /** XZ multibyte integer: 7 bits per byte LE, high bit = continuation. */
+  private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def le32(out: ByteArrayOutputStream, v: Long): Unit =
+    (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+
+  /** checkType: 0 = None, 1 = CRC32 (default), 4 = CRC64, 10 = SHA-256. */
+  def xz(data: Array[Byte], checkType: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xFD.toByte, '7'.toByte, 'z'.toByte, 'X'.toByte, 'Z'.toByte, 0x00.toByte))
+    val flags = Array[Byte](0x00, checkType.toByte)
+    out.write(flags)
+    le32(out, crc32(flags, 0, 2))
+
+    // block header: no size fields, single LZMA2 filter, zero-padded to 4n
+    val bh = new ByteArrayOutputStream()
+    bh.write(0x00)            // placeholder for the size byte
+    bh.write(0x00)            // flags: 1 filter, no size fields
+    varint(bh, 0x21)          // LZMA2
+    varint(bh, 1)             // one property byte
+    bh.write(24)              // dictionary size: (2|0) << 23 = 16 MiB
+    while ((bh.size() + 4) % 4 != 0) bh.write(0x00)
+    val bhBytes = bh.toByteArray
+    bhBytes(0) = ((bhBytes.length + 4) / 4 - 1).toByte
+    out.write(bhBytes)
+    le32(out, crc32(bhBytes, 0, bhBytes.length))
+    val headerLen = bhBytes.length + 4
+
+    val packed = LzmaWriter.encodeLzma2(data)
+    out.write(packed)
+    var pad = 0
+    while ((packed.length + pad) % 4 != 0) { out.write(0x00); pad += 1 }
+    val check: Array[Byte] = checkType match {
+      case 0 => Array.emptyByteArray
+      case 1 =>
+        val b = new ByteArrayOutputStream(); le32(b, crc32(data, 0, data.length)); b.toByteArray
+      case 4 =>
+        val c = extractous.core.Xz.crc64(data)
+        Array.tabulate[Byte](8)(i => ((c >>> (8 * i)) & 0xff).toByte)
+      case 10 => java.security.MessageDigest.getInstance("SHA-256").digest(data)
+      case other => throw new IllegalArgumentException(s"xz writer: check type $other")
+    }
+    out.write(check)
+    val unpaddedSize = headerLen + packed.length + check.length
+
+    // index: one record, zero-padded to 4n, CRC32 over indicator..padding
+    val idx = new ByteArrayOutputStream()
+    idx.write(0x00)
+    varint(idx, 1)
+    varint(idx, unpaddedSize)
+    varint(idx, data.length)
+    while (idx.size() % 4 != 0) idx.write(0x00)
+    val idxBytes = idx.toByteArray
+    out.write(idxBytes)
+    le32(out, crc32(idxBytes, 0, idxBytes.length))
+
+    // footer: crc32(backward+flags), backward size, flags, "YZ"
+    val tail = new ByteArrayOutputStream()
+    le32(tail, (idxBytes.length + 4) / 4 - 1)
+    tail.write(flags)
+    val tailBytes = tail.toByteArray
+    le32(out, crc32(tailBytes, 0, tailBytes.length))
+    out.write(tailBytes)
+    out.write('Y'); out.write('Z')
+    out.toByteArray
+  }
+}
+
 object TarWriter {
   def tar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

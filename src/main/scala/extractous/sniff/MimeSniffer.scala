@@ -33,6 +33,7 @@ object MimeSniffer {
   val Xml = "application/xml"
   val Rtf = "application/rtf"
   val Gzip = "application/gzip"
+  val Xz = "application/x-xz"
   val Plain = "text/plain"
   val Xls = "application/vnd.ms-excel"
   val Ppt = "application/vnd.ms-powerpoint"
@@ -253,6 +254,7 @@ object MimeSniffer {
     if (extractous.core.SevenZip.looksLike7z(bytes)) return SevenZ
     if (extractous.core.SevenZip.looksLikeRar(bytes)) return Rar
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Gzip
+    if (extractous.core.Xz.looksLikeXz(bytes)) return Xz
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
@@ -279,8 +281,10 @@ object MimeSniffer {
       return Plain
     }
     if (looksLikeShiftJis(bytes)) return Plain
-    if (looksLikeGbk(bytes)) return Plain
+    // Cyrillic before GBK, mirroring the decode ladder in Extract.plain
+    // (here both rungs yield Plain, so order only matters for readability)
     if (cyrillicCharset(bytes).isDefined) return Plain
+    if (looksLikeGbk(bytes)) return Plain
     if (looksLikeCp1252Text(bytes)) return Plain
     OctetStream
   }
