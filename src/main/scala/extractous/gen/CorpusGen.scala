@@ -399,7 +399,15 @@ object CorpusGen {
       "extra.txt.gz" -> gz)
     ((id / 100) % 3) match {
       case 0 => DocxWriter.zip(members)
-      case 1 => TarWriter.tar(members)
+      case 1 =>
+        // half the tar stratum ships as .tar.xz, rotating through all four
+        // spec check types — extracted text and reported content type are
+        // wrapper-invariant (the xz rung re-dispatches on the inner tar),
+        // so the closed-form oracle is unchanged while the container flows
+        // through the corpus end-to-end
+        val tar = TarWriter.tar(members)
+        if (id % 2 == 1) XzWriter.xz(tar, checkType = Seq(1, 4, 10, 0)(((id / 2) % 4).toInt))
+        else tar
       case _ =>
         // rotate the 7z stratum through its coder/layout variants — the
         // extracted text is container-invariant, so the closed-form oracle
