@@ -101,6 +101,26 @@ object Extract {
             case e: UnsupportedArchiveException =>
               ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Xz)
           }
+      case MimeSniffer.Bzip2 =>
+        // bzip2-wrapped payload (.bz2/.tar.bz2): decode and re-dispatch on
+        // the inner bytes; shares the wrapper depth cap
+        if (depth >= 3)
+          ExtractResult.fail(ExtractStatus.UnsupportedFormat, "bzip2 nesting too deep", MimeSniffer.Bzip2)
+        else
+          try {
+            val inner = Bzip2.decode(bytes)
+            val r = dispatch(inner, cfg, ocr, depth + 1)
+            val chained =
+              if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+                r.copy(error = s"${r.error} <- bzip2 layer ${depth + 1}")
+              else r
+            chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("bzip2")))
+          } catch {
+            // deprecated randomized blocks refuse with -8 (honest), while
+            // structural damage falls through to the top-level -4 mapping
+            case e: UnsupportedArchiveException =>
+              ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Bzip2)
+          }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx |

@@ -400,14 +400,17 @@ object CorpusGen {
     ((id / 100) % 3) match {
       case 0 => DocxWriter.zip(members)
       case 1 =>
-        // half the tar stratum ships as .tar.xz, rotating through all four
-        // spec check types — extracted text and reported content type are
-        // wrapper-invariant (the xz rung re-dispatches on the inner tar),
-        // so the closed-form oracle is unchanged while the container flows
-        // through the corpus end-to-end
+        // the tar stratum rotates plain / .tar.xz (check types rotating
+        // through all four spec variants) / .tar.bz2 — extracted text and
+        // reported content type are wrapper-invariant (both rungs
+        // re-dispatch on the inner tar), so the closed-form oracle is
+        // unchanged while both containers flow through the corpus
         val tar = TarWriter.tar(members)
-        if (id % 2 == 1) XzWriter.xz(tar, checkType = Seq(1, 4, 10, 0)(((id / 2) % 4).toInt))
-        else tar
+        (id % 3) match {
+          case 0 => tar
+          case 1 => XzWriter.xz(tar, checkType = Seq(1, 4, 10, 0)(((id / 3) % 4).toInt))
+          case _ => BzipWriter.bz2(tar, level = 1 + (id % 9).toInt)
+        }
       case _ =>
         // rotate the 7z stratum through its coder/layout variants — the
         // extracted text is container-invariant, so the closed-form oracle
