@@ -177,7 +177,7 @@ object WarcExtractor {
       throw new IllegalArgumentException("http: bad status line")
     var p = skipEol(block, sEnd)
     var chunked = false
-    var gzipped = false
+    var encoding = ""
     var blank = false
     while (!blank) {
       if (p >= block.length) throw new IllegalArgumentException("http: headers overrun block")
@@ -190,15 +190,50 @@ object WarcExtractor {
           val name = line.substring(0, c).trim.toLowerCase
           val value = line.substring(c + 1).trim.toLowerCase
           if (name == "transfer-encoding" && value.contains("chunked")) chunked = true
-          if (name == "content-encoding" && value.contains("gzip")) gzipped = true
+          if (name == "content-encoding") encoding = value
         }
       }
       p = skipEol(block, e)
     }
     var body = java.util.Arrays.copyOfRange(block, p, block.length)
     if (chunked) body = dechunk(body)
-    if (gzipped) body = Extract.gunzip(body, maxOut = 256 * 1024 * 1024)
+    // single-coding values only; anything else (br, zstd, compress, coding
+    // stacks) throws so the row becomes an ACCOUNTED response_error — a
+    // brotli body emitted as raw bytes would be silent mojibake
+    encoding match {
+      case "" | "identity"       =>
+      case "gzip" | "x-gzip"     => body = Extract.gunzip(body, maxOut = 256 * 1024 * 1024)
+      case "deflate"             => body = inflate(body)
+      case other                 =>
+        throw new IllegalArgumentException(s"http: unsupported content-encoding '$other'")
+    }
     body
+  }
+
+  /** `Content-Encoding: deflate` is zlib-wrapped (RFC 9110 §8.4.1.2), but a
+    * long tail of historical servers sent raw DEFLATE under the same name —
+    * try zlib first, fall back to raw, exactly as browsers do.
+    */
+  private def inflate(b: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+        val buf = new Array[Byte](64 * 1024)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) throw new IllegalArgumentException("http: truncated deflate body")
+          out.write(buf, 0, n)
+          if (out.size() > 256 * 1024 * 1024) throw new IllegalStateException("http: deflate body exceeds cap")
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(nowrap = false)
+    catch { case _: java.util.zip.DataFormatException | _: IllegalArgumentException =>
+      run(nowrap = true)
+    }
   }
 
   /** RFC 9112 §7.1 chunked framing: hex size line (extensions after ';'

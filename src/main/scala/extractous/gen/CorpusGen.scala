@@ -536,9 +536,21 @@ object CorpusGen {
     val date = "2024-01-01T00:00:00Z"
     val uri = s"https://host-${id % 7}.example/doc/$id"
     val html = htmlPayload(id, text, lang)
-    val htmlResp =
-      if (id % 3 == 0) http("text/html", gzMember(html), Seq("Content-Encoding: gzip"))
-      else http("text/html", html)
+    val htmlResp = (id % 3) match {
+      case 0 => http("text/html", gzMember(html), Seq("Content-Encoding: gzip"))
+      case 1 =>
+        // deflate stratum, alternating zlib-wrapped (the RFC meaning) and
+        // raw-DEFLATE (the historical-server misreading browsers accept)
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+          (id / 3) % 2 == 1)
+        deflater.setInput(html); deflater.finish()
+        val out = new ByteArrayOutputStream(html.length)
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+        deflater.end()
+        http("text/html", out.toByteArray, Seq("Content-Encoding: deflate"))
+      case _ => http("text/html", html)
+    }
     val note = s"Crawl note $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // two chunks: split the note at byte 6 ("Crawl ")
     val chunked = {
