@@ -1172,6 +1172,21 @@ object SparkEntry {
           Seq("host-3.example", "host-7.example")))
         .orderBy(col("doc_id"))
     }),
+    "d_domain_cap" -> ((s, dir) => {
+      // per-domain document cap (domain balancing): one hot host holding
+      // half the corpus is capped to 25 deterministic survivors via the
+      // bounded-heap threshold aggregate + broadcast join (no window, the
+      // corpus never shuffles — see DomainBalance); 50 cold hosts stay
+      // under the cap and pass untouched through the null-threshold path
+      val host = when(col("doc_id") % 2 === 1, lit("hot.example"))
+        .otherwise(concat(lit("host-"), (col("doc_id") % 50).cast("string"), lit(".example")))
+      val url = concat(lit("https://"), host, lit("/doc/"), col("doc_id").cast("string"))
+      val df = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"))
+      extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", 25)
+        .select(col("doc_id"), col("url"), col("host"))
+        .orderBy(col("doc_id"))
+    }),
     "d_dedup_url" -> ((s, dir) => {
       // canonical-URL dedup: two variants of every resource — mixed-case
       // host + default port + trailing slash + tracking params + fragment —
@@ -1996,6 +2011,22 @@ object SparkEntry {
          |'host-' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS VARCHAR) || '.example' AS host,
          |CAST(CASE WHEN doc_id % 2 = 1 AND (1 + doc_id % 9) IN (3, 7) THEN 1 ELSE 0 END AS BIGINT) AS blocked
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_domain_cap" ->
+      // the oracle deliberately uses the textbook row_number() formulation,
+      // verifying the threshold-aggregate plan against the obvious one
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN 'hot.example'
+        |         ELSE 'host-' || CAST(doc_id % 50 AS VARCHAR) || '.example' END AS host
+        |  FROM documents),
+        |u AS (SELECT doc_id, host,
+        |  'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS url FROM t),
+        |f AS (SELECT doc_id, host, url,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(url)+1), i -> CAST(ascii(substr(url, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp FROM u),
+        |r AS (SELECT doc_id, host, url,
+        |  row_number() OVER (PARTITION BY host ORDER BY fp, doc_id) AS rn FROM f)
+        |SELECT doc_id, url, host FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "d_dedup_url" ->
       s"""SELECT 'https://host-' || CAST(doc_id % 9 AS VARCHAR) || '.example/path' || $sqlId
          | || '?q=' || $sqlId AS canonical_url,

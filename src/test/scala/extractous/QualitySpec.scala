@@ -351,6 +351,61 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(est - 5000) / 5000 < 3.0 / math.sqrt(64), s"estimate $est too far from 5000")
   }
 
+  test("domain cap: hot host capped to k deterministic survivors, cold hosts untouched") {
+    import spark.implicits._
+    // host a.example: 6 docs (over cap 3); b.example: 2 docs (under cap)
+    val df = ((1 to 6).map(i => (i.toLong, s"https://a.example/p/$i")) ++
+      Seq((7L, "https://b.example/x"), (8L, "https://b.example/y"))).toDF("doc_id", "url")
+    val out = extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", k = 3)
+    val byHost = out.collect().groupBy(_.getAs[String]("host")).view.mapValues(_.map(_.getAs[Long]("doc_id")).sorted.toSeq).toMap
+    assert(byHost("a.example").size == 3)
+    assert(byHost("b.example") == Seq(7L, 8L))
+    // survivors equal the textbook row_number formulation (fp, id) order
+    val fp = TextStats.fingerprint(col("url"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(extractous.pipeline.UrlFilter.host(col("url"))).orderBy(fp, col("doc_id"))
+    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == expected)
+    // idempotent: capping the capped output changes nothing
+    val again = extractous.pipeline.DomainBalance.capPerDomain(
+      out.select("doc_id", "url"), "url", "doc_id", k = 3)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq == expected)
+  }
+
+  test("domain cap property: equals the window formulation on random skewed urls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(51)
+    val rows = (1 to 400).map { i =>
+      val host = if (rnd.nextInt(3) == 0) "hot.example" else s"h${rnd.nextInt(25)}.example"
+      (i.toLong, s"https://$host/doc/$i")
+    }
+    val df = rows.toDF("doc_id", "url")
+    for (k <- Seq(1, 5, 40)) {
+      val got = extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val fp = TextStats.fingerprint(col("url"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(extractous.pipeline.UrlFilter.host(col("url"))).orderBy(fp, col("doc_id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("domain cap plan: threshold broadcasts, no window, corpus never shuffles") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"https://h${i % 4}.example/p/$i")).toDF("doc_id", "url")
+    val plan = extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"threshold side must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"the window skew-trap must not appear:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+    // the only exchange is the bounded-heap aggregate's narrow partials
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges:\n$plan")
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
