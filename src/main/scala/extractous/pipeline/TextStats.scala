@@ -213,6 +213,43 @@ object TextStats {
       "gopher_pass" -> pass)
   }
 
+  /** C4 cleaning + page gate (Raffel et al. 2020 §2.2), the OTHER standard
+    * published crawl-cleaning recipe next to Gopher: line-level, keep only
+    * lines ending in terminal punctuation with ≥3 words and no "javascript"
+    * (one imperative pass, [[extractous.spark.C4CleanExpr]]); page-level,
+    * drop pages with <5 sentences, any "lorem ipsum", any `{`, or any word
+    * from the blocklist (C4 uses the LDNOOBW list; it ships as a literal
+    * regex alternation — metadata-sized, zero joins, same posture as the
+    * UT1 domain blocklist). Emits `clean_text` (what survives) plus the
+    * integer signals so a SQL oracle replays the gate bit-exactly.
+    */
+  def c4Report(content: Column, badwords: Seq[String] = Seq("casino", "viagra", "jackpot")): Seq[(String, Column)] = {
+    val r = extractous.spark.signatures.c4_clean(content)
+    val sentences = r.getField("n_sentences")
+    val badRe = "\\b(" + badwords.map(_.toLowerCase).mkString("|") + ")\\b"
+    val pass = (sentences >= 5 &&
+      !lower(content).contains("lorem ipsum") &&
+      !content.contains("{") &&
+      !lower(content).rlike(badRe)).cast("long")
+    extractous.spark.C4Kernel.Fields.map(f => f -> r.getField(f)) :+ ("c4_pass" -> pass)
+  }
+
+  /** HOF twin of the C4 line cleaner — spec-side reference for the kernel's
+    * property test; not on any wired query path.
+    */
+  private[extractous] def c4CleanHof(content: Column): Seq[(String, Column)] = {
+    val kept = filter(transform(split(content, "\n", -1), l => trim(l)), t =>
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= 3 &&
+        !lower(t).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    Seq(
+      "clean_text" -> clean,
+      "n_sentences" -> size(regexp_extract_all(clean, lit("[.!?]"), lit(0))).cast("long"),
+      "kept_lines" -> size(kept).cast("long"),
+      "total_lines" -> size(split(content, "\n", -1)).cast("long"))
+  }
+
   /** Top-2-gram repetition (the remaining Gopher §A1.1 repetition signal:
     * "fraction of [grams] in the most common n-gram").
     *

@@ -471,4 +471,7 @@ object signatures {
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n))
   def gopher_report(c: Column, minWords: Int): Column =
     ColumnBridge.column(GopherExpr(ColumnBridge.expression(c), minWords))
+
+  def c4_clean(c: Column): Column =
+    ColumnBridge.column(C4CleanExpr(ColumnBridge.expression(c)))
 }

@@ -1050,6 +1050,32 @@ object SparkEntry {
           TextStats.gopherReport(col("content"), minWords = 10).map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
+    "t_c4" -> ((s, dir) => {
+      // C4 cleaning (Raffel et al. 2020 §2.2): line gate (terminal punct,
+      // ≥3 words, no "javascript") + page gate (≥5 sentences, no lorem
+      // ipsum / '{' / blocklist word), all rungs planted by doc_id
+      // arithmetic; pass requires id % 60 == 0 (sentence quota) minus the
+      // lorem (%7), brace (%11), and casino (%13) kills
+      val idS = col("doc_id").cast("string")
+      val content = concat(
+        lit("Title "), idS,
+        lit("\n"), col("text"), lit("."),
+        lit("\nToo short."),
+        lit("\nEnable javascript to view this page."),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\nSecond thought number "), idS, lit(" lands here!"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nHe said \"this is fine.\"")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\nWhat could go wrong? Nothing at all.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\nWin big at the casino tonight.")).otherwise(lit("")))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .withColumn("content", content)
+        .select(col("doc_id") +:
+          TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     "t_repetition" -> ((s, dir) => {
       // top-2-gram repetition: shuffle-free sorted-run scan (the oracle uses
       // the explode+group formulation — the clever plan is checked against
@@ -1896,6 +1922,39 @@ object SparkEntry {
          |    AND floor(1000.0*nellline/n_lines) <= 300 AND floor(1000.0*(n_lines-ndl)/n_lines) <= 300
          |    AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
          |    AND floor(1000.0*nalpha/greatest(n_words,1)) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM x ORDER BY doc_id""".stripMargin,
+    "t_c4" ->
+      raw"""WITH c AS (SELECT doc_id,
+         |  'Title ' || CAST(doc_id AS VARCHAR)
+         |  || chr(10) || text || '.'
+         |  || chr(10) || 'Too short.'
+         |  || chr(10) || 'Enable javascript to view this page.'
+         |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Second thought number ' || CAST(doc_id AS VARCHAR) || ' lands here!' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'He said "this is fine."' ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'What could go wrong? Nothing at all.' ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+         |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Win big at the casino tonight.' ELSE '' END AS content
+         |  FROM documents),
+         |k AS (SELECT doc_id, content,
+         |  list_filter(list_transform(string_split(content, chr(10)), l -> trim(l)), t ->
+         |    length(t) > 0 AND substr(t, length(t), 1) IN ('.', '!', '?', '"')
+         |    AND len(list_filter(string_split(t, ' '), w -> w <> '')) >= 3
+         |    AND NOT contains(lower(t), 'javascript')) AS kept,
+         |  len(string_split(content, chr(10))) AS total_lines FROM c),
+         |j AS (SELECT doc_id, content, array_to_string(kept, chr(10)) AS clean_text,
+         |  len(kept) AS kept_lines, total_lines FROM k),
+         |x AS (SELECT doc_id, content, clean_text, kept_lines, total_lines,
+         |  len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences FROM j)
+         |SELECT doc_id, clean_text,
+         |  CAST(n_sentences AS BIGINT) AS n_sentences,
+         |  CAST(kept_lines AS BIGINT) AS kept_lines,
+         |  CAST(total_lines AS BIGINT) AS total_lines,
+         |  CAST(CASE WHEN n_sentences >= 5
+         |    AND NOT contains(lower(content), 'lorem ipsum')
+         |    AND NOT contains(content, '{')
+         |    AND NOT regexp_matches(lower(content), '\b(casino|viagra|jackpot)\b')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
          |FROM x ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       raw"""WITH c AS (

@@ -351,6 +351,65 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(est - 5000) / 5000 < 3.0 / math.sqrt(64), s"estimate $est too far from 5000")
   }
 
+  test("c4 report: line gate, sentence quota, and page kills on a crafted document") {
+    import spark.implicits._
+    val doc =
+      "No terminal punct line\n" +          // dropped: no terminal punctuation
+      "the quick brown fox runs.\n" +       // kept, 1 sentence
+      "Too short.\n" +                      // dropped: 2 words
+      "Enable JavaScript to continue please.\n" + // dropped: javascript (case-folded)
+      "What could go wrong? Nothing at all.\n" +  // kept, 2 sentences
+      "He said \"this is fine.\"\n" +       // kept (ends with quote), 1 mark
+      "Ends with bang and three words!"     // kept, 1 sentence
+    val killBrace = doc + "\nvar x = { padding to reach quota. }"
+    val killLorem = doc + "\nmore lorem ipsum filler here today."
+    val killBad = doc + "\nvisit our casino for riches now."
+    val df = Seq((1L, doc), (2L, killBrace), (3L, killLorem), (4L, killBad)).toDF("id", "content")
+      .select(col("id") +: TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    val clean = rows(1L).getAs[String]("clean_text")
+    assert(clean ==
+      "the quick brown fox runs.\nWhat could go wrong? Nothing at all.\n" +
+      "He said \"this is fine.\"\nEnds with bang and three words!")
+    assert(rows(1L).getAs[Long]("n_sentences") == 5)
+    assert(rows(1L).getAs[Long]("kept_lines") == 4 && rows(1L).getAs[Long]("total_lines") == 7)
+    assert(rows(1L).getAs[Long]("c4_pass") == 1)
+    // page kills fire on the RAW content even when the offending line is
+    // itself dropped by the line gate (the brace line ends in '}')
+    assert(rows(2L).getAs[Long]("c4_pass") == 0, "brace page must die")
+    assert(rows(3L).getAs[Long]("c4_pass") == 0, "lorem ipsum page must die")
+    assert(rows(4L).getAs[Long]("c4_pass") == 0, "blocklist page must die")
+    // 4 sentences < 5: drop one kept line
+    val short = doc.linesIterator.filterNot(_.startsWith("What")).mkString("\n")
+    val r5 = Seq((9L, short)).toDF("id", "content")
+      .select(col("id") +: TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
+      .head
+    assert(r5.getAs[Long]("n_sentences") == 3 && r5.getAs[Long]("c4_pass") == 0)
+  }
+
+  test("imperative c4 kernel equals the HOF formulation on varied content") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val frags = Array("the", "quick", "brown", "Fox!", "dog.", "why?", "\"quote.\"", "it.",
+      "javascript", "JavaScript", "##", "...", "x", "", " ", "  ", "\tTab", "word")
+    val docs = (1 to 120).map { i =>
+      val nLines = rnd.nextInt(8)
+      val lines = (0 until nLines).map { _ =>
+        val n = rnd.nextInt(7)
+        (0 until n).map(_ => frags(rnd.nextInt(frags.length))).mkString(" ") +
+          (if (rnd.nextBoolean()) "." else "")
+      }
+      (i.toLong, lines.mkString("\n"))
+    }
+    val df = docs.toDF("id", "content")
+    val kernel = df.select(col("id") +: TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
+    val hof = df.select(col("id") +: TextStats.c4CleanHof(col("content")).map { case (n, c) => c.as(n) }: _*)
+    val k = kernel.select("id", "clean_text", "n_sentences", "kept_lines", "total_lines")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(k == h)
+  }
+
   test("domain cap: hot host capped to k deterministic survivors, cold hosts untouched") {
     import spark.implicits._
     // host a.example: 6 docs (over cap 3); b.example: 2 docs (under cap)
