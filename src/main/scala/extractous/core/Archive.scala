@@ -67,6 +67,23 @@ object ArchiveExtractor {
     emit(members, MimeSniffer.SevenZ, "7z", cfg, ocr, depth)
   }
 
+  /** RAR5 descent: store-mode members extract (header + data CRC checked);
+    * compressed members (proprietary algorithm, no published spec),
+    * encryption, and RAR4 refuse with −8 (see [[extractous.core.Rar]]).
+    */
+  def rar(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    depthGate(MimeSniffer.Rar, "rar", depth).foreach(return _)
+    val members =
+      try Rar.members(bytes)
+      catch {
+        case e: UnsupportedArchiveException =>
+          return ExtractResult.fail(ExtractStatus.UnsupportedFormat, s"rar: ${e.getMessage}", MimeSniffer.Rar)
+        case e: Exception =>
+          return ExtractResult.fail(ExtractStatus.ExtractionFailed, s"rar: ${e.getMessage}", MimeSniffer.Rar)
+      }
+    emit(members, MimeSniffer.Rar, "rar", cfg, ocr, depth)
+  }
+
   private def emit(members: Seq[(String, Array[Byte])], mime: String, label: String,
       cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
     if (members.isEmpty)

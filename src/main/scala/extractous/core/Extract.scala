@@ -129,11 +129,7 @@ object Extract {
       case MimeSniffer.Zip => ArchiveExtractor.zip(bytes, cfg, ocr, depth)
       case MimeSniffer.Tar => ArchiveExtractor.tar(bytes, cfg, ocr, depth)
       case MimeSniffer.SevenZ => ArchiveExtractor.sevenZ(bytes, cfg, ocr, depth)
-      case MimeSniffer.Rar =>
-        // detection-only: refusing with a typed status beats mojibake — RAR
-        // decompression is out of scope (no public-domain decoder to build on)
-        ExtractResult.fail(ExtractStatus.UnsupportedFormat,
-          "rar: compression not supported (detection-only rung)", MimeSniffer.Rar)
+      case MimeSniffer.Rar => ArchiveExtractor.rar(bytes, cfg, ocr, depth)
       case MimeSniffer.Warc => WarcExtractor.extract(bytes, cfg, ocr, depth)
       case MimeSniffer.Iwork => extractous.iwork.IworkExtractor.extract(bytes, cfg)
       case MimeSniffer.Cfb => extractous.office.CfbExtractor.extract(bytes, cfg)

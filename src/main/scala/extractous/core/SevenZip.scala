@@ -26,10 +26,9 @@ object SevenZip {
   def looksLike7z(bytes: Array[Byte]): Boolean =
     bytes.length >= 32 && (0 until 6).forall(i => bytes(i) == Signature(i))
 
-  /** RAR 4.x and 5.x signatures (detection only — RAR compression is
-    * proprietary-adjacent and out of scope; detection exists so the payload
-    * is REFUSED with a typed status instead of mojibaking through the text
-    * rungs).
+  /** RAR 4.x and 5.x signatures. RAR5 routes to [[Rar.members]] (store-mode
+    * members extract; compressed members refuse); RAR4 stays a
+    * detection-only refusal so it never mojibakes through the text rungs.
     */
   def looksLikeRar(bytes: Array[Byte]): Boolean =
     bytes.length >= 7 && bytes(0) == 'R' && bytes(1) == 'a' && bytes(2) == 'r' &&

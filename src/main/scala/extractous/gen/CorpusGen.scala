@@ -382,9 +382,9 @@ object CorpusGen {
 
   /** Archive-recursion payload (x_archive): a 3-member archive — an HTML
     * page, a plain-text note, and a gzip-wrapped text (nested wrapper, depth
-    * 2) — as ZIP / ustar TAR / store-mode 7z by (id/100) mod 3. Expected
-    * text is the members' extractions concatenated in archive order, all
-    * closed-form.
+    * 2) — as ZIP / ustar TAR / 7z / store-mode RAR5 by (id/100) mod 4.
+    * Expected text is the members' extractions concatenated in archive
+    * order, all closed-form.
     */
   def archivePayload(id: Long, text: String, lang: String): Array[Byte] = {
     val gz = {
@@ -397,7 +397,7 @@ object CorpusGen {
       "page.html" -> htmlPayload(id, text, lang),
       "note.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       "extra.txt.gz" -> gz)
-    ((id / 100) % 3) match {
+    ((id / 100) % 4) match {
       case 0 => DocxWriter.zip(members)
       case 1 =>
         // the tar stratum rotates plain / .tar.xz (check types rotating
@@ -411,7 +411,7 @@ object CorpusGen {
           case 1 => XzWriter.xz(tar, checkType = Seq(1, 4, 10, 0)(((id / 3) % 4).toInt))
           case _ => BzipWriter.bz2(tar, level = 1 + (id % 9).toInt)
         }
-      case _ =>
+      case 2 =>
         // rotate the 7z stratum through its coder/layout variants — the
         // extracted text is container-invariant, so the closed-form oracle
         // is unchanged while store, LZMA, LZMA2 and compressed-header
@@ -422,6 +422,7 @@ object CorpusGen {
           case 2 => SevenZWriter.sevenZ(members, coder = "lzma2")
           case _ => SevenZWriter.sevenZ(members, coder = "lzma2", encodedHeader = true)
         }
+      case _ => RarWriter.rar5(members)
     }
   }
 

@@ -420,10 +420,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "x_archive" -> ((s, dir) => {
-      // archive recursion (Tika-style): ZIP / ustar TAR / store-mode 7z
-      // members re-enter the full sniff→dispatch pipeline in archive order;
-      // the 3rd member is a gzip-wrapped text (nested wrapper, recursion
-      // depth 2). Container rotates zip/tar/7z by (id/100) mod 3.
+      // archive recursion (Tika-style): ZIP / ustar TAR / 7z / store-mode
+      // RAR5 members re-enter the full sniff→dispatch pipeline in archive
+      // order; the 3rd member is a gzip-wrapped text (nested wrapper,
+      // recursion depth 2). Container rotates by (id/100) mod 4.
       import s.implicits._
       val ds = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
@@ -1462,8 +1462,8 @@ object SparkEntry {
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)
          | || text || chr(10) || text AS text,
-         |CASE (doc_id // 100) % 3 WHEN 0 THEN 'application/zip' WHEN 1 THEN 'application/x-tar'
-         |  ELSE 'application/x-7z-compressed' END AS content_type
+         |CASE (doc_id // 100) % 4 WHEN 0 THEN 'application/zip' WHEN 1 THEN 'application/x-tar'
+         |  WHEN 2 THEN 'application/x-7z-compressed' ELSE 'application/vnd.rar' END AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_charset_cyr" ->
       raw"""SELECT doc_id,

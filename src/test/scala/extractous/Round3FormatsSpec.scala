@@ -188,14 +188,18 @@ class Round3FormatsSpec extends AnyFunSuite {
     val r = Extract(bz)
     assert(r.status == ExtractStatus.UnsupportedFormat, s"${r.status} ${r.error}")
     assert(r.text == "" && r.error.contains("coder"))
-    for (sig <- Seq(
-        Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x00),          // RAR4
-        Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x01, 0x00))) { // RAR5
-      val payload = sig ++ Array.tabulate[Byte](64)(i => (i * 37).toByte)
-      assert(MimeSniffer.sniff(payload) == "application/vnd.rar")
-      val rr = Extract(payload)
-      assert(rr.status == ExtractStatus.UnsupportedFormat && rr.text == "")
-    }
+    // RAR4: detection-only refusal; RAR5 garbage after a valid signature is
+    // structural corruption (store-mode descent now exists — see RarSpec)
+    val rar4 = Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x00) ++
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(MimeSniffer.sniff(rar4) == "application/vnd.rar")
+    val r4 = Extract(rar4)
+    assert(r4.status == ExtractStatus.UnsupportedFormat && r4.text == "")
+    val rar5 = Array[Byte]('R', 'a', 'r', '!', 0x1A, 0x07, 0x01, 0x00) ++
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(MimeSniffer.sniff(rar5) == "application/vnd.rar")
+    val r5 = Extract(rar5)
+    assert(r5.status == ExtractStatus.ExtractionFailed && r5.text == "")
   }
 
   // Hand-assembled 7z container with an arbitrary end header (all numeric
