@@ -121,6 +121,20 @@ object Extract {
             case e: UnsupportedArchiveException =>
               ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Bzip2)
           }
+      case MimeSniffer.Zstd =>
+        // zstd-wrapped payload (.zst/.tar.zst, RFC 8878): decode and
+        // re-dispatch on the inner bytes; shares the wrapper depth cap
+        if (depth >= 3)
+          ExtractResult.fail(ExtractStatus.UnsupportedFormat, "zstd nesting too deep", MimeSniffer.Zstd)
+        else {
+          val inner = Zstd.decode(bytes)
+          val r = dispatch(inner, cfg, ocr, depth + 1)
+          val chained =
+            if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+              r.copy(error = s"${r.error} <- zstd layer ${depth + 1}")
+            else r
+          chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("zstd")))
+        }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx |

@@ -204,6 +204,7 @@ object WarcExtractor {
       case "" | "identity"       =>
       case "gzip" | "x-gzip"     => body = Extract.gunzip(body, maxOut = 256 * 1024 * 1024)
       case "deflate"             => body = inflate(body)
+      case "zstd"                => body = Zstd.decode(body, maxOut = 256 * 1024 * 1024)
       case other                 =>
         throw new IllegalArgumentException(s"http: unsupported content-encoding '$other'")
     }

@@ -401,15 +401,16 @@ object CorpusGen {
       case 0 => DocxWriter.zip(members)
       case 1 =>
         // the tar stratum rotates plain / .tar.xz (check types rotating
-        // through all four spec variants) / .tar.bz2 — extracted text and
-        // reported content type are wrapper-invariant (both rungs
-        // re-dispatch on the inner tar), so the closed-form oracle is
-        // unchanged while both containers flow through the corpus
+        // through all four spec variants) / .tar.bz2 / .tar.zst — extracted
+        // text and reported content type are wrapper-invariant (every rung
+        // re-dispatches on the inner tar), so the closed-form oracle is
+        // unchanged while all four containers flow through the corpus
         val tar = TarWriter.tar(members)
-        (id % 3) match {
+        (id % 4) match {
           case 0 => tar
           case 1 => XzWriter.xz(tar, checkType = Seq(1, 4, 10, 0)(((id / 3) % 4).toInt))
-          case _ => BzipWriter.bz2(tar, level = 1 + (id % 9).toInt)
+          case 2 => BzipWriter.bz2(tar, level = 1 + (id % 9).toInt)
+          case _ => ZstdWriter.zst(tar)
         }
       case 2 =>
         // rotate the 7z stratum through its coder/layout variants — the
@@ -550,7 +551,11 @@ object CorpusGen {
         while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
         deflater.end()
         http("text/html", out.toByteArray, Seq("Content-Encoding: deflate"))
-      case _ => http("text/html", html)
+      case _ =>
+        // the third stratum alternates identity / zstd (RFC 8878 is a
+        // registered HTTP content coding modern servers ship)
+        if ((id / 3) % 2 == 1) http("text/html", ZstdWriter.zst(html), Seq("Content-Encoding: zstd"))
+        else http("text/html", html)
     }
     val note = s"Crawl note $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // two chunks: split the note at byte 6 ("Crawl ")

@@ -35,6 +35,7 @@ object MimeSniffer {
   val Gzip = "application/gzip"
   val Xz = "application/x-xz"
   val Bzip2 = "application/x-bzip2"
+  val Zstd = "application/zstd"
   val Plain = "text/plain"
   val Xls = "application/vnd.ms-excel"
   val Ppt = "application/vnd.ms-powerpoint"
@@ -257,6 +258,7 @@ object MimeSniffer {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) return Gzip
     if (extractous.core.Xz.looksLikeXz(bytes)) return Xz
     if (extractous.core.Bzip2.looksLikeBzip2(bytes)) return Bzip2
+    if (extractous.core.Zstd.looksLikeZstd(bytes)) return Zstd
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg
