@@ -637,26 +637,26 @@ object Zstd {
     if ((modes & 3) != 0) bad("sequences: reserved mode bits set")
 
     def loadTable(mode: Int, prev: FseTable, default: FseTable, maxSym: Int, maxAl: Int,
-        label: String): (FseTable, Boolean) = mode match {
-      case 0 => (default, false)
-      case 1 => // RLE: single symbol, read below as a 0-bit table
+        label: String): FseTable = mode match {
+      case 0 => default
+      case 1 => // RLE: single symbol, a 0-bit table
         if (p >= end) bad(s"$label: rle symbol overruns")
         val sym = buf(p) & 0xFF; p += 1
         if (sym > maxSym) bad(s"$label: rle symbol out of range")
         val t = new FseTable(0, 1)
         t.symbol(0) = sym; t.nbBits(0) = 0; t.baseline(0) = 0
-        (t, false)
+        t
       case 2 =>
         val (t, used) = readFseTable(buf, p, end, maxSym, maxAl)
         p += used
-        (t, false)
+        t
       case _ =>
         if (prev == null) bad(s"$label: repeat mode with no previous table")
-        (prev, false)
+        prev
     }
-    val (llT, _) = loadTable((modes >> 6) & 3, st.llTable, LLDefaultTable, 35, 9, "ll")
-    val (ofT, _) = loadTable((modes >> 4) & 3, st.ofTable, OFDefaultTable, 31, 8, "of")
-    val (mlT, _) = loadTable((modes >> 2) & 3, st.mlTable, MLDefaultTable, 52, 9, "ml")
+    val llT = loadTable((modes >> 6) & 3, st.llTable, LLDefaultTable, 35, 9, "ll")
+    val ofT = loadTable((modes >> 4) & 3, st.ofTable, OFDefaultTable, 31, 8, "of")
+    val mlT = loadTable((modes >> 2) & 3, st.mlTable, MLDefaultTable, 52, 9, "ml")
     st.llTable = llT; st.ofTable = ofT; st.mlTable = mlT
 
     val bb = new BackBits(buf, p, end - p)

@@ -431,19 +431,25 @@ object CorpusGen {
     * request (both skipped structurally), an HTTP response carrying the HTML
     * page (gzip Content-Encoding every 3rd doc — crawls store raw wire
     * bytes), a text/plain conversion record, and a chunked-transfer HTTP
-    * response. Whole-file variant by id/100 parity: plain `.warc` vs
-    * Common-Crawl-style per-record gzip members concatenated (`.warc.gz`).
-    * Expected text (both variants, closed form):
+    * response. Whole-file variant by (id/100) mod 3: plain `.warc`,
+    * Common-Crawl-style per-record gzip members (`.warc.gz`), or a
+    * zstd-wrapped `.warc.zst` (the IIPC warc-zstd shape, frame over the
+    * whole file). Expected text (all variants, closed form):
     * `Document $id\n$stop\n$text\n$text\nCrawl note $id`.
     */
   def warcPayload(id: Long, text: String, lang: String): Array[Byte] = {
     val records = warcRecords(id, text, lang)
     val out = new ByteArrayOutputStream()
-    if ((id / 100) % 2 == 0) records.foreach(r => out.write(r))
-    else {
-      // Common-Crawl member-per-record gzip: concatenated members must
-      // inflate as ONE stream through the gzip wrapper rung
-      records.foreach(r => out.write(gzMember(r)))
+    ((id / 100) % 3) match {
+      case 0 => records.foreach(r => out.write(r))
+      case 1 =>
+        // Common-Crawl member-per-record gzip: concatenated members must
+        // inflate as ONE stream through the gzip wrapper rung
+        records.foreach(r => out.write(gzMember(r)))
+      case _ =>
+        val plain = new ByteArrayOutputStream()
+        records.foreach(r => plain.write(r))
+        out.write(ZstdWriter.zst(plain.toByteArray))
     }
     out.toByteArray
   }

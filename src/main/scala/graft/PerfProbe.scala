@@ -34,8 +34,12 @@ object PerfProbe {
       "msg" -> extractous.gen.MsgWriter.msg("Subject 1", "Sender 1", text, unicode = true),
       "zip_archive" -> CorpusGen.archivePayload(0, text, "en"),
       "tar_archive" -> CorpusGen.archivePayload(100, text, "en"),
+      "tar_zst" -> CorpusGen.archivePayload(103, text, "en"),
+      "7z_archive" -> CorpusGen.archivePayload(200, text, "en"),
+      "rar_archive" -> CorpusGen.archivePayload(300, text, "en"),
       "warc" -> CorpusGen.warcPayload(0, text, "en"),
       "warc_gz" -> CorpusGen.warcPayload(100, text, "en"),
+      "warc_zst" -> CorpusGen.warcPayload(200, text, "en"),
       "ics" -> CorpusGen.calPayload(0, text),
       "vcf" -> CorpusGen.calPayload(100, text),
       "pages" -> extractous.gen.PagesWriter.pages(Seq("Document 1", text)))
@@ -71,5 +75,7 @@ object PerfProbe {
     }
     probeKernel("fingerprint", extractous.spark.FingerprintHash.compute)
     probeKernel("top2gram", extractous.spark.Top2GramHash.compute)
+    probeKernel("c4_clean", extractous.spark.C4Kernel.compute)
+    probeKernel("gopher", u => extractous.spark.GopherKernel.compute(u, 10))
   }
 }

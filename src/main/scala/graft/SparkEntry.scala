@@ -480,8 +480,9 @@ object SparkEntry {
       // WARC (ISO 28500) — the Common-Crawl container: warcinfo/request
       // records skipped, HTTP response records parsed (incl. gzip
       // Content-Encoding every 3rd doc and a chunked-transfer response),
-      // conversion record dispatched directly; whole file alternates plain
-      // .warc vs per-record-gzip-member .warc.gz by id/100 parity
+      // conversion record dispatched directly; whole file rotates plain
+      // .warc / per-record-gzip-member .warc.gz / whole-file .warc.zst
+      // by (id/100) mod 3
       import s.implicits._
       val ds = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
