@@ -1,0 +1,100 @@
+package extractous.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.xbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Outlink extraction — the crawl-frontier/link-graph source every crawl
+  * pipeline derives from its pages. One pass of the in-repo HTML tokenizer
+  * (same machinery as extraction, so `<script>`/comments/quoting are handled
+  * identically) collects `<a href>` values in document order and resolves
+  * them against the page URL:
+  *
+  *  - absolute `http(s)://…` kept as-is; `//host/…` adopts the base scheme;
+  *  - `/path` is host-absolute; other values resolve against the base
+  *    directory (RFC 3986 merge; dot-segments are NOT normalized — the
+  *    canonical-URL pass owns normalization);
+  *  - `javascript:`/`mailto:`/`tel:`/`data:` and fragment-only hrefs are
+  *    dropped; fragments are stripped from kept links.
+  *
+  * Narrow per-row expression (static-call codegen like the other kernels):
+  * the link GRAPH then aggregates `(host, host)` pairs — short keys, never
+  * page payloads — so frontier/in-degree analytics shuffle bytes, not HTML.
+  */
+object LinkKernel {
+
+  private def skipScheme(h: String): Boolean = {
+    val c = h.indexOf(':')
+    if (c < 0) false
+    else {
+      val s = h.substring(0, c).toLowerCase
+      // a path like "a:b" only forms a scheme if it looks like one
+      s.nonEmpty && s.forall(ch => ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.') &&
+        s != "http" && s != "https"
+    }
+  }
+
+  def compute(html0: UTF8String, base0: UTF8String): GenericArrayData = {
+    val html = html0.toString
+    val base = base0.toString
+    // base decomposition: scheme://authority/path
+    var schemeEnd = base.indexOf("://")
+    val (origin, dir) =
+      if (schemeEnd < 0) ("", "/")
+      else {
+        val pathStart = base.indexOf('/', schemeEnd + 3)
+        if (pathStart < 0) (base, "/")
+        else {
+          val p = base.substring(pathStart)
+          val cut = math.max(p.lastIndexOf('/'), 0)
+          (base.substring(0, pathStart), p.substring(0, cut + 1))
+        }
+      }
+    val scheme = if (schemeEnd < 0) "https" else base.substring(0, schemeEnd)
+    val out = Vector.newBuilder[UTF8String]
+    val toks = extractous.html.HtmlTokenizer.tokenize(html)
+    while (toks.hasNext) {
+      toks.next() match {
+        case extractous.html.HtmlTokenizer.StartTag("a", attrs, _) =>
+          attrs.get("href").foreach { raw0 =>
+            val raw = extractous.html.HtmlTokenizer.decodeEntities(raw0).trim
+            val noFrag = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
+            if (noFrag.nonEmpty && !skipScheme(noFrag)) {
+              val abs =
+                if (noFrag.startsWith("http://") || noFrag.startsWith("https://")) noFrag
+                else if (noFrag.startsWith("//")) scheme + ":" + noFrag
+                else if (origin.isEmpty) "" // schemeless base cannot anchor relatives
+                else if (noFrag.startsWith("/")) origin + noFrag
+                else origin + dir + noFrag
+              if (abs.nonEmpty) out += UTF8String.fromString(abs)
+            }
+          }
+        case _ =>
+      }
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+}
+
+final case class ExtractLinksExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "extract_links"
+  override protected def nullSafeEval(html: Any, base: Any): Any =
+    LinkKernel.compute(html.asInstanceOf[UTF8String], base.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b) => s"extractous.spark.LinkKernel.compute($h, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractLinksExpr =
+    copy(left = l, right = r)
+}
+
+object links {
+  /** `extract_links(html, baseUrl)` → array<string> of absolute outlinks in
+    * document order.
+    */
+  def extract_links(html: Column, base: Column): Column =
+    ColumnBridge.column(ExtractLinksExpr(ColumnBridge.expression(html), ColumnBridge.expression(base)))
+}

@@ -1214,6 +1214,29 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("host"))
         .orderBy(col("doc_id"))
     }),
+    "d_linkgraph" -> ((s, dir) => {
+      // outlink extraction + host in-degree (crawl-frontier analytics):
+      // absolute / host-absolute / directory-relative / protocol-relative
+      // hrefs resolve against the page URL; mailto and fragment-only drop.
+      // Narrow per-row link kernel, one short-key (host) exchange.
+      val idS = col("doc_id").cast("string")
+      val url = concat(lit("https://host-"), (col("doc_id") % 7).cast("string"),
+        lit(".example/dir/page"), idS)
+      val html = concat(
+        lit("<html><body><p>Doc "), idS, lit("</p>"),
+        lit("<a href=\"https://host-"), ((col("doc_id") + 1) % 7).cast("string"),
+        lit(".example/doc/"), idS, lit("\">next</a>"),
+        lit("<a href=\"/local/"), idS, lit("\">self</a>"),
+        lit("<a href=\"rel"), idS, lit("\">rel</a>"),
+        lit("<a href=\"mailto:x@example.com\">m</a><a href=\"#top\">t</a>"),
+        when(col("doc_id") % 5 === 0, lit("<a href=\"//cdn.example/asset\">c</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"), html.as("html"))
+      extractous.pipeline.LinkGraph.hostInDegree(pages, "url", "html")
+        .orderBy(col("host"))
+    }),
     "d_dedup_url" -> ((s, dir) => {
       // canonical-URL dedup: two variants of every resource — mixed-case
       // host + default port + trailing slash + tracking params + fragment —
@@ -2071,6 +2094,16 @@ object SparkEntry {
          |'host-' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 9 END AS VARCHAR) || '.example' AS host,
          |CAST(CASE WHEN doc_id % 2 = 1 AND (1 + doc_id % 9) IN (3, 7) THEN 1 ELSE 0 END AS BIGINT) AS blocked
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_linkgraph" ->
+      // closed form: every page links host-(id+1)%7 once (absolute), its own
+      // host twice (host-absolute /local + directory-relative rel), and
+      // cdn.example when id%5==0 (protocol-relative); mailto/#top drop
+      """SELECT host, CAST(count(*) AS BIGINT) AS in_degree FROM (
+        |  SELECT 'host-' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example' AS host FROM documents
+        |  UNION ALL SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' FROM documents
+        |  UNION ALL SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' FROM documents
+        |  UNION ALL SELECT 'cdn.example' FROM documents WHERE doc_id % 5 = 0
+        |) GROUP BY host ORDER BY host""".stripMargin,
     "d_domain_cap" ->
       // the oracle deliberately uses the textbook row_number() formulation,
       // verifying the threshold-aggregate plan against the obvious one

@@ -72,6 +72,48 @@ class HtmlSpec extends AnyFunSuite {
     assert(!r.text.contains("<"))
   }
 
+  test("extract_links: resolution rules — absolute, host-absolute, relative, protocol-relative, skips") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def links(html: String, base: String): Seq[String] =
+      extractous.spark.LinkKernel.compute(UTF8String.fromString(html), UTF8String.fromString(base))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    val base = "https://a.example/dir/page.html"
+    val html =
+      """<a href="https://b.example/x">1</a>
+        |<a href="/root.html">2</a>
+        |<a href="sib.html">3</a>
+        |<a href="//c.example/p">4</a>
+        |<a href="mailto:u@h">skip</a>
+        |<a href="javascript:void(0)">skip</a>
+        |<a href="#frag">skip</a>
+        |<a href="q.html#sec">5</a>
+        |<a href="b&amp;w.html">6</a>
+        |<a name="anchor-no-href">skip</a>""".stripMargin
+    assert(links(html, base) == Seq(
+      "https://b.example/x",
+      "https://a.example/root.html",
+      "https://a.example/dir/sib.html",
+      "https://c.example/p",
+      "https://a.example/dir/q.html",
+      "https://a.example/dir/b&w.html"))
+    // base with no path: directory is "/"
+    assert(links("""<a href="r">x</a>""", "https://a.example") == Seq("https://a.example/r"))
+    // schemeless base anchors only absolute links
+    assert(links("""<a href="r">x</a><a href="http://b.example/y">y</a>""", "page.html") ==
+      Seq("http://b.example/y"))
+  }
+
+  test("extract_links: the generator page's boilerplate anchors in document order") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val html = new String(extractous.gen.CorpusGen.htmlPayload(3, "the quick brown fox", "en"), "UTF-8")
+    val got = extractous.spark.LinkKernel.compute(
+      UTF8String.fromString(html), UTF8String.fromString("https://host-3.example/doc/3"))
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(got.take(4) == Seq("https://host-3.example/", "https://host-3.example/about",
+      "https://host-3.example/section-a", "https://host-3.example/section-b"))
+    assert(got.forall(_.startsWith("https://host-3.example/")))
+  }
+
   test("br splits blocks; meta collected multi-valued") {
     val html = "<html><head><meta name='k' content='v1'><meta name='k' content='v2'></head>" +
       "<body><article><p>first segment of words here<br>second segment of words here</p></article></body></html>"
