@@ -64,6 +64,21 @@ object ExplainDump {
         extractous.pipeline.LangId.predict(col("text")).as("lang"),
         extractous.pipeline.Bpe.countTokens(col("text")).as("bpe"),
         extractous.pipeline.TextStats.fingerprint(col("text")).as("fp")))
+
+    // round-4 late additions (EXPLAIN.md §10)
+    val pages = docs.select(col("doc_id"),
+      concat(lit("https://host-"), (col("doc_id") % 7).cast("string"),
+        lit(".example/doc/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("<html><body><a href=\"/x\">l</a><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
+    dump("12. per-domain cap (bounded-heap threshold agg + broadcast join, NO window)",
+      extractous.pipeline.DomainBalance.capPerDomain(
+        pages.select(col("doc_id"), col("url")), "url", "doc_id", k = 25))
+    dump("13. link graph (narrow link kernel -> host-key partial agg)",
+      extractous.pipeline.LinkGraph.hostInDegree(pages, "url", "html"))
+    dump("14. C4 gate (one narrow codegen'd projection)",
+      docs.select(col("doc_id") +:
+        extractous.pipeline.TextStats.c4Report(col("text")).map { case (n, c) => c.as(n) }: _*))
     spark.stop()
   }
 }
