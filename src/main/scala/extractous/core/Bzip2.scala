@@ -69,30 +69,46 @@ object Bzip2 {
   private final val GroupRun = 50
   private final val MaxCodeLen = 23
 
-  /** Decompress a whole `.bz2` stream; total output bomb-capped at `cap`. */
+  /** Decompress a whole `.bz2` payload; total output bomb-capped at `cap`.
+    * Concatenated streams (what `cat a.bz2 b.bz2` and pbzip2 produce — each
+    * worker emits its own BZh stream) decode in sequence: each stream's
+    * footer is byte-aligned, then the next "BZh" magic continues. Trailing
+    * NON-stream bytes throw — truncating to the first stream would be
+    * silent data loss.
+    */
   def decode(bytes: Array[Byte], cap: Int = 256 * 1024 * 1024): Array[Byte] = {
     if (!looksLikeBzip2(bytes)) throw new IllegalArgumentException("bzip2: bad magic")
-    val level = bytes(3) - '0'
-    val maxBlock = level * 100000
-    val br = new Br(bytes)
-    br.pos = 32
     val out = new java.io.ByteArrayOutputStream(math.min(bytes.length.toLong * 4, 1L << 20).toInt)
-    var combined = 0
-    var done = false
-    while (!done) {
-      val hi = br.bits(24)
-      val lo = br.bits(24)
-      if (hi == 0x177245 && lo == 0x385090) {
-        val stored = (br.bits(16) << 16) | br.bits(16)
-        if (stored != combined)
-          throw new IllegalArgumentException("bzip2: combined CRC mismatch")
-        done = true
-      } else if (hi == 0x314159 && lo == 0x265359) {
-        val blockCrc = decodeBlock(br, maxBlock, out, cap)
-        combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
-        if (out.size() > cap)
-          throw new IllegalStateException(s"bzip2: output exceeds cap $cap")
-      } else throw new IllegalArgumentException("bzip2: bad block magic")
+    var streamStart = 0
+    while (streamStart < bytes.length) {
+      if (bytes.length - streamStart < 10 ||
+          bytes(streamStart) != 'B' || bytes(streamStart + 1) != 'Z' ||
+          bytes(streamStart + 2) != 'h' ||
+          bytes(streamStart + 3) < '1' || bytes(streamStart + 3) > '9')
+        throw new IllegalArgumentException(
+          s"bzip2: trailing bytes after stream end are not a bzip2 stream (offset $streamStart)")
+      val level = bytes(streamStart + 3) - '0'
+      val maxBlock = level * 100000
+      val br = new Br(bytes)
+      br.pos = streamStart.toLong * 8 + 32
+      var combined = 0
+      var done = false
+      while (!done) {
+        val hi = br.bits(24)
+        val lo = br.bits(24)
+        if (hi == 0x177245 && lo == 0x385090) {
+          val stored = (br.bits(16) << 16) | br.bits(16)
+          if (stored != combined)
+            throw new IllegalArgumentException("bzip2: combined CRC mismatch")
+          done = true
+        } else if (hi == 0x314159 && lo == 0x265359) {
+          val blockCrc = decodeBlock(br, maxBlock, out, cap)
+          combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
+          if (out.size() > cap)
+            throw new IllegalStateException(s"bzip2: output exceeds cap $cap")
+        } else throw new IllegalArgumentException("bzip2: bad block magic")
+      }
+      streamStart = ((br.pos + 7) >>> 3).toInt // footer is bit-packed; next stream is byte-aligned
     }
     out.toByteArray
   }

@@ -122,6 +122,22 @@ class Bzip2Spec extends AnyFunSuite {
     assert(r.error.contains("randomized"))
   }
 
+  test("concatenated streams (pbzip2 / cat a.bz2 b.bz2) decode in sequence") {
+    // real libbzip2 goldens back-to-back — each carries its own footer CRC
+    val cat = golden1 ++ golden2
+    assert(new String(Bzip2.decode(cat), "UTF-8") ==
+      new String(sample, "UTF-8") + golden2Text)
+    // writer-produced three-way concat round-trips too
+    val parts = Seq("first ".getBytes("UTF-8"), "second ".getBytes("UTF-8"),
+      Array.fill(5000)('z'.toByte))
+    val packed = parts.map(BzipWriter.bz2(_)).reduce(_ ++ _)
+    assert(java.util.Arrays.equals(Bzip2.decode(packed), parts.reduce(_ ++ _)))
+    // trailing garbage after a valid stream is a loud error, not silent loss
+    val e = intercept[IllegalArgumentException](
+      Bzip2.decode(golden1 ++ "not a stream".getBytes("UTF-8")))
+    assert(e.getMessage.contains("trailing"))
+  }
+
   test("bomb cap: output beyond the cap is refused mid-emit") {
     val packed = BzipWriter.bz2(sample)
     val e = intercept[IllegalStateException](Bzip2.decode(packed, cap = 16))
