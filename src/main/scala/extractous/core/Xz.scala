@@ -108,28 +108,55 @@ object Xz {
 
   private final val FilterLzma2 = 0x21L
 
-  /** Decompress a whole `.xz` file; total output bomb-capped at `cap`. */
+  /** Decompress a whole `.xz` payload; total output bomb-capped at `cap`.
+    * Concatenated streams (`cat a.xz b.xz` — legal per spec §2, `xz -d`
+    * decodes them all) are walked back-to-front: each footer's backward
+    * size locates its index, the index's unpadded sizes give the blocks
+    * region, and the stream header must sit exactly where that arithmetic
+    * says — so a corrupt boundary fails loudly instead of mis-framing.
+    */
   def decode(bytes: Array[Byte], cap: Int = 256 * 1024 * 1024): Array[Byte] = {
     if (!looksLikeXz(bytes)) throw new IllegalArgumentException("xz: bad magic")
-    // stream header: magic + flags(2) + crc32(flags)
-    if (bytes(6) != 0) throw new IllegalArgumentException("xz: reserved stream flag byte")
-    val checkType = bytes(7) & 0xff
-    if (crc32(bytes, 6, 2) != u32le(bytes, 8))
-      throw new IllegalArgumentException("xz: stream header CRC mismatch")
-    val chkSize = checkSize(checkType)
+    var limit = bytes.length
+    var parts: List[Array[Byte]] = Nil
+    var total = 0L
+    while (limit > 0) {
+      // stream padding between/after streams: zeros, multiple of 4
+      var e = limit
+      while (e - 4 >= 0 && bytes(e - 1) == 0 && bytes(e - 2) == 0 &&
+             bytes(e - 3) == 0 && bytes(e - 4) == 0) e -= 4
+      if (e == 0) {
+        if (parts.isEmpty) throw new IllegalArgumentException("xz: padding with no stream")
+        limit = 0
+      } else {
+        val (part, streamStart) = decodeStream(bytes, e, cap - total)
+        total += part.length
+        parts = part :: parts
+        limit = streamStart
+      }
+    }
+    if (parts.lengthCompare(1) == 0) parts.head
+    else {
+      val out = new Array[Byte](total.toInt)
+      var off = 0
+      parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+      out
+    }
+  }
 
-    // footer: [crc32(6B that follow)][backward size][stream flags]["YZ"],
-    // preceded optionally by stream padding (zeros, multiple of 4)
-    var end = bytes.length
-    while (end - 4 >= 12 && bytes(end - 1) == 0 && bytes(end - 2) == 0 &&
-           bytes(end - 3) == 0 && bytes(end - 4) == 0) end -= 4
+  /** Decode the single stream whose footer ends at `end`; returns the
+    * decoded bytes and the stream's start offset.
+    */
+  private def decodeStream(bytes: Array[Byte], end: Int, cap: Long): (Array[Byte], Int) = {
     if (end < 12 + 12) throw new IllegalArgumentException("xz: truncated")
     if (bytes(end - 2) != 'Y'.toByte || bytes(end - 1) != 'Z'.toByte)
       throw new IllegalArgumentException("xz: bad footer magic")
-    if (bytes(end - 4) != bytes(6) || bytes(end - 3) != bytes(7))
-      throw new IllegalArgumentException("xz: footer stream flags disagree with header")
     if (crc32(bytes, end - 8, 6) != u32le(bytes, end - 12))
       throw new IllegalArgumentException("xz: footer CRC mismatch")
+    if (bytes(end - 4) != 0)
+      throw new IllegalArgumentException("xz: reserved stream flag byte")
+    val checkType = bytes(end - 3) & 0xff
+    val chkSize = checkSize(checkType)
     val backward = (u32le(bytes, end - 8) + 1L) * 4L
     val indexStart = end - 12 - backward
     if (indexStart < 12 || backward > Int.MaxValue)
@@ -148,6 +175,8 @@ object Xz {
     while (i < numRec) {
       unpadded(i) = ir.varint()
       unpacked(i) = ir.varint()
+      if (unpadded(i) < 8 || unpadded(i) > end)
+        throw new IllegalArgumentException("xz: index record size out of range")
       i += 1
     }
     while (((ir.pos - indexStart) & 3) != 0)
@@ -161,9 +190,27 @@ object Xz {
     if (totalOut < 0 || totalOut > cap)
       throw new IllegalStateException(s"xz: declared output $totalOut exceeds cap $cap")
 
+    // locate the stream header from the index arithmetic: the blocks region
+    // is Σ ceil4(unpadded) (check sizes are 4-aligned, so block padding
+    // rounds each record to a multiple of 4)
+    var blocksRegion = 0L
+    i = 0
+    while (i < numRec) { blocksRegion += (unpadded(i) + 3L) & ~3L; i += 1 }
+    val streamStart = indexStart - 12 - blocksRegion
+    if (streamStart < 0 || blocksRegion > Int.MaxValue)
+      throw new IllegalArgumentException("xz: blocks region overruns file")
+    val ss = streamStart.toInt
+    if (!(0 until 6).forall(j => bytes(ss + j) == Magic(j)))
+      throw new IllegalArgumentException("xz: stream header magic not at computed start")
+    if (bytes(ss + 6) != 0) throw new IllegalArgumentException("xz: reserved stream flag byte")
+    if (crc32(bytes, ss + 6, 2) != u32le(bytes, ss + 8))
+      throw new IllegalArgumentException("xz: stream header CRC mismatch")
+    if (bytes(ss + 6) != bytes(end - 4) || bytes(ss + 7) != bytes(end - 3))
+      throw new IllegalArgumentException("xz: footer stream flags disagree with header")
+
     // blocks, sizes driven by the index records
     val out = new java.io.ByteArrayOutputStream(math.min(totalOut, 1 << 20).toInt)
-    var off = 12
+    var off = ss + 12
     i = 0
     while (i < numRec) {
       val blockStart = off
@@ -201,7 +248,7 @@ object Xz {
         throw new IllegalArgumentException("xz: declared uncompressed size disagrees with index")
       val packed = java.util.Arrays.copyOfRange(
         bytes, blockStart + headerLen, (blockStart + headerLen + compLen).toInt)
-      val decoded = Lzma.decodeLzma2(packed, unpacked(i), cap)
+      val decoded = Lzma.decodeLzma2(packed, unpacked(i), math.min(cap, Int.MaxValue.toLong).toInt)
       var p = blockStart + headerLen + compLen
       while ((p & 3) != 0) {
         if (p >= indexStart || bytes(p.toInt) != 0)
@@ -218,6 +265,6 @@ object Xz {
     }
     if (off != indexStart)
       throw new IllegalArgumentException("xz: trailing bytes between blocks and index")
-    out.toByteArray
+    (out.toByteArray, ss)
   }
 }

@@ -47,6 +47,27 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("concatenated streams (cat a.xz b.xz, spec §2) decode in sequence") {
+    // golden: the REAL xz CLI (5.x) — `xz -9 a | xz -1 --check=crc32 b`
+    // concatenated, mixed presets AND mixed check types across the boundary
+    val cli = java.util.Base64.getDecoder.decode(
+      "/Td6WFoAAATm1rRGBMAuKiEBHAAAAAAAAAAAAK6loEwBAClmaXJzdCBzdHJlYW0gcGF5bG9hZCBm" +
+      "cm9tIHRoZSByZWFsIHh6IGNsaQoAAAB3XpitIf1gbAABSipy26vxH7bzfQEAAAAABFla/Td6WFoA" +
+      "AAFpIt42BMArJyEBEAAAAAAAAAAAADNLE5UBACZzZWNvbmQgc3RyZWFtLCBkaWZmZXJlbnQgY29u" +
+      "dGVudCAxMjM0NQoAAIP3ANgAAUMnhhzYXpBCmQ0BAAAAAAFZWg==")
+    assert(new String(Xz.decode(cli), "UTF-8") ==
+      "first stream payload from the real xz cli\nsecond stream, different content 12345\n")
+    // writer-produced three-way concat with stream padding between streams
+    val parts = Seq("alpha ".getBytes("UTF-8"), "beta ".getBytes("UTF-8"),
+      Array.fill(5000)('q'.toByte))
+    val packed = XzWriter.xz(parts(0)) ++ new Array[Byte](8) ++
+      XzWriter.xz(parts(1), checkType = 1) ++ XzWriter.xz(parts(2), checkType = 10)
+    assert(java.util.Arrays.equals(Xz.decode(packed), parts.reduce(_ ++ _)))
+    // trailing garbage after a stream is a loud error, not silent loss
+    intercept[IllegalArgumentException](
+      Xz.decode(XzWriter.xz(parts(0)) ++ "junk1234".getBytes("UTF-8")))
+  }
+
   test("extract dispatch: .xz text decodes and records the wrapper; .tar.xz recurses") {
     val txt = XzWriter.xz("hello from xz".getBytes("UTF-8"))
     assert(MimeSniffer.sniff(txt) == "application/x-xz")
@@ -99,9 +120,16 @@ class XzSpec extends AnyFunSuite {
     assert(r.error.contains("filter"))
 
     val mut2 = packed.clone()
-    mut2(7) = 0x02 // reserved check id
+    // declare the reserved check id 0x02 consistently in header AND footer
+    // (the multi-stream walk reads the footer first; a header/footer
+    // disagreement is a different, structural -4 failure)
+    mut2(7) = 0x02
     val cf = { val cc = new java.util.zip.CRC32(); cc.update(mut2, 6, 2); cc.getValue }
     (0 until 4).foreach(i => mut2(8 + i) = ((cf >>> (8 * i)) & 0xff).toByte)
+    val e2 = mut2.length
+    mut2(e2 - 3) = 0x02
+    val ff = { val cc = new java.util.zip.CRC32(); cc.update(mut2, e2 - 8, 6); cc.getValue }
+    (0 until 4).foreach(i => mut2(e2 - 12 + i) = ((ff >>> (8 * i)) & 0xff).toByte)
     val r2 = Extract(mut2)
     assert(r2.status == ExtractStatus.UnsupportedFormat, s"${r2.status} ${r2.error}")
     assert(r2.error.contains("check type"))
