@@ -77,5 +77,28 @@ object PerfProbe {
     probeKernel("top2gram", extractous.spark.Top2GramHash.compute)
     probeKernel("c4_clean", extractous.spark.C4Kernel.compute)
     probeKernel("gopher", u => extractous.spark.GopherKernel.compute(u, 10))
+    locally {
+      // dsir_score walks the token array once (hash + two table lookups per
+      // gram) — must be ~linear in token count like its neighbors
+      val lambda = Array.tabulate(8192)(i => (i % 13).toLong - 6)
+      def toArr(s: String) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        s.trim.split("\\s+").map(t => UTF8String.fromString(t)).toArray[Any])
+      probeArr("dsir_score", a => extractous.spark.DsirKernel.score(a, lambda), toArr)
+    }
+  }
+
+  private def probeArr(name: String,
+      f: org.apache.spark.sql.catalyst.util.GenericArrayData => Any,
+      mk: String => org.apache.spark.sql.catalyst.util.GenericArrayData): Unit = {
+    val seed = "key agg row scan slow fast table value part hash value table part a row fast merge batch part value fast spark a a the line sort table window table table key "
+    val (a1, a10) = (mk(seed * 8), mk(seed * 80))
+    def time(u: org.apache.spark.sql.catalyst.util.GenericArrayData, n: Int): Double = {
+      (1 to 2000).foreach(_ => f(u))
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => f(u))
+      (System.nanoTime() - t0) / 1e9 / n
+    }
+    val (a, b) = (time(a1, 20000), time(a10, 2000))
+    println(f"[perf] $name%-12s 1x=${a * 1e6}%8.2f us  10x=${b * 1e6}%8.2f us  ratio=${b / a}%5.2f (linear=10)")
   }
 }
