@@ -240,17 +240,24 @@ final class SnapshotTable(val root: String) {
     * longer referenced. History is gone by design — run it when the
     * time-travel window may be dropped.
     *
-    * STRICT SINGLE-WRITER REQUIREMENT: expire() deletes every data file the
-    * squashed manifest doesn't reference, with no age threshold. A
-    * concurrent commit whose files are already renamed into data/ but whose
-    * manifest is not yet published would have those files deleted out from
-    * under it, leaving a manifest referencing missing files (the same hazard
-    * Iceberg's remove-orphan-files mitigates with an `older_than` retention
-    * window). Run expire() only while no other writer is active — the
-    * table's commit protocol is single-writer by design (see [[commit]]),
-    * and this call is where that assumption is load-bearing.
+    * SINGLE-WRITER REQUIREMENT, with a belt-and-braces knob: at the default
+    * `olderThanMs = 0` expire() deletes every data file the squashed
+    * manifest doesn't reference, with no age threshold — a concurrent
+    * commit whose files are already renamed into data/ but whose manifest
+    * is not yet published would have those files deleted out from under it
+    * (the hazard Iceberg's remove-orphan-files mitigates with `older_than`).
+    * Run it only while no other writer is active; the table's commit
+    * protocol is single-writer by design (see [[commit]]). Passing
+    * `olderThanMs > 0` adds that same Iceberg safeguard: orphan data files
+    * and non-current manifests whose mtime is within the window are left in
+    * place for a later expire, so a racing commit's staged-but-unpublished
+    * files survive. The squash itself still assumes the read snapshot is
+    * current — the window protects files, not the squashed history.
     */
-  def expire(): Long = {
+  def expire(olderThanMs: Long = 0L): Long = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: Path): Boolean =
+      olderThanMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     val cur = currentSnapshotId.getOrElse(return -1L)
     val ms = chain(Some(cur))
     val visible = visibleRelFiles(Some(cur))
@@ -265,11 +272,11 @@ final class SnapshotTable(val root: String) {
     // orphan GC: every non-squash manifest, every unreferenced data file
     listed(Files.list(manifestsDir))(_.toSeq).foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("snap-") && n != f"snap-$id%05d.json") Files.delete(p)
+      if (n.startsWith("snap-") && n != f"snap-$id%05d.json" && oldEnough(p)) Files.delete(p)
     }
     val keep = visible.map(f => Paths.get(root, f).normalize).toSet
     listed(Files.walk(dataDir))(_.toSeq)
-      .filter(p => Files.isRegularFile(p) && !keep(p.normalize))
+      .filter(p => Files.isRegularFile(p) && !keep(p.normalize) && oldEnough(p))
       .foreach(Files.delete)
     // staging left by a compact() whose JVM died mid-write (the in-process
     // path cleans up via finally; this covers hard kills)

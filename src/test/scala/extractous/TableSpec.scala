@@ -65,6 +65,26 @@ class TableSpec extends AnyFunSuite {
     assert(table.chain().head.status_counts.values.sum == 500)
   }
 
+  test("expire retention window spares young orphans (racing-commit safeguard)") {
+    val tableDir = java.nio.file.Files.createTempDirectory("tabler").toString
+    ExtractJob.run(spark, corpusDir, tableDir, groupSize = 30)
+    val table = new SnapshotTable(tableDir)
+    // a racing commit's staged-but-unpublished file: renamed into data/
+    // moments ago, referenced by no manifest yet
+    val staged = java.nio.file.Paths.get(tableDir, "data", "warc_day=2024-01-01", "racing-commit.parquet")
+    java.nio.file.Files.write(staged, Array[Byte](1, 2, 3))
+    val before = table.read(spark).count()
+    val eid = table.expire(olderThanMs = 3600 * 1000L)
+    assert(table.currentSnapshotId.contains(eid))
+    assert(table.chain().size == 1, "window must not block the squash")
+    assert(java.nio.file.Files.exists(staged), "young orphan must survive the window")
+    assert(table.read(spark).count() == before)
+    // a later strict expire (single-writer window) collects it
+    table.expire()
+    assert(!java.nio.file.Files.exists(staged), "strict expire collects the orphan")
+    assert(table.read(spark).count() == before)
+  }
+
   test("full job: 3 snapshots over 30 days, output matches direct extraction") {
     val tableDir = java.nio.file.Files.createTempDirectory("table1").toString
     val s = ExtractJob.run(spark, corpusDir, tableDir, groupSize = 10)
