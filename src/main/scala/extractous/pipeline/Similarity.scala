@@ -151,6 +151,58 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic deduplication
+    * by clustering embeddings and removing, within each cluster, every item
+    * that has an ε-near neighbor of higher keep-priority. Matches the
+    * published implementation's rule exactly: cluster items are ranked by
+    * similarity-to-centroid ASCENDING (outliers kept preferentially, the
+    * paper's default) with id as tie-break, and item j is REMOVED iff some
+    * higher-priority i in its cluster has cos(i, j) ≥ threshold — the
+    * upper-triangle max-similarity test of the reference code, a set-based
+    * rule (no sequential greedy chain), which is what makes it expressible
+    * as one anti-join and replayable 1:1 in SQL.
+    *
+    * Scale shape: centroid build + argmax assignment are the IVF machinery
+    * ([[centroids]] / `nearest_cells` — narrow, model embedded in the
+    * expression); the only corpus exchange hashes on `cell` and carries
+    * `(id, vec, norm, csim)` embedding-sized rows; the within-cell pairwise
+    * cost is Σ|cluster|² — the knob is cluster count (the paper runs ~100k
+    * clusters at web scale so clusters stay small). Returns
+    * `(id, cell, kept)` for every row.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val centDf = centroids(corpus, cellCol, vecCol)
+    val centRows = centDf.orderBy(col("cell")).collect()
+    val cells: Array[Int] = centRows.map(r => r.get(0) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => x.toString.toInt
+    })
+    val cents: Array[Array[Double]] = centRows.map(_.getSeq[Double](1).toArray)
+    val vd = col(vecCol).cast("array<double>")
+    val assigned = corpus.select(col(idCol).as("id"), vd.as("v"),
+        element_at(extractous.spark.vectors.nearest_cells(vd, cells, cents, 1), 1).as("cell"))
+      .withColumn("vn", norm(col("v")))
+    val centSide = broadcast(centDf.withColumn("cn0", norm(col("centroid"))))
+    val prio = assigned.join(centSide, Seq("cell"))
+      .withColumn("csim", cosineWithNorms(col("v"), col("vn"), col("centroid"), col("cn0")))
+      .select(col("cell"), col("id"), col("v"), col("vn"), col("csim"))
+    val lhs = prio.select(col("cell"), col("id").as("id_a"), col("v").as("va"),
+      col("vn").as("na"), col("csim").as("ca"))
+    val rhs = prio.select(col("cell"), col("id").as("id_b"), col("v").as("vb"),
+      col("vn").as("nb"), col("csim").as("cb"))
+    val removed = lhs.join(rhs, Seq("cell"))
+      .filter(col("ca") < col("cb") || (col("ca") === col("cb") && col("id_a") < col("id_b")))
+      .withColumn("sim", cosineWithNorms(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("rid")).distinct()
+    prio.join(removed, col("id") === col("rid"), "left_outer")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        when(col("rid").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   /** Exact near-duplicate pairs by cosine ≥ threshold (brute force — the
     * verification-grade baseline).
     */

@@ -935,6 +935,20 @@ object SparkEntry {
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "s_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster → within-cluster ε-removal
+      // keeping outliers. Planted scaled copies sit at cos ≈ 1 with their
+      // originals, so exactly one of each pair survives; the oracle replays
+      // centroids, argmax assignment, the keep-priority order, and the
+      // upper-triangle removal rule 1:1 (output is flags and cells — no
+      // float column crosses the engine boundary)
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.25f)).as("embedding"), col("label")))
+      Similarity.semDedup(planted, threshold = 0.99)
+        .select(col("id").cast("long").as("vec_id"), col("cell"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
     // ---------- similarity search ----------
     "s_quantize" -> ((s, dir) => {
       // int8 symmetric quantization: scalars derived from the quantized
@@ -1792,6 +1806,43 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "s_semdedup" ->
+      // CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT) is bit-identical to the JVM's
+      // float multiply: the exact product fits a double (24+2 mantissa bits),
+      // and the final cast rounds once — the same single rounding IEEE float
+      // multiplication performs
+      """WITH base AS (
+        |  SELECT vec_id, label AS lab, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT))
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, lab, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+        |), pos AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS p),
+        |cent AS (
+        |  SELECT lab AS cell, list(m ORDER BY p) AS c FROM (
+        |    SELECT e.lab, pos.p, avg(e.v[pos.p]) AS m FROM e CROSS JOIN pos GROUP BY e.lab, pos.p
+        |  ) GROUP BY lab
+        |), assigned AS (
+        |  SELECT vec_id, v, cell, csim FROM (
+        |    SELECT e.vec_id, e.v, cent.cell,
+        |      list_dot_product(e.v, cent.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) AS csim,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, cent.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+        |        cent.cell ASC) AS r
+        |    FROM e CROSS JOIN cent)
+        |  WHERE r = 1
+        |), rem AS (
+        |  SELECT DISTINCT b.vec_id AS id
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+        |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+        |  WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+        |)
+        |SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.cell AS BIGINT) AS cell,
+        |  CAST(CASE WHEN rem.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM assigned s LEFT JOIN rem ON s.vec_id = rem.id
+        |ORDER BY vec_id""".stripMargin,
     "s_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -73,6 +73,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("topk_by_score"))
   }
 
+  test("semdedup: keeps the outlier of each near-dup group, spares distinct items") {
+    import spark.implicits._
+    // two well-separated clusters (label-seeded). Cluster 0: an exact-ish
+    // near-dup pair (1,2) plus a distinct member 3; cluster 1: a lone item.
+    // Keep-priority is LOWEST similarity-to-centroid first — within the pair
+    // the item farther from the centroid survives.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, v(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, v(0.999, 0.01, 0.0, 0.0), 0),   // near-dup of 1 (cos ≈ 0.99995)
+      (3L, v(0.6, 0.8, 0.0, 0.0), 0),      // same cluster, cos ≈ 0.6 to 1/2
+      (4L, v(0.0, 0.0, 1.0, 0.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = extractous.pipeline.Similarity.semDedup(rows, threshold = 0.99)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // centroid of cluster 0 leans toward the dup pair, so 3 is the outlier
+    // (kept), and of the pair the one farther from the centroid survives
+    val keptOfPair = out.filter(t => t._1 <= 2 && t._2 == 1L).map(_._1)
+    assert(keptOfPair.size == 1, s"exactly one of the near-dup pair survives: $out")
+    assert(out.toMap.apply(3L) == 1L, s"distinct member must survive: $out")
+    assert(out.toMap.apply(4L) == 1L, s"lone cluster member must survive: $out")
+    assert(out.count(_._2 == 1L) == 3)
+
+    // plan: no Window (the priority rule is an anti-join, not row_number),
+    // centroid attach broadcasts
+    val plan = extractous.pipeline.Similarity.semDedup(rows, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no row_number window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"centroid side must broadcast:\n$plan")
+  }
+
   test("AQE splits a planted hot bucket in the band-bucket self-join shape") {
     import spark.implicits._
     val conf = spark.conf
