@@ -286,7 +286,8 @@ object Bench {
       "d_dedup_substr" -> (() => force(Dedup.substringFlags(docsDf, "text", "doc_id", k = 8))),
       "t_tokens_bpe" -> (() => force(docsDf.select(extractous.pipeline.Bpe.countTokens(col("text"))))),
       "t_langid" -> (() => force(SparkEntry.queries("t_langid")(spark, sfDir))),
-      "d_dsir" -> (() => force(SparkEntry.queries("d_dsir")(spark, sfDir)))
+      "d_dsir" -> (() => force(SparkEntry.queries("d_dsir")(spark, sfDir))),
+      "s_semdedup" -> (() => force(SparkEntry.queries("s_semdedup")(spark, sfDir)))
     ).map { case (name, f) =>
       // min of 2 reps: one transient noisy window (writeback, neighbor VM)
       // must not be recorded as the operator's cost
