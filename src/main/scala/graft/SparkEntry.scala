@@ -875,6 +875,20 @@ object SparkEntry {
         .select(col("text_md5"), col("keep_id").cast("long").as("keep_id"), col("cnt").cast("long").as("cnt"))
         .orderBy(col("text_md5"))
     }),
+    "d_dedup_bloom" -> ((s, dir) => {
+      // Bloom-gated incremental dedup: docs with doc_id % 3 ≠ 0 play the
+      // "already-ingested corpus", the rest today's increment. The oracle
+      // replays the FILTER itself (k affine probe positions, all-bits-set
+      // test) — false positives included — so this verifies exact bloom
+      // semantics, not an approximation of an anti-join.
+      val d = docs(s, dir).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      val bits = extractous.pipeline.BloomDedup.build(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0), col("fp"))
+      extractous.pipeline.BloomDedup.flagged(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", col("fp"), bits)
+        .orderBy(col("doc_id"))
+    }),
     "d_minhash_lsh" -> ((s, dir) => {
       // LSH candidates + exact-Jaccard verification ⇒ the output equals the
       // brute-force pair set (oracle) whenever recall holds (P(miss) ~ 4e-8/pair)
@@ -1020,6 +1034,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
         "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "t_lm_ppl" -> ((s, dir) => {
+      // CCNet LM quality bucketing (Wenzek et al., LREC 2020 §4.4): a
+      // hashed-bigram LM trained on the English subset, head/middle/tail
+      // perplexity terciles. Model counts, fixed-point surprise scores,
+      // and the tercile thresholds ALL replay bit-identically in the
+      // DuckDB oracle — the score range is provably ≤ 6529 values, so the
+      // terciles come from an exact histogram, no ntile()/row_number().
+      extractous.pipeline.LmQuality.bucketed(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", col("lang") === "en")
         .orderBy(col("doc_id"))
     }),
     "t_tokens_bpe" -> ((s, dir) => {
@@ -1725,6 +1752,30 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "d_dedup_bloom" ->
+      // exact bloom replay: same polynomial fingerprint, same 4 affine
+      // probe positions, "maybe seen" ⟺ all 4 positions hit the seen
+      // side's position set — false positives reproduce identically
+      raw"""WITH fp AS (
+         |  SELECT doc_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |  FROM documents
+         |), pos AS (
+         |  SELECT doc_id, unnest([
+         |    ((fp * 31 + 7) % 1000000007) % 131072,
+         |    ((fp * 131 + 77) % 1000000007) % 131072,
+         |    ((fp * 1009 + 777) % 1000000007) % 131072,
+         |    ((fp * 9176 + 7777) % 1000000007) % 131072]) AS p
+         |  FROM fp
+         |), seen AS (
+         |  SELECT DISTINCT p FROM pos WHERE doc_id % 3 <> 0
+         |)
+         |SELECT pr.doc_id AS doc_id,
+         |  CAST(min(CASE WHEN s.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS maybe_seen
+         |FROM pos pr LEFT JOIN seen s ON pr.p = s.p
+         |WHERE pr.doc_id % 3 = 0
+         |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
     "d_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
          |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
@@ -1946,6 +1997,53 @@ object SparkEntry {
          |  CAST(coalesce(a.rsum, 0) // greatest(coalesce(a.n, 0), 1) AS BIGINT) AS rarity_mean_x1e6
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "t_lm_ppl" ->
+      // full replay of the CCNet bucketing: token hashes, trusted-subset
+      // gram counts, OOV-context penalty, fixed-point cube-log surprise,
+      // and the histogram terciles (via the window cumsum the Spark side
+      // avoids — the oracle is the textbook formulation on purpose)
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts FROM documents
+         |), th AS (
+         |  SELECT doc_id, lang,
+         |    unnest(range(1, len(ts)+1)) AS i,
+         |    unnest(list_transform(ts, t ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t)+1),
+         |        j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*31+c) % 1000000007))) AS h
+         |  FROM tok
+         |), pos AS (
+         |  SELECT a.doc_id, a.lang, a.h % 8192 AS pu,
+         |    8192 + ((a.h * 131 + c.h) % 1000000007) % 8192 AS pb
+         |  FROM th a JOIN th c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+         |), cnt AS (
+         |  SELECT b, count(*) AS n FROM (
+         |    SELECT pu AS b FROM pos WHERE lang = 'en'
+         |    UNION ALL SELECT pb FROM pos WHERE lang = 'en') GROUP BY b
+         |), terms AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN coalesce(u.n, 0) = 0 THEN 51
+         |         ELSE CAST(floor(log2(CAST(least(u.n+1,131072)*least(u.n+1,131072)*least(u.n+1,131072) AS DOUBLE))) AS BIGINT)
+         |            - CAST(floor(log2(CAST(least(coalesce(g.n,0)+1,131072)*least(coalesce(g.n,0)+1,131072)*least(coalesce(g.n,0)+1,131072) AS DOUBLE))) AS BIGINT)
+         |    END AS term
+         |  FROM pos p LEFT JOIN cnt u ON u.b = p.pu LEFT JOIN cnt g ON g.b = p.pb
+         |), ds AS (
+         |  SELECT d.doc_id, CAST(coalesce((64 * t.s) // t.c, 0) AS BIGINT) AS surprise_x64
+         |  FROM documents d LEFT JOIN (SELECT doc_id, sum(term) AS s, count(*) AS c FROM terms GROUP BY doc_id) t
+         |    ON d.doc_id = t.doc_id
+         |), ks AS (
+         |  SELECT count(*) // 3 AS k1, 2 * count(*) // 3 AS k2 FROM documents
+         |), cum AS (
+         |  SELECT s, sum(cnt) OVER (ORDER BY s) AS c
+         |  FROM (SELECT surprise_x64 AS s, count(*) AS cnt FROM ds GROUP BY surprise_x64)
+         |), thr AS (
+         |  SELECT (SELECT min(s) FROM cum, ks WHERE ks.k1 > 0 AND c >= ks.k1) AS s1,
+         |         (SELECT min(s) FROM cum, ks WHERE ks.k2 > 0 AND c >= ks.k2) AS s2
+         |)
+         |SELECT ds.doc_id AS doc_id, ds.surprise_x64 AS surprise_x64,
+         |  CASE WHEN thr.s1 IS NOT NULL AND ds.surprise_x64 <= thr.s1 THEN 'head'
+         |       WHEN thr.s2 IS NOT NULL AND ds.surprise_x64 <= thr.s2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ds, thr ORDER BY ds.doc_id""".stripMargin,
     "t_tokens_bpe" ->
       raw"""SELECT doc_id,
          |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
