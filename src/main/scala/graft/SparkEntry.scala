@@ -875,6 +875,15 @@ object SparkEntry {
         .select(col("text_md5"), col("keep_id").cast("long").as("keep_id"), col("cnt").cast("long").as("cnt"))
         .orderBy(col("text_md5"))
     }),
+    "d_pack" -> ((s, dir) => {
+      // GPT-style sequence packing (concat in id order, chunk at 256
+      // tokens): the global prefix sum runs as a two-level scan — block-
+      // partitioned parallel windows + a broadcast of 32 block offsets —
+      // while the oracle deliberately uses the textbook single-window
+      // cumsum the Spark side avoids
+      extractous.pipeline.Packing.pack(docs(s, dir), "doc_id", "text", seqLen = 256)
+        .orderBy(col("doc_id"))
+    }),
     "d_dedup_bloom" -> ((s, dir) => {
       // Bloom-gated incremental dedup: docs with doc_id % 3 ≠ 0 play the
       // "already-ingested corpus", the rest today's increment. The oracle
@@ -1752,6 +1761,21 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "d_pack" ->
+      raw"""WITH n AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS BIGINT) AS n
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n,
+         |    coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM n
+         |)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(cum // 256 AS BIGINT) AS seq_id_first,
+         |  CAST(cum % 256 AS BIGINT) AS seq_off_first,
+         |  CAST((cum + greatest(n, 1) - 1) // 256 AS BIGINT) AS seq_id_last
+         |FROM c ORDER BY doc_id""".stripMargin,
     "d_dedup_bloom" ->
       // exact bloom replay: same polynomial fingerprint, same 4 affine
       // probe positions, "maybe seen" ⟺ all 4 positions hit the seen
