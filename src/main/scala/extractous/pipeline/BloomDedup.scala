@@ -39,8 +39,16 @@ object BloomDedup {
     */
   val DefaultBits = 131072
 
+  /** A built filter carries its own m: probing with a different modulus
+    * than the build silently breaks the no-false-negative guarantee, so
+    * the pair is inseparable by construction.
+    */
+  final case class Filter(bits: Array[Long], m: Int) {
+    require(m > 0 && bits.length == (m + 63) / 64, "bitset size must match m")
+  }
+
   /** Packed m-bit filter of every `keyCol` fingerprint in `seen`. */
-  def build(seen: DataFrame, keyCol: Column, m: Int = DefaultBits): Array[Long] = {
+  def build(seen: DataFrame, keyCol: Column, m: Int = DefaultBits): Filter = {
     val pos = seen
       .select(explode(extractous.spark.bloom.bloom_positions(keyCol, m)).as("p"))
       .distinct()
@@ -50,20 +58,18 @@ object BloomDedup {
       val p = r.getLong(0)
       bits((p >>> 6).toInt) |= 1L << (p & 63)
     }
-    bits
+    Filter(bits, m)
   }
 
   /** `(idCol, maybe_seen)` for every probe row — a narrow zero-exchange
     * projection against the embedded filter; `maybe_seen` ∈ {0, 1}.
     */
-  def flagged(probe: DataFrame, idCol: String, keyCol: Column,
-      bits: Array[Long], m: Int = DefaultBits): DataFrame =
+  def flagged(probe: DataFrame, idCol: String, keyCol: Column, f: Filter): DataFrame =
     probe.select(col(idCol),
-      extractous.spark.bloom.bloom_maybe_contains(keyCol, bits, m)
+      extractous.spark.bloom.bloom_maybe_contains(keyCol, f.bits, f.m)
         .cast("long").as("maybe_seen"))
 
   /** The guaranteed-new subset of `probe` (drops maybe-seen rows). */
-  def fresh(probe: DataFrame, keyCol: Column, bits: Array[Long],
-      m: Int = DefaultBits): DataFrame =
-    probe.filter(!extractous.spark.bloom.bloom_maybe_contains(keyCol, bits, m))
+  def fresh(probe: DataFrame, keyCol: Column, f: Filter): DataFrame =
+    probe.filter(!extractous.spark.bloom.bloom_maybe_contains(keyCol, f.bits, f.m))
 }

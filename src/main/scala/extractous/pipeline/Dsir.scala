@@ -41,7 +41,7 @@ object Dsir {
   val DefaultBuckets = 8192
 
   private def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    split(trim(c), "\\s+")
+    TextStats.gramTokens(c)
 
   /** (source, target) bucket-count profiles from ONE scan: source counts
     * every document's grams, target counts the rows matching `targetPred`

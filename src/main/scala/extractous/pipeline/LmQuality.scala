@@ -46,10 +46,10 @@ object LmQuality {
 
   val DefaultBuckets = 8192
 
-  /** Tokenization shared with [[Dsir]] (plain `\s+` split — the gram-family
-    * convention; the oracle mirrors `string_split_regex`).
+  /** Tokenization shared with [[Dsir]] via [[TextStats.gramTokens]] (plain
+    * `\s+` split, null ≡ empty; the oracle mirrors `string_split_regex`).
     */
-  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+  private def tokens(c: Column): Column = TextStats.gramTokens(c)
 
   /** `(counts, corpusRows)`: the 2·B-entry gram count table from the rows
     * matching `trustedPred`, plus the FULL corpus row count (for the

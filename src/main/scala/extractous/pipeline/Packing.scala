@@ -45,12 +45,14 @@ object Packing {
       blocks: Int = 32): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     require(blocks > 0, "blocks must be positive")
-    val counted = df.select(col(idCol),
+    // internal fixed name: expr() below must not re-parse a caller-supplied
+    // column name (spaces, dots, reserved words would mis-resolve)
+    val counted = df.select(col(idCol).as("_id"),
       TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val maxRow = counted.agg(max(col(idCol))).head
+    val maxRow = counted.agg(max(col("_id"))).head
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val blockSize = math.max(1L, (maxId + blocks.toLong) / blocks.toLong) // ceil((maxId+1)/blocks)
-    val withBlock = counted.withColumn("_blk", expr(s"$idCol div $blockSize"))
+    val withBlock = counted.withColumn("_blk", expr(s"_id div $blockSize"))
     // per-block totals → driver prefix scan (≤ `blocks` rows)
     val totals = withBlock.groupBy(col("_blk")).agg(sum(col("n_tokens")).as("_t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -59,12 +61,12 @@ object Packing {
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("_blk", "_off")
     // per-block running sum, exclusive of the current row
-    val w = Window.partitionBy(col("_blk")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("_blk")).orderBy(col("_id"))
     withBlock
       .withColumn("_local", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .join(broadcast(offDf), "_blk")
       .withColumn("_cum", col("_off") + col("_local"))
-      .select(col(idCol), col("n_tokens"),
+      .select(col("_id").as(idCol), col("n_tokens"),
         expr(s"_cum div $seqLen").as("seq_id_first"),
         (col("_cum") % seqLen).as("seq_off_first"),
         expr(s"(_cum + greatest(n_tokens, 1) - 1) div $seqLen").as("seq_id_last"))

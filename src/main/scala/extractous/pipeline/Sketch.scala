@@ -29,7 +29,10 @@ object Sketch {
     * so it is bit-identical across engines and parallelism levels.
     */
   def kmvDistinct(df: DataFrame, textCol: String, k: Int = 64): DataFrame = {
-    val smallest = df.select(TextStats.fingerprint(col(textCol)).as("h"))
+    // null text hashes as the empty document (fingerprint 0) — otherwise a
+    // null fingerprint sorts FIRST under the ascending limit and would
+    // occupy one of the k minimum slots, biasing the estimate upward
+    val smallest = df.select(TextStats.fingerprint(coalesce(col(textCol), lit(""))).as("h"))
       .distinct()
       .orderBy(col("h"))
       .limit(k)

@@ -31,6 +31,15 @@ object TextStats {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Gram-family tokenization (shared by [[Dsir]] and [[LmQuality]] so the
+    * convention cannot silently diverge): plain `\s+` split over the
+    * trimmed text — deliberately UNFILTERED, unlike [[tokens]], because the
+    * oracles mirror a bare `string_split_regex`. Null text coalesces to the
+    * empty document (one "" token → no grams, score 0) so no row is ever
+    * lost to a null payload.
+    */
+  def gramTokens(c: Column): Column = split(trim(coalesce(c, lit(""))), "\\s+")
+
   /** Distinct-presence stopword hits (bounded by the stop list size — robust
     * against one common word dominating).
     */

@@ -41,19 +41,24 @@ object LinkKernel {
   def compute(html0: UTF8String, base0: UTF8String): GenericArrayData = {
     val html = html0.toString
     val base = base0.toString
-    // base decomposition: scheme://authority/path
+    // base decomposition (RFC 3986 §3): scheme://authority/path?query#frag.
+    // The authority ends at the first of '/', '?', '#'; the base PATH used
+    // for merging (§5.2.3) excludes query and fragment — a '/' inside
+    // "?redirect=/login" must not become the merge directory.
     var schemeEnd = base.indexOf("://")
-    val (origin, dir) =
-      if (schemeEnd < 0) ("", "/")
+    val (origin, path) =
+      if (schemeEnd < 0) ("", "")
       else {
-        val pathStart = base.indexOf('/', schemeEnd + 3)
-        if (pathStart < 0) (base, "/")
-        else {
-          val p = base.substring(pathStart)
-          val cut = math.max(p.lastIndexOf('/'), 0)
-          (base.substring(0, pathStart), p.substring(0, cut + 1))
-        }
+        var i = schemeEnd + 3
+        while (i < base.length && base.charAt(i) != '/' && base.charAt(i) != '?' && base.charAt(i) != '#') i += 1
+        var j = i
+        while (j < base.length && base.charAt(j) != '?' && base.charAt(j) != '#') j += 1
+        (base.substring(0, i), base.substring(i, j))
       }
+    val dir = {
+      val cut = path.lastIndexOf('/')
+      if (cut < 0) "/" else path.substring(0, cut + 1)
+    }
     val scheme = if (schemeEnd < 0) "https" else base.substring(0, schemeEnd)
     val out = Vector.newBuilder[UTF8String]
     val toks = extractous.html.HtmlTokenizer.tokenize(html)
@@ -64,11 +69,17 @@ object LinkKernel {
             val raw = extractous.html.HtmlTokenizer.decodeEntities(raw0).trim
             val noFrag = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
             if (noFrag.nonEmpty && !skipScheme(noFrag)) {
+              // schemes are case-insensitive (RFC 3986 §3.1): recognize
+              // HTTP:// etc. as absolute and normalize the scheme to lower
+              val httpAt = noFrag.regionMatches(true, 0, "http://", 0, 7)
+              val httpsAt = noFrag.regionMatches(true, 0, "https://", 0, 8)
               val abs =
-                if (noFrag.startsWith("http://") || noFrag.startsWith("https://")) noFrag
+                if (httpAt) "http://" + noFrag.substring(7)
+                else if (httpsAt) "https://" + noFrag.substring(8)
                 else if (noFrag.startsWith("//")) scheme + ":" + noFrag
                 else if (origin.isEmpty) "" // schemeless base cannot anchor relatives
                 else if (noFrag.startsWith("/")) origin + noFrag
+                else if (noFrag.startsWith("?")) origin + path + noFrag // RFC 3986 §5.3: keep the FULL base path
                 else origin + dir + noFrag
               if (abs.nonEmpty) out += UTF8String.fromString(abs)
             }

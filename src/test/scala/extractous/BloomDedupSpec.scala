@@ -65,16 +65,17 @@ class BloomDedupSpec extends AnyFunSuite {
     val m = 64 // absurdly small on purpose: force false positives
     val df = (0 until 200).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
       .select(col("doc_id"), extractous.spark.signatures.poly_fingerprint(col("text")).as("fp"))
-    val bits = BloomDedup.build(df, col("fp"), m)
+    val f = BloomDedup.build(df, col("fp"), m)
     // probing the seen side itself: everything must flag maybe_seen=1
-    val leaked = BloomDedup.fresh(df, col("fp"), bits, m).count()
+    val leaked = BloomDedup.fresh(df, col("fp"), f).count()
     assert(leaked == 0L, "a false negative is impossible by construction")
   }
 
   test("plan: the probe is a narrow zero-exchange projection") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i.toLong, i.toLong * 31 + 5)).toDF("doc_id", "fp")
-    val plan = BloomDedup.flagged(df, "doc_id", col("fp"), new Array[Long](2048))
+    val plan = BloomDedup.flagged(df, "doc_id", col("fp"),
+        BloomDedup.Filter(new Array[Long](2048), 131072))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"bloom probe must be narrow:\n$plan")

@@ -103,6 +103,29 @@ class HtmlSpec extends AnyFunSuite {
       Seq("http://b.example/y"))
   }
 
+  test("extract_links: base query strings, ?-only hrefs, uppercase schemes (RFC 3986 §5)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def links(html: String, base: String): Seq[String] =
+      extractous.spark.LinkKernel.compute(UTF8String.fromString(html), UTF8String.fromString(base))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    // a '/' inside the base's query must not become the merge directory (§5.2.3)
+    assert(links("""<a href="next.html">n</a>""", "http://h.example/a/b?redirect=/login") ==
+      Seq("http://h.example/a/next.html"))
+    // base fragment likewise excluded from the merge path
+    assert(links("""<a href="next.html">n</a>""", "http://h.example/a/b#frag/x") ==
+      Seq("http://h.example/a/next.html"))
+    // query-only base: origin stays clean
+    assert(links("""<a href="/r">n</a>""", "http://h.example?x=1") ==
+      Seq("http://h.example/r"))
+    // ?-only href keeps the FULL base path (§5.3) — pagination links
+    assert(links("""<a href="?page=2">n</a>""", "http://h.example/a/b?page=1") ==
+      Seq("http://h.example/a/b?page=2"))
+    // schemes are case-insensitive (§3.1); normalized to lowercase
+    assert(links("""<a href="HTTP://B.EXAMPLE/p">n</a><a href="HTTPS://c.example/q">m</a>""",
+      "http://h.example/") ==
+      Seq("http://B.EXAMPLE/p", "https://c.example/q"))
+  }
+
   test("extract_links: the generator page's boilerplate anchors in document order") {
     import org.apache.spark.unsafe.types.UTF8String
     val html = new String(extractous.gen.CorpusGen.htmlPayload(3, "the quick brown fox", "en"), "UTF-8")

@@ -106,6 +106,21 @@ class LmQualitySpec extends AnyFunSuite {
     assert(got(0L) == "middle" && got(1L) == "tail")
   }
 
+  test("null text rows count toward N and score 0 — no crash, no silent row loss") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Option("the cat sat"), "en"),
+      (1L, None: Option[String], "en"),
+      (2L, Option("the cat sat"), "en")
+    ).toDF("doc_id", "text", "lang")
+    val (_, total) = LmQuality.model(df, "text", col("lang") === "en", b = 64)
+    assert(total == 3L, "the null row must still count toward the corpus size")
+    val out = LmQuality.bucketed(df, "doc_id", "text", col("lang") === "en", b = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 3)
+    assert(out.find(_._1 == 1L).get._2 == 0L, "null text scores as the empty document")
+  }
+
   test("plan: scoring is a narrow zero-exchange projection") {
     import spark.implicits._
     val df = (0L until 50L).map(i => (i, s"w$i w${i + 1} w$i")).toDF("doc_id", "text")

@@ -351,6 +351,21 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(est - 5000) / 5000 < 3.0 / math.sqrt(64), s"estimate $est too far from 5000")
   }
 
+  test("KMV sketch: a null text hashes as the empty document instead of biasing the k minima") {
+    import spark.implicits._
+    val Mod = 1000000007L
+    def refPoly(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % Mod)
+    val texts = (1 to 5).map(i => s"doc body $i")
+    val df = (texts.map(Option(_)) :+ (None: Option[String])).toDF("text")
+    val r = extractous.pipeline.Sketch.kmvDistinct(df, "text", k = 4).head
+    // reference: null ≡ "" (fingerprint 0); 6 distinct hashes, k=4 branch
+    val hs = (texts.map(refPoly) :+ 0L).sorted
+    val expect = math.floor(3.0 * 1000000007.0 / math.max(hs(3), 1L)).toLong
+    assert(r.getLong(0) == 4 && r.getLong(2) == expect,
+      s"got (${r.getLong(0)}, ${r.getLong(2)}), want (4, $expect)")
+  }
+
   test("c4 report: line gate, sentence quota, and page kills on a crafted document") {
     import spark.implicits._
     val doc =
