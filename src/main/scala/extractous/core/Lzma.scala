@@ -267,7 +267,7 @@ private[core] final class LzmaDecoder(out: Array[Byte]) {
         if (state < 7) {
           while (symbol < 0x100) symbol = (symbol << 1) | decodeBit(litProbs, base + symbol)
         } else {
-          if (rep0 + 1 > outPos) throw new IllegalArgumentException("lzma: matched literal before any data")
+          if (rep0.toLong + 1 > outPos) throw new IllegalArgumentException("lzma: matched literal before any data")
           var matchByte = out(outPos - rep0 - 1) & 0xff
           var break = false
           while (!break && symbol < 0x100) {
@@ -293,7 +293,7 @@ private[core] final class LzmaDecoder(out: Array[Byte]) {
             if (decodeBit(isRep0Long, (state << 4) + posState) == 0) {
               // short rep: one byte at rep0
               state = if (state < 7) 9 else 11
-              if (rep0 + 1 > outPos) throw new IllegalArgumentException("lzma: short-rep distance overruns")
+              if (rep0.toLong + 1 > outPos) throw new IllegalArgumentException("lzma: short-rep distance overruns")
               out(outPos) = out(outPos - rep0 - 1)
               outPos += 1
               // continue main loop
@@ -340,7 +340,7 @@ private[core] final class LzmaDecoder(out: Array[Byte]) {
         }
         if (len0 >= 0) {
           val matchLen = len0 + 2
-          if (rep0 < 0 || rep0 + 1 > outPos)
+          if (rep0 < 0 || rep0.toLong + 1 > outPos)
             throw new IllegalArgumentException("lzma: match distance overruns dictionary")
           if (outPos + matchLen > limit)
             throw new IllegalArgumentException("lzma: match overruns declared output size")

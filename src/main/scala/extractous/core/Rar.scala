@@ -34,15 +34,9 @@ object Rar {
       bytes(3) == '!' && bytes(4) == 0x1A && bytes(5) == 0x07 &&
       bytes(6) == 0x01 && bytes(7) == 0x00
 
-  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
-    val c = new java.util.zip.CRC32()
-    c.update(b, off, len)
-    c.getValue
-  }
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = BinUtil.crc32(b, off, len)
 
-  private def u32le(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
-      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def u32le(b: Array[Byte], off: Int): Long = BinUtil.u32le(b, off)
 
   /** Little-endian base-128 vint at `off`; returns (value, bytesConsumed).
     * Caps at 9 bytes / 63 bits — a longer encoding is structural corruption.

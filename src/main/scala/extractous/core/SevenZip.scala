@@ -26,6 +26,12 @@ object SevenZip {
   def looksLike7z(bytes: Array[Byte]): Boolean =
     bytes.length >= 32 && (0 until 6).forall(i => bytes(i) == Signature(i))
 
+  /** Aggregate decompression-bomb cap across ALL folders of one archive
+    * (matches [[Rar.MaxTotalBytes]]). Individual folders are additionally
+    * capped by the LZMA decoders.
+    */
+  private val MaxTotalBytes = 256L * 1024 * 1024
+
   /** RAR 4.x and 5.x signatures. RAR5 routes to [[Rar.members]] (store-mode
     * members extract; compressed members refuse); RAR4 stays a
     * detection-only refusal so it never mojibakes through the text rungs.
@@ -35,14 +41,9 @@ object SevenZip {
       bytes(3) == '!' && bytes(4) == 0x1A && bytes(5) == 0x07 &&
       (bytes(6) == 0x00 || (bytes(6) == 0x01 && bytes.length >= 8 && bytes(7) == 0x00))
 
-  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
-    val c = new java.util.zip.CRC32()
-    c.update(b, off, len)
-    c.getValue
-  }
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = BinUtil.crc32(b, off, len)
 
-  private def u32le(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def u32le(b: Array[Byte], off: Int): Long = BinUtil.u32le(b, off)
 
   private def u64le(b: Array[Byte], off: Int): Long = {
     var v = 0L
@@ -265,7 +266,7 @@ object SevenZip {
     * (kEncodedHeader) metadata - what `7z a` writes by default - is
     * decoded and re-parsed.
     */
-  def members(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  def members(bytes: Array[Byte], maxTotal: Long = MaxTotalBytes): Seq[(String, Array[Byte])] = {
     if (!looksLike7z(bytes)) throw new IllegalArgumentException("7z: bad signature")
     if (crc32(bytes, 12, 20) != u32le(bytes, 8))
       throw new IllegalArgumentException("7z: start header CRC mismatch")
@@ -341,6 +342,17 @@ object SevenZip {
     if (!sawStreams || names.length != si.folders.length)
       throw new UnsupportedArchiveException(
         s"folder/file mismatch (${si.folders.length} folders, ${names.length} files)")
+    // aggregate decompression budget: each folder is individually capped by
+    // the LZMA decoders, but a crafted archive declaring thousands of folders
+    // would otherwise multiply that cap without bound (same posture as
+    // Rar.MaxTotalBytes) — refuse before decoding anything
+    val totalDeclared = si.unpackSizes.foldLeft(0L) { (a, s) =>
+      if (s < 0 || a + s < 0) throw new IllegalArgumentException("7z: unpack size overflow")
+      a + s
+    }
+    if (totalDeclared > maxTotal)
+      throw new IllegalArgumentException(
+        s"7z: aggregate declared unpack size $totalDeclared exceeds budget $maxTotal")
     names.indices.map { i =>
       (names(i), decodeFolder(si.folders(i), packSlice(bytes, si, i), si.unpackSizes(i)))
     }

@@ -22,9 +22,7 @@ object Xz {
   def looksLikeXz(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 && (0 until 6).forall(i => bytes(i) == Magic(i))
 
-  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
-    val c = new java.util.zip.CRC32(); c.update(b, off, len); c.getValue
-  }
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = BinUtil.crc32(b, off, len)
 
   // CRC64/ECMA-182 in the reflected form the XZ spec mandates
   // (poly 0xC96C5795D7870F42, init/xorout all-ones), table built once.
@@ -54,9 +52,7 @@ object Xz {
     ~crc
   }
 
-  private def u32le(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def u32le(b: Array[Byte], off: Int): Long = BinUtil.u32le(b, off)
 
   /** Byte cursor with the spec's multibyte (7-bits-per-byte LE) integers. */
   private final class Rd(val b: Array[Byte], var pos: Int, val limit: Int) {

@@ -407,6 +407,27 @@ object Zstd {
   // --------------------------------------------------------------- frame --
 
   /** Per-frame decoder state persisting across blocks. */
+  /** Growable frame-output buffer that exposes its backing array, so match
+    * copies index the history in place — a ByteArrayOutputStream here would
+    * force a full `toByteArray` snapshot per block (quadratic in frame size).
+    */
+  private final class Hist(initial: Int) {
+    var a = new Array[Byte](math.max(initial, 64))
+    var len = 0
+    private def ensure(n: Int): Unit = {
+      if (len.toLong + n > a.length) {
+        var cap = a.length.toLong * 2
+        while (cap < len.toLong + n) cap *= 2
+        if (cap > Int.MaxValue - 8) cap = Int.MaxValue - 8
+        if (cap < len.toLong + n) bad("frame output exceeds array limit")
+        a = java.util.Arrays.copyOf(a, cap.toInt)
+      }
+    }
+    def write(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, off, a, len, n); len += n
+    }
+  }
+
   private final class FrameState {
     var huffman: HufTable = null
     var llTable: FseTable = null
@@ -474,13 +495,18 @@ object Zstd {
     }
     if (singleSegment) windowSize = if (contentSize >= 0) contentSize else 0
     if (windowSize > MaxWindow) bad("window size exceeds decoder limit")
-    if (contentSize > maxOut) bad("content size exceeds budget")
+    // the budget is GLOBAL: concatenated frames share one maxOut, so N
+    // frames each just under the cap cannot multiply it (the bomb gate the
+    // bzip2 and xz decoders also enforce across streams)
+    val budget = maxOut - out.size()
+    if (contentSize > budget) bad("content size exceeds budget")
 
-    val frameStart = out.size()
     val st = new FrameState
-    // sliding history buffer: we keep the whole frame output (bounded by
-    // maxOut) — simpler than a ring and correct for our in-memory use
-    val hist = new ByteArrayOutputStream(math.min(1 << 16, maxOut).toInt)
+    // frame history buffer: we keep the whole frame output (bounded by the
+    // budget) in one growable array — simpler than a ring, correct for our
+    // in-memory use, and match copies index it directly with zero per-block
+    // snapshot copies
+    val hist = new Hist(math.min(1 << 16, math.max(budget, 64L)).toInt)
 
     var last = false
     while (!last) {
@@ -493,31 +519,29 @@ object Zstd {
       btype match {
         case 0 =>
           if (p + bsize > bytes.length) bad("raw block overruns")
-          if (hist.size() + bsize > maxOut) bad("output budget exceeded")
+          if (hist.len.toLong + bsize > budget) bad("output budget exceeded")
           hist.write(bytes, p, bsize)
           p += bsize
         case 1 =>
           if (p >= bytes.length) bad("rle block overruns")
-          if (hist.size().toLong + bsize > maxOut) bad("output budget exceeded")
+          if (hist.len.toLong + bsize > budget) bad("output budget exceeded")
           val fill = new Array[Byte](bsize)
           java.util.Arrays.fill(fill, bytes(p))
           hist.write(fill, 0, bsize)
           p += 1
         case 2 =>
           if (p + bsize > bytes.length) bad("compressed block overruns")
-          decodeBlock(bytes, p, p + bsize, st, hist, maxOut)
+          decodeBlock(bytes, p, p + bsize, st, hist, budget)
           p += bsize
         case _ => bad("reserved block type")
       }
     }
-    val data = hist.toByteArray
-    if (contentSize >= 0 && data.length != contentSize) bad("content size mismatch")
-    out.write(data, 0, data.length)
-    if (out.size() - frameStart > maxOut) bad("output budget exceeded")
+    if (contentSize >= 0 && hist.len != contentSize) bad("content size mismatch")
+    out.write(hist.a, 0, hist.len)
     if (checksum) {
       if (p + 4 > bytes.length) bad("truncated checksum")
       val want = u32(bytes, p)
-      val got = Xxh64.hash(data, data.length, 0L) & 0xFFFFFFFFL
+      val got = Xxh64.hash(hist.a, hist.len, 0L) & 0xFFFFFFFFL
       if (want != got) bad("content checksum mismatch")
       p += 4
     }
@@ -527,7 +551,7 @@ object Zstd {
   // --------------------------------------------------------------- block --
 
   private def decodeBlock(buf: Array[Byte], start: Int, end: Int, st: FrameState,
-      hist: ByteArrayOutputStream, maxOut: Long): Unit = {
+      hist: Hist, maxOut: Long): Unit = {
     var p = start
     // ---- literals section (§3.1.1.3.1) ----
     if (p >= end) bad("literals: empty block")
@@ -627,7 +651,7 @@ object Zstd {
       nSeq = (buf(p + 1) & 0xFF) + ((buf(p + 2) & 0xFF) << 8) + 0x7F00; p += 3
     }
     if (nSeq == 0) {
-      if (hist.size().toLong + literals.length > maxOut) bad("output budget exceeded")
+      if (hist.len.toLong + literals.length > maxOut) bad("output budget exceeded")
       hist.write(literals, 0, literals.length)
       if (p != end) bad("sequences: trailing bytes after empty section")
       return
@@ -664,7 +688,7 @@ object Zstd {
     var ofState = bb.read(ofT.accuracyLog).toInt
     var mlState = bb.read(mlT.accuracyLog).toInt
 
-    val base = hist.toByteArray // frame history so far (the match window)
+    val histLen = hist.len // frame history length so far (the match window)
     var litPos = 0
     var cur = new Array[Byte](math.max(literals.length * 2, 1024))
     var curLen = 0
@@ -706,18 +730,18 @@ object Zstd {
         }
       }
       if (litLen > literals.length - litPos) bad("literal run overruns literals")
-      if (hist.size().toLong + curLen + litLen + matchLen > maxOut) bad("output budget exceeded")
+      if (histLen.toLong + curLen + litLen + matchLen > maxOut) bad("output budget exceeded")
       ensure(litLen)
       System.arraycopy(literals, litPos, cur, curLen, litLen)
       curLen += litLen
       litPos += litLen
       // match copy, byte-by-byte (overlap is the normal case)
-      val total = base.length.toLong + curLen
+      val total = histLen.toLong + curLen
       var src = total - offset
       if (src < 0) bad("match offset beyond frame start")
       var k = 0
       while (k < matchLen) {
-        val b = if (src < base.length) base(src.toInt) else cur((src - base.length).toInt)
+        val b = if (src < histLen) hist.a(src.toInt) else cur((src - histLen).toInt)
         emit(b)
         src += 1
         k += 1
@@ -731,7 +755,7 @@ object Zstd {
     }
     // trailing literals
     val rest = literals.length - litPos
-    if (hist.size().toLong + curLen + rest > maxOut) bad("output budget exceeded")
+    if (histLen.toLong + curLen + rest > maxOut) bad("output budget exceeded")
     ensure(rest)
     System.arraycopy(literals, litPos, cur, curLen, rest)
     curLen += rest

@@ -37,7 +37,12 @@ object DomainBalance {
 
   /** At most `k` rows per URL host, deterministically keyed on
     * `poly_fingerprint(url)` with the row id as tie-break. Input columns are
-    * preserved; a `host` column is added.
+    * preserved; a `host` column derived from `urlCol` is added, REPLACING any
+    * pre-existing column of that name. Rows whose URL yields no parseable
+    * host (host = "") are mutually unrelated documents, not one domain, so
+    * they bypass the cap and are all kept (same posture as LinkGraph's
+    * `host =!= ""` exclusion). `idCol` must be a BIGINT column — the
+    * bounded-heap aggregate packs `(prio, id)` into 16-byte pairs.
     *
     * @param broadcastThresholds true (default) broadcasts the at-cap host
     *   table — right while hosts-at-cap ≤ ~10^7 (16-byte pairs + host
@@ -53,12 +58,16 @@ object DomainBalance {
       k: Int,
       broadcastThresholds: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
+    require(df.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"idCol '$idCol' must be BIGINT (got ${df.schema(idCol).dataType.sql}); " +
+        "cast or re-key before capping")
     val prio = TextStats.fingerprint(col(urlCol))
     val withKeys = df
       .withColumn("host", UrlFilter.host(col(urlCol)))
       .withColumn("_dc_prio", prio)
     val thresholds = withKeys
       .select(col("host"), col("_dc_prio"), col(idCol))
+      .filter(col("host") =!= "") // host-less rows are not one domain: uncapped
       .groupBy("host")
       .agg(extractous.spark.topk.kth_smallest_pair(col("_dc_prio"), col(idCol), k).as("_dc_th"))
       .filter(col("_dc_th").isNotNull)

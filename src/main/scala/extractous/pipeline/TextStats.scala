@@ -247,7 +247,7 @@ object TextStats {
     * property test; not on any wired query path.
     */
   private[extractous] def c4CleanHof(content: Column): Seq[(String, Column)] = {
-    val kept = filter(transform(split(content, "\n", -1), l => trim(l)), t =>
+    val kept = filter(transform(split(content, "\r?\n", -1), l => trim(l)), t =>
       t.rlike("[.!?\"]$") &&
         size(filter(split(t, "\\s+"), w => w =!= "")) >= 3 &&
         !lower(t).contains("javascript"))

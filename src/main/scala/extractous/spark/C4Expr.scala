@@ -47,7 +47,14 @@ object C4Kernel {
     var sentences = 0L
     var li = 0
     while (li < lines.length) {
-      val t = trimSp(lines(li))
+      // CRLF text: '\n'-split leaves one trailing '\r' per line, which would
+      // fail the terminal-punctuation gate and wrongly drop the whole page
+      // (C4's splitlines treats \r\n as one break) — strip it before trimming
+      val raw = lines(li)
+      val noCr =
+        if (raw.nonEmpty && raw.charAt(raw.length - 1) == '\r') raw.substring(0, raw.length - 1)
+        else raw
+      val t = trimSp(noCr)
       if (t.nonEmpty) {
         val last = t.charAt(t.length - 1)
         if (last == '.' || last == '!' || last == '?' || last == '"') {

@@ -2147,7 +2147,7 @@ object SparkEntry {
          |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Win big at the casino tonight.' ELSE '' END AS content
          |  FROM documents),
          |k AS (SELECT doc_id, content,
-         |  list_filter(list_transform(string_split(content, chr(10)), l -> trim(l)), t ->
+         |  list_filter(list_transform(string_split(content, chr(10)), l -> trim(regexp_replace(l, chr(13) || '$$', ''))), t ->
          |    length(t) > 0 AND substr(t, length(t), 1) IN ('.', '!', '?', '"')
          |    AND len(list_filter(string_split(t, ' '), w -> w <> '')) >= 3
          |    AND NOT contains(lower(t), 'javascript')) AS kept,

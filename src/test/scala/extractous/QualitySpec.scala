@@ -402,6 +402,18 @@ class QualitySpec extends AnyFunSuite {
     assert(r5.getAs[Long]("n_sentences") == 3 && r5.getAs[Long]("c4_pass") == 0)
   }
 
+  test("c4: CRLF documents are not wrongly dropped (one trailing CR stripped per line)") {
+    import spark.implicits._
+    val crlf = "One good sentence here.\r\nAnother fine sentence lands.\r\n" +
+      "A third one follows now.\r\nA fourth one too, yes.\r\nAnd a fifth closes it.\r\n"
+    val df = Seq((1L, crlf)).toDF("id", "content")
+    val r = df.select(col("id") +: TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
+      .head
+    assert(r.getAs[Long]("kept_lines") == 5, "CRLF lines must pass the terminal-punctuation gate")
+    assert(r.getAs[Long]("c4_pass") == 1, "a clean 5-sentence CRLF page must pass")
+    assert(!r.getAs[String]("clean_text").contains("\r"))
+  }
+
   test("imperative c4 kernel equals the HOF formulation on varied content") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
@@ -414,7 +426,8 @@ class QualitySpec extends AnyFunSuite {
         (0 until n).map(_ => frags(rnd.nextInt(frags.length))).mkString(" ") +
           (if (rnd.nextBoolean()) "." else "")
       }
-      (i.toLong, lines.mkString("\n"))
+      // mix CRLF and LF joins: the kernel and HOF twin must agree on both
+      (i.toLong, lines.mkString(if (rnd.nextBoolean()) "\r\n" else "\n"))
     }
     val df = docs.toDF("id", "content")
     val kernel = df.select(col("id") +: TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
@@ -465,6 +478,25 @@ class QualitySpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(got == want, s"k=$k")
     }
+  }
+
+  test("domain cap: host-less rows bypass the cap instead of pooling as one pseudo-domain") {
+    import spark.implicits._
+    // 10 rows with unparseable hosts + one real host over cap
+    val df = ((1 to 10).map(i => (i.toLong, s"not a url $i")) ++
+      (11 to 16).map(i => (i.toLong, s"https://a.example/p/$i"))).toDF("doc_id", "url")
+    val out = extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", k = 3)
+      .collect().groupBy(_.getAs[String]("host"))
+    assert(out("").length == 10, "mutually-unrelated host-less rows must all survive")
+    assert(out("a.example").length == 3)
+  }
+
+  test("domain cap: a non-bigint id column is refused at plan time, not deep in the exchange") {
+    import spark.implicits._
+    val df = Seq(("a", "https://a.example/1")).toDF("doc_id", "url")
+    val e = intercept[IllegalArgumentException](
+      extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", k = 3))
+    assert(e.getMessage.contains("BIGINT"))
   }
 
   test("domain cap plan: threshold broadcasts, no window, corpus never shuffles") {

@@ -162,6 +162,18 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(rm.status == ExtractStatus.ExtractionFailed && rm.text == "")
   }
 
+  test("7z: aggregate declared unpack size is bomb-capped across ALL folders") {
+    // each folder is individually small; the SUM must still trip the budget
+    // before any folder is decoded (a crafted archive declaring thousands of
+    // near-cap folders would otherwise multiply the per-folder cap)
+    val members = (1 to 4).map(i => s"m$i.txt" -> ("x" * 100).getBytes("UTF-8"))
+    val bytes = extractous.gen.SevenZWriter.sevenZ(members)
+    assert(extractous.core.SevenZip.members(bytes).length == 4) // default budget: fine
+    val e = intercept[IllegalArgumentException](
+      extractous.core.SevenZip.members(bytes, maxTotal = 350L))
+    assert(e.getMessage.contains("aggregate"))
+  }
+
   test("7z LZMA/LZMA2 folders and compressed (kEncodedHeader) metadata extract") {
     val html = CorpusGen.htmlPayload(7, "seven zip body", "en")
     val members = Seq("a.html" -> html, "b.txt" -> "plain note".getBytes("UTF-8"))

@@ -464,6 +464,15 @@ class ZstdSpec extends AnyFunSuite {
     intercept[Exception](Zstd.decode(g4, maxOut = 1000))
   }
 
+  test("the budget is global across concatenated frames, not per frame") {
+    // one frame fits; two frames together must trip the SAME budget — a
+    // crafted concatenation cannot multiply the bomb cap frame by frame
+    val cap = text.length + 64L
+    assert(java.util.Arrays.equals(Zstd.decode(g1, maxOut = cap), text))
+    val e = intercept[IllegalArgumentException](Zstd.decode(g1 ++ g5, maxOut = cap))
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("fixture writer round-trips; the real CLI accepts its frames where present") {
     val cases = Seq(Array.emptyByteArray, text, g3raw,
       Array.fill[Byte](300000)('B'), (0 until 200000).map(i => (i * 13).toByte).toArray)
