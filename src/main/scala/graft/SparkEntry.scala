@@ -1300,6 +1300,29 @@ object SparkEntry {
       extractous.pipeline.LinkGraph.hostInDegree(pages, "url", "html")
         .orderBy(col("host"))
     }),
+    "d_pagerank" -> ((s, dir) => {
+      // host-level PageRank (crawl-quality prior): same crafted link graph
+      // as d_linkgraph — 7 hosts in a ring with self-loops, cdn.example as a
+      // dangling sink. Fixed-point integer ranks, 3 iterations; every
+      // per-iteration exchange carries (host, long) pairs only.
+      val idS = col("doc_id").cast("string")
+      val url = concat(lit("https://host-"), (col("doc_id") % 7).cast("string"),
+        lit(".example/dir/page"), idS)
+      val html = concat(
+        lit("<html><body><p>Doc "), idS, lit("</p>"),
+        lit("<a href=\"https://host-"), ((col("doc_id") + 1) % 7).cast("string"),
+        lit(".example/doc/"), idS, lit("\">next</a>"),
+        lit("<a href=\"/local/"), idS, lit("\">self</a>"),
+        lit("<a href=\"rel"), idS, lit("\">rel</a>"),
+        lit("<a href=\"mailto:x@example.com\">m</a><a href=\"#top\">t</a>"),
+        when(col("doc_id") % 5 === 0, lit("<a href=\"//cdn.example/asset\">c</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"), html.as("html"))
+      extractous.pipeline.LinkGraph.hostPageRank(pages, "url", "html")
+        .orderBy(col("host"))
+    }),
     "d_dedup_url" -> ((s, dir) => {
       // canonical-URL dedup: two variants of every resource — mixed-case
       // host + default port + trailing slash + tracking params + fragment —
@@ -2290,6 +2313,34 @@ object SparkEntry {
         |  UNION ALL SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' FROM documents
         |  UNION ALL SELECT 'cdn.example' FROM documents WHERE doc_id % 5 = 0
         |) GROUP BY host ORDER BY host""".stripMargin,
+    "d_pagerank" ->
+      // full replay: the distinct edge set, outdegrees, and THREE unrolled
+      // fixed-point iterations — every division a floor BIGINT division
+      // (all values positive, so DuckDB's // and Spark's div agree)
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src,
+        |           'host-' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example' AS dst FROM documents
+        |    UNION ALL
+        |    SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+        |           'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' FROM documents
+        |    UNION ALL
+        |    SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example', 'cdn.example'
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  )
+        |),
+        |nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst AS host FROM e)),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |p0 AS (SELECT host, 1000000000 // (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT ed.dst AS host, sum(p0.pr // ed.outdeg) AS s FROM ed JOIN p0 ON p0.host = ed.src GROUP BY ed.dst),
+        |p1 AS (SELECT nodes.host, (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT n FROM nn)) + (85 * coalesce(c1.s, 0)) // 100 AS pr FROM nodes LEFT JOIN c1 USING (host)),
+        |c2 AS (SELECT ed.dst AS host, sum(p1.pr // ed.outdeg) AS s FROM ed JOIN p1 ON p1.host = ed.src GROUP BY ed.dst),
+        |p2 AS (SELECT nodes.host, (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT n FROM nn)) + (85 * coalesce(c2.s, 0)) // 100 AS pr FROM nodes LEFT JOIN c2 USING (host)),
+        |c3 AS (SELECT ed.dst AS host, sum(p2.pr // ed.outdeg) AS s FROM ed JOIN p2 ON p2.host = ed.src GROUP BY ed.dst),
+        |p3 AS (SELECT nodes.host, (CAST(1000000000 AS BIGINT) * 15) // (100 * (SELECT n FROM nn)) + (85 * coalesce(c3.s, 0)) // 100 AS pr FROM nodes LEFT JOIN c3 USING (host))
+        |SELECT host, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY host""".stripMargin,
     "d_dsir" ->
       // full replay: gram buckets, both profiles, the exact fixed-point
       // cube-log weights, truncating-division mean scores, and the top-k

@@ -512,6 +512,68 @@ class QualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges:\n$plan")
   }
 
+  /** Independent fixed-point PageRank reference: same recurrence, plain
+    * Scala maps — no Spark, no SQL.
+    */
+  private def refPageRank(edges: Set[(String, String)], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = 1000000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var pr = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val s = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((g, h) <- edges) s(h) += pr(g) / outdeg(g)
+      pr = nodes.map(h => h -> (base + (dampNum * s(h)) / dampDen)).toMap
+    }
+    pr
+  }
+
+  test("pagerank: matches an independent reference loop on a crafted graph with a dangling sink") {
+    import spark.implicits._
+    // a.example -> b,c ; b -> a ; c -> c (self) and c -> sink (dangling)
+    val pages = Seq(
+      (1L, "https://a.example/1", """<a href="https://b.example/x">b</a><a href="https://c.example/y">c</a>"""),
+      (2L, "https://b.example/2", """<a href="https://a.example/z">a</a>"""),
+      (3L, "https://c.example/3", """<a href="/self">s</a><a href="https://sink.example/d">d</a>""")
+    ).toDF("doc_id", "url", "html")
+    val got = extractous.pipeline.LinkGraph.hostPageRank(pages, "url", "html", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refPageRank(Set(
+      ("a.example", "b.example"), ("a.example", "c.example"),
+      ("b.example", "a.example"),
+      ("c.example", "c.example"), ("c.example", "sink.example")), iters = 4)
+    assert(got == want)
+    // the dangling sink receives rank but contributes none (mass drops)
+    assert(got("sink.example") > 0L)
+    // total mass never exceeds the scale (no overflow path)
+    assert(got.values.sum <= 1000000000L)
+  }
+
+  test("pagerank: bit-identical across parallelism levels and repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val pages = (1 to 120).map { i =>
+      val h = s"h${rnd.nextInt(9)}.example"
+      val links = (0 until rnd.nextInt(4))
+        .map(_ => s"""<a href="https://h${rnd.nextInt(9)}.example/p$i">l</a>""").mkString
+      (i.toLong, s"https://$h/page$i", links)
+    }.toDF("doc_id", "url", "html")
+    val a = extractous.pipeline.LinkGraph.hostPageRank(pages, "url", "html")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = extractous.pipeline.LinkGraph.hostPageRank(pages.repartition(17), "url", "html")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("pagerank: empty link graph yields an empty frame, not a division by zero") {
+    import spark.implicits._
+    val pages = Seq((1L, "https://a.example/1", "<p>no links</p>")).toDF("doc_id", "url", "html")
+    assert(extractous.pipeline.LinkGraph.hostPageRank(pages, "url", "html").count() == 0L)
+  }
+
   test("gopher pass: clean English prose passes, symbol spam fails") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs to the hills of green in spring"
