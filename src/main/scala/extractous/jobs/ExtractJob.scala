@@ -47,6 +47,23 @@ object ExtractJob {
       case _                  => input0
     }
 
+    // sweep staging dirs orphaned by a crash between write and commit: a
+    // fresh run stages anew, so anything still named .staging-* is provably
+    // garbage (committed data lives under data/, referenced by the manifest)
+    // — without this, each retry of a flaky group leaks a full-size copy.
+    // Safe under the table's documented single-writer assumption (see
+    // SnapshotTable.expire), which a concurrent-writer deployment must not
+    // violate here either.
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(tableDir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".staging-"))
+        .foreach { stale =>
+          java.nio.file.Files.walk(stale).iterator().asScala
+            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    } catch { case _: Exception => () }
+
     val committed = table.committedDays
     // partition dirs read back as DATE; compare/collect as canonical strings
     val allDays = input.select(date_format(col("warc_day"), "yyyy-MM-dd"))

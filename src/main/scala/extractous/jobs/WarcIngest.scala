@@ -58,11 +58,15 @@ object WarcIngest {
     * accounting.
     */
   def run(spark: SparkSession, warcDir: String, corpusDir: String): Long = {
-    pages(spark, warcDir)
+    val good = pages(spark, warcDir)
       .filter(!col("rec_type").endsWith("_error"))
       .select("url", "html", "warc_day")
-      .write.mode("overwrite").partitionBy("warc_day").parquet(corpusDir)
-    spark.read.parquet(corpusDir).count()
+    good.write.mode("overwrite").partitionBy("warc_day").parquet(corpusDir)
+    // re-read with the KNOWN schema: an all-error crawl writes zero part
+    // files, and schema inference on an empty directory would throw instead
+    // of reporting the honest count of 0 (losses stay countable via
+    // recordStats, never a crash)
+    spark.read.schema(good.schema).parquet(corpusDir).count()
   }
 
   /** spark-submit entry: `WarcIngest <warcGlob> <corpusDir>` — the stage

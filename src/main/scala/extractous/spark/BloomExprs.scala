@@ -28,8 +28,16 @@ object BloomKernel {
   val MulA: Array[Long] = Array(31L, 131L, 1009L, 9176L)
   val AddB: Array[Long] = Array(7L, 77L, 777L, 7777L)
 
-  def position(fp: Long, j: Int, m: Int): Long =
-    ((fp * MulA(j) + AddB(j)) % Mod) % m
+  def position(fp: Long, j: Int, m: Int): Long = {
+    // normalize ONCE into [0, Mod): a no-op for the contracted
+    // poly_fingerprint inputs (already in range, so the oracle replay is
+    // unchanged), but a caller handing a full 64-bit hash (e.g. xxhash64,
+    // half of whose values are negative) would otherwise produce negative
+    // positions (Java % keeps the sign → bitset index out of bounds) and
+    // overflow fp·9176 — deterministic folding beats a crash or aliased bits
+    val f = java.lang.Math.floorMod(fp, Mod)
+    ((f * MulA(j) + AddB(j)) % Mod) % m
+  }
 
   /** The K probe positions of one key, in j order. */
   def positions(fp: Long, m: Int): GenericArrayData = {

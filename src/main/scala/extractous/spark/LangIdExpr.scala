@@ -17,13 +17,16 @@ object LangIdModel {
   /** out-of-place cost for a gram absent from the language profile */
   final val Absent = K
 
+  // hoisted: replaceAll would re-compile this Pattern on every row
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Gram extraction: words padded with '_' (the classic C&T boundary
     * marker), all 1/2/3-grams by codepoint. Deterministic gram ordering for
     * rank ties: (count desc, gram asc).
     */
   def grams(text: String): java.util.HashMap[String, Int] = {
     val counts = new java.util.HashMap[String, Int]()
-    val padded = "_" + text.trim.replaceAll("\\s+", "_") + "_"
+    val padded = "_" + Ws.matcher(text.trim).replaceAll("_") + "_"
     var n = 1
     while (n <= 3) {
       var i = 0

@@ -59,7 +59,11 @@ object RobotsRulesExpr {
       if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
       agents = Nil; rules = Nil; inRules = false
     }
-    txt.split("\r\n|\n|\r", -1).foreach { raw =>
+    // UTF-8 BOM: common in the wild, not stripped by trim — left in place it
+    // would make the FIRST "User-agent" line unrecognizable and (for the
+    // typical single-group file) silently void every rule
+    val body = if (txt.nonEmpty && txt.charAt(0) == '\uFEFF') txt.substring(1) else txt
+    body.split("\r\n|\n|\r", -1).foreach { raw =>
       val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
       val colon = line.indexOf(':')
       if (colon > 0) {

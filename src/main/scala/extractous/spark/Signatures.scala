@@ -227,8 +227,12 @@ final case class FingerprintExpr(child: Expression) extends UnaryExpression {
   * three columns.
   */
 object Top2GramHash {
+  // hoisted: String.split("\s+") re-compiles the Pattern on every call —
+  // a per-row cost on exactly the hot kernel this object exists to speed up
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def compute(s: UTF8String): InternalRow = {
-    val toks0 = s.toString.split("\\s+", -1)
+    val toks0 = Ws.split(s.toString, -1)
     var nTok = 0
     var t = 0
     while (t < toks0.length) { if (toks0(t).nonEmpty) nTok += 1; t += 1 }
@@ -363,8 +367,12 @@ final case class NgramKeysExpr(child: Expression, n: Int) extends UnaryExpressio
   * evaluates shingles three times (signature + both verify sides).
   */
 object ShingleKernel {
+  // hoisted Pattern: shingles are evaluated three times per doc in the
+  // near-dup plan — per-call regex compilation is pure overhead
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = s.trim.toString.split("\\s+", -1)
+    val toks = Ws.split(s.trim.toString, -1)
     if (toks.length < n)
       return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
     val seen = new java.util.LinkedHashSet[String]()

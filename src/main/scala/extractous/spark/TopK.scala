@@ -8,6 +8,55 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.xbridge.ColumnBridge
 
+/** Shared bounded-heap machinery for the two pair aggregates below: each map
+  * partition keeps at most k (A, Long) pairs in a PriorityQueue whose HEAD is
+  * the next eviction victim under `ordering`; partials merge by heap union;
+  * (de)serialization is a flat 16-bytes-per-pair buffer. Subclasses own only
+  * what genuinely differs — the element ordering, the update cast, and eval.
+  */
+private[spark] abstract class BoundedPairHeapAgg[A]
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(A, Long)]] {
+
+  def k: Int
+
+  /** Heap order: the head must be the pair to EVICT when size exceeds k. */
+  protected def ordering: java.util.Comparator[(A, Long)]
+  protected def writeFirst(bb: java.nio.ByteBuffer, a: A): Unit
+  protected def readFirst(bb: java.nio.ByteBuffer): A
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(A, Long)] =
+    new java.util.PriorityQueue[(A, Long)](k + 1, ordering)
+
+  protected final def offer(buf: java.util.PriorityQueue[(A, Long)], a: A, id: Long): Unit = {
+    buf.offer((a, id))
+    if (buf.size > k) { buf.poll(); () }
+  }
+
+  override def merge(buf: java.util.PriorityQueue[(A, Long)],
+      other: java.util.PriorityQueue[(A, Long)]): java.util.PriorityQueue[(A, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) { val (a, i) = it.next(); offer(buf, a, i) }
+    buf
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[(A, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (a, i) = it.next(); writeFirst(bb, a); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(A, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.offer((readFirst(bb), bb.getLong)); i += 1 }
+    buf
+  }
+}
+
 /** Bounded top-k aggregate over (score, id) pairs: each partition keeps at
   * most k candidates in a heap (map-side partial aggregation), partials merge
   * by heap union, and the final value is the k best ids sorted by
@@ -19,6 +68,12 @@ import org.apache.spark.sql.xbridge.ColumnBridge
   * exchange), whereas the partial aggregate reduces each map partition to
   * |Q|·k rows before any shuffle. Ties break on id ascending, so results are
   * deterministic and oracle-comparable.
+  *
+  * Non-finite scores are DROPPED on update: `Double.compare` ranks NaN above
+  * every real score, so a single NaN-scored row (e.g. a zero-norm or
+  * corrupted embedding) would otherwise enter every heap, evict a genuine
+  * k-th neighbor, and survive every merge — one poison row corrupting every
+  * query's results corpus-wide.
   */
 final case class TopKByScore(
     scoreExpr: Expression,
@@ -26,42 +81,42 @@ final case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+  extends BoundedPairHeapAgg[Double] {
 
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  // analysis-time contract: a mistyped child fails the plan with a clear
+  // message instead of throwing ClassCastException inside executors mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by_score expects (DOUBLE score, BIGINT id), got " +
+        s"(${scoreExpr.dataType.sql}, ${idExpr.dataType.sql}) - cast before aggregating")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "topk_by_score"
 
   // min-heap on (score asc, id desc): the head is the WORST kept candidate,
   // evicted when a better one arrives
-  private def ordering: java.util.Comparator[(Double, Long)] =
+  override protected def ordering: java.util.Comparator[(Double, Long)] =
     (a: (Double, Long), b: (Double, Long)) => {
       val c = java.lang.Double.compare(a._1, b._1)
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
     }
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
-    new java.util.PriorityQueue[(Double, Long)](k + 1, ordering)
-
-  private def offer(buf: java.util.PriorityQueue[(Double, Long)], score: Double, id: Long): Unit = {
-    buf.offer((score, id))
-    if (buf.size > k) { buf.poll(); () }
-  }
+  override protected def writeFirst(bb: java.nio.ByteBuffer, a: Double): Unit = bb.putDouble(a)
+  override protected def readFirst(bb: java.nio.ByteBuffer): Double = bb.getDouble
 
   override def update(buf: java.util.PriorityQueue[(Double, Long)], input: InternalRow): java.util.PriorityQueue[(Double, Long)] = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
-      offer(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
-    buf
-  }
-
-  override def merge(buf: java.util.PriorityQueue[(Double, Long)], other: java.util.PriorityQueue[(Double, Long)]): java.util.PriorityQueue[(Double, Long)] = {
-    val it = other.iterator()
-    while (it.hasNext) { val (s, i) = it.next(); offer(buf, s, i) }
+    if (s != null && i != null) {
+      val score = s.asInstanceOf[Double]
+      if (java.lang.Double.isFinite(score))
+        offer(buf, score, i.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -73,23 +128,6 @@ final case class TopKByScore(
     // final order: best first — score desc, id asc
     val sorted = arr.sortBy(t => (-t._1, t._2))
     new GenericArrayData(sorted.map(_._2))
-  }
-
-  override def serialize(buf: java.util.PriorityQueue[(Double, Long)]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) { val (s, i) = it.next(); bb.putDouble(s); bb.putLong(i) }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long)] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.offer((bb.getDouble, bb.getLong)); i += 1 }
-    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
@@ -115,11 +153,17 @@ final case class KthSmallestPair(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[(Long, Long)]] {
+  extends BoundedPairHeapAgg[Long] {
 
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(pExpr, idExpr)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (pExpr.dataType == LongType && idExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kth_smallest_pair expects (BIGINT p, BIGINT id), got " +
+        s"(${pExpr.dataType.sql}, ${idExpr.dataType.sql}) - cast before aggregating")
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("p", LongType, nullable = false),
@@ -128,19 +172,14 @@ final case class KthSmallestPair(
 
   // max-heap on (p, id) lex: the head is the LARGEST kept pair, evicted
   // when a smaller one arrives
-  private def ordering: java.util.Comparator[(Long, Long)] =
+  override protected def ordering: java.util.Comparator[(Long, Long)] =
     (a: (Long, Long), b: (Long, Long)) => {
       val c = java.lang.Long.compare(b._1, a._1)
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
     }
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[(Long, Long)] =
-    new java.util.PriorityQueue[(Long, Long)](k + 1, ordering)
-
-  private def offer(buf: java.util.PriorityQueue[(Long, Long)], p: Long, id: Long): Unit = {
-    buf.offer((p, id))
-    if (buf.size > k) { buf.poll(); () }
-  }
+  override protected def writeFirst(bb: java.nio.ByteBuffer, a: Long): Unit = bb.putLong(a)
+  override protected def readFirst(bb: java.nio.ByteBuffer): Long = bb.getLong
 
   override def update(buf: java.util.PriorityQueue[(Long, Long)], input: InternalRow): java.util.PriorityQueue[(Long, Long)] = {
     val p = pExpr.eval(input)
@@ -150,35 +189,12 @@ final case class KthSmallestPair(
     buf
   }
 
-  override def merge(buf: java.util.PriorityQueue[(Long, Long)], other: java.util.PriorityQueue[(Long, Long)]): java.util.PriorityQueue[(Long, Long)] = {
-    val it = other.iterator()
-    while (it.hasNext) { val (p, i) = it.next(); offer(buf, p, i) }
-    buf
-  }
-
   override def eval(buf: java.util.PriorityQueue[(Long, Long)]): Any = {
     if (buf.size < k) null
     else {
       val (p, id) = buf.peek() // heap head IS the k-th smallest
       InternalRow(p, id)
     }
-  }
-
-  override def serialize(buf: java.util.PriorityQueue[(Long, Long)]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) { val (p, i) = it.next(); bb.putLong(p); bb.putLong(i) }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Long, Long)] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) { buf.offer((bb.getLong, bb.getLong)); i += 1 }
-    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KthSmallestPair =

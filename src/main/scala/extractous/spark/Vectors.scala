@@ -73,6 +73,13 @@ final case class NearestCellsExpr(
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return null
+    // a vector whose dim differs from the index's would silently yield wrong
+    // cosines (dot truncates to the shorter length while the norm covers the
+    // full vector) and assign every row to a wrong cell — a stale/foreign
+    // index build is a configuration error: fail the job before it lies
+    if (arr.numElements() != cents(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_cells index built for dim=${cents(0).length} but input vector has ${arr.numElements()} components")
     val (v, vnorm) = VectorMath.dotAndNorm(arr)
     val k = cells.length
     val sims = new Array[Double](k)
@@ -146,14 +153,16 @@ final case class HyperplaneBandsExpr(
   override def eval(input: InternalRow): Any = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return null
-    // a vector longer than the configured dim would silently bucket on a
-    // PREFIX (half the signal ignored at dim=64 vs 128-dim embeddings) —
-    // that is a configuration error, not data poison: all rows share the
-    // embedding dim, so failing fast here fails the job before it lies
-    if (arr.numElements() > dim)
+    // a vector whose dim differs from the configured one would silently
+    // bucket on a PREFIX (longer input: half the signal ignored at dim=64 vs
+    // 128-dim embeddings) or on zero-padded planes (shorter input: the
+    // advertised 1−(1−p^r)^b recall no longer holds) — that is a
+    // configuration error, not data poison: all rows share the embedding
+    // dim, so failing fast here fails the job before it lies
+    if (arr.numElements() != dim)
       throw new IllegalArgumentException(
         s"hyperplane_bands configured for dim=$dim but input vector has ${arr.numElements()} components")
-    val nd = math.min(dim, arr.numElements())
+    val nd = dim
     val v = new Array[Double](nd)
     var i = 0
     while (i < nd) { v(i) = arr.getDouble(i); i += 1 }

@@ -71,6 +71,20 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(leaked == 0L, "a false negative is impossible by construction")
   }
 
+  test("out-of-contract 64-bit fingerprints (negative / huge) fold deterministically, never crash") {
+    import spark.implicits._
+    // xxhash64-style keys: half negative, magnitudes far above the poly mod —
+    // build and probe with the SAME values must still show zero false negatives
+    val keys = Seq(Long.MinValue, -987654321987L, -1L, 0L, 1L, 987654321987L, Long.MaxValue)
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("doc_id", "fp")
+    val f = BloomDedup.build(df, col("fp"), m = 2048)
+    assert(BloomDedup.fresh(df, col("fp"), f).count() == 0L,
+      "no false negatives even for out-of-contract inputs")
+    // in-contract values are untouched by the normalization (floorMod no-op)
+    assert(extractous.spark.BloomKernel.position(12345L, 0, 2048) ==
+      ((12345L * 31 + 7) % 1000000007L) % 2048)
+  }
+
   test("plan: the probe is a narrow zero-exchange projection") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i.toLong, i.toLong * 31 + 5)).toDF("doc_id", "fp")

@@ -90,6 +90,9 @@ class QualitySpec extends AnyFunSuite {
     // multiple groups for the same agent merge
     val merged = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\nUser-agent: a\nDisallow: /z\n"
     assert(parse(merged, "a") == Seq((false, "/x"), (false, "/z")))
+    // a UTF-8 BOM must not void the first User-agent line (and with it the
+    // typical single-group file's every rule)
+    assert(parse("﻿User-agent: *\nDisallow: /\n", "anybot") == Seq((false, "/")))
   }
 
   test("robots gate: longest-match, allow-wins-tie, missing robots row fails open") {

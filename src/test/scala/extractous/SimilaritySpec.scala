@@ -73,6 +73,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("topk_by_score"))
   }
 
+  test("topk aggregate: a NaN-scored row is dropped, not ranked above every real neighbor") {
+    import spark.implicits._
+    val df = Seq((Double.NaN, 99L), (0.9, 1L), (0.8, 2L), (0.7, 3L)).toDF("score", "id")
+    val got = df.agg(extractous.spark.topk.topk_by_score(col("score"), col("id"), 2).as("ids"))
+      .head.getSeq[Long](0)
+    assert(got == Seq(1L, 2L), s"NaN must not occupy a top-k slot: $got")
+  }
+
+  test("topk/kth aggregates: mistyped children fail analysis, not executors") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("score", "id")
+    val e1 = intercept[Exception](
+      df.agg(extractous.spark.topk.topk_by_score(col("score"), col("id"), 2)).collect())
+    assert(e1.getMessage.contains("topk_by_score expects"))
+    val e2 = intercept[Exception](
+      df.groupBy("id").agg(extractous.spark.topk.kth_smallest_pair(col("score"), col("score"), 2)).collect())
+    assert(e2.getMessage.contains("kth_smallest_pair expects"))
+  }
+
+  test("dim mismatch fails the job instead of silently corrupting assignments/buckets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val vec96 = Literal.create(new GenericArrayData((0 until 96).map(_.toDouble).toArray),
+      ArrayType(DoubleType))
+    val cents = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+    val e1 = intercept[IllegalArgumentException](
+      extractous.spark.NearestCellsExpr(vec96, Array(0, 1), cents, 1).eval(null))
+    assert(e1.getMessage.contains("dim=64"))
+    val e2 = intercept[IllegalArgumentException](
+      extractous.spark.HyperplaneBandsExpr(vec96, 4, 8, 64).eval(null))
+    assert(e2.getMessage.contains("dim=64"))
+    // shorter input is equally a config error (zero-padding breaks recall)
+    val vec32 = Literal.create(new GenericArrayData((0 until 32).map(_.toDouble).toArray),
+      ArrayType(DoubleType))
+    intercept[IllegalArgumentException](
+      extractous.spark.HyperplaneBandsExpr(vec32, 4, 8, 64).eval(null))
+  }
+
   test("semdedup: keeps the outlier of each near-dup group, spares distinct items") {
     import spark.implicits._
     // two well-separated clusters (label-seeded). Cluster 0: an exact-ish
