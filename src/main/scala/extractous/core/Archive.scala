@@ -16,6 +16,45 @@ import extractous.text.{TextEmitter, XmlEmitter}
   * covers archives through Tika's recursive container parsing (its format
   * list defers to Tika, /root/reference/README.md:271-273).
   */
+/** The single member-emission policy shared by ALL container formats
+  * (zip/tar/7z/rar via [[ArchiveExtractor.emit]], WARC via
+  * [[WarcExtractor.extract]]): each member re-enters the full sniff→dispatch
+  * pipeline POISON-SAFE ([[Extract.dispatchSafe]] — a member whose decoder
+  * throws, e.g. a truncated .gz, is skipped like any other failing member
+  * instead of failing the whole container row), member text folds in
+  * line-wise under the canonical policy, and only the FIRST failure is kept
+  * as a `" <- "` context frame. One policy, one place — the two container
+  * families must not drift.
+  */
+private[core] final class MemberEmitter(cfg: ExtractorConfig) {
+  val emitter = new TextEmitter(cfg.maxStringLength)
+  val xe = new XmlEmitter(cfg.maxStringLength)
+  private var okCount = 0
+  private var firstErrMsg = ""
+
+  def ok: Int = okCount
+  def firstErr: String = firstErrMsg
+  def isFull: Boolean = emitter.isFull
+  def recordError(frame: String): Unit = if (firstErrMsg.isEmpty) firstErrMsg = frame
+
+  /** Dispatch one member and fold its text in; failures are recorded
+    * (first only) and the member skipped.
+    */
+  def add(data: Array[Byte], tag: String, frame: String, ocr: Ocr, depth: Int): Unit = {
+    val r = Extract.dispatchSafe(data, cfg, ocr, depth + 1)
+    if (r.status == ExtractStatus.Ok) {
+      okCount += 1
+      if (r.text.nonEmpty) {
+        // member text is already canonical — re-add line-wise (addBlock
+        // collapses internal whitespace, which would flatten member newlines)
+        r.text.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull)
+          .foreach(emitter.addBlock)
+        if (cfg.xmlOutput) xe.addElement(tag, r.text)
+      }
+    } else recordError(s"${r.error} <- $frame")
+  }
+}
+
 object ArchiveExtractor {
   val TarMime = "application/x-tar"
 
@@ -86,32 +125,19 @@ object ArchiveExtractor {
 
   private def emit(members: Seq[(String, Array[Byte])], mime: String, label: String,
       cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult = {
+    // depth was already gated by every caller (depthGate runs BEFORE member
+    // decompression); no second gate here — one policy, one place
     if (members.isEmpty)
       return ExtractResult.fail(ExtractStatus.ExtractionFailed, s"$label: no entries", mime)
-    if (depth >= 3)
-      return ExtractResult.fail(ExtractStatus.UnsupportedFormat, s"$label: nesting too deep", mime)
-    val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
-    var ok = 0
-    var firstErr = ""
-    members.iterator.takeWhile(_ => !emitter.isFull).foreach { case (name, data) =>
-      val r = Extract.dispatch(data, cfg, ocr, depth + 1)
-      if (r.status == ExtractStatus.Ok) {
-        ok += 1
-        if (r.text.nonEmpty) {
-          // member text is already canonical — re-add line-wise (addBlock
-          // collapses internal whitespace, which would flatten member newlines)
-          r.text.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull)
-            .foreach(emitter.addBlock)
-          if (cfg.xmlOutput) xe.addElement("member", r.text)
-        }
-      } else if (firstErr.isEmpty) firstErr = s"${r.error} <- $label member '$name'"
+    val me = new MemberEmitter(cfg)
+    members.iterator.takeWhile(_ => !me.isFull).foreach { case (name, data) =>
+      me.add(data, "member", s"$label member '$name'", ocr, depth)
     }
-    if (ok == 0)
+    if (me.ok == 0)
       ExtractResult.fail(ExtractStatus.ExtractionFailed,
-        s"$label: no extractable members: $firstErr", mime)
+        s"$label: no extractable members: ${me.firstErr}", mime)
     else
-      ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
+      ExtractResult.ok(me.emitter.result(), if (cfg.xmlOutput) me.xe.result() else "",
         Map("Content-Type" -> Seq(mime),
           s"$label:member-count" -> Seq(members.length.toString)), mime)
   }

@@ -22,25 +22,34 @@ import extractous.text.{Encoding, Normalize, TextEmitter, XmlEmitter}
 object Extract {
 
   def apply(bytes: Array[Byte], cfg: ExtractorConfig = ExtractorConfig.default, ocr: Ocr = GlyphTemplateOcr): ExtractResult = {
-    val encoded =
-      try dispatch(bytes, cfg, ocr)
-      catch {
-        case e: StackOverflowError =>
-          ExtractResult.fail(ExtractStatus.ExtractionFailed, "extraction failed: deep recursion")
-        case e: OutOfMemoryError =>
-          ExtractResult.fail(ExtractStatus.OutOfMemory, "out of memory")
-        // fatal deployment/control conditions must NOT become per-row -4:
-        // a missing class would otherwise fail 100% of rows "successfully",
-        // and a task-kill interrupt would be swallowed mid-cancellation
-        case e: InterruptedException => throw e
-        case e: LinkageError         => throw e
-        case e: VirtualMachineError  => throw e
-        case e: Throwable =>
-          ExtractResult.fail(ExtractStatus.ExtractionFailed, trim(s"extraction failed: ${e.getMessage}"))
-      }
+    val encoded = dispatchSafe(bytes, cfg, ocr, depth = 0)
     if (cfg.encoding == CharSet.Utf8) encoded
     else encoded.copy(text = Encoding(encoded.text, cfg.encoding))
   }
+
+  /** [[dispatch]] with the poison-document guarantee applied: any per-row
+    * failure maps to a status, never an escaping throw. This is BOTH the
+    * top-level entry's catch AND the per-MEMBER catch inside container loops
+    * (zip/tar/7z/rar/WARC): a corrupt gzip member must be skipped with a
+    * `" <- "` frame like any other failing member, not fail the whole
+    * container row by throwing through the member loop.
+    */
+  private[core] def dispatchSafe(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr, depth: Int): ExtractResult =
+    try dispatch(bytes, cfg, ocr, depth)
+    catch {
+      case e: StackOverflowError =>
+        ExtractResult.fail(ExtractStatus.ExtractionFailed, "extraction failed: deep recursion")
+      case e: OutOfMemoryError =>
+        ExtractResult.fail(ExtractStatus.OutOfMemory, "out of memory")
+      // fatal deployment/control conditions must NOT become per-row -4:
+      // a missing class would otherwise fail 100% of rows "successfully",
+      // and a task-kill interrupt would be swallowed mid-cancellation
+      case e: InterruptedException => throw e
+      case e: LinkageError         => throw e
+      case e: VirtualMachineError  => throw e
+      case e: Throwable =>
+        ExtractResult.fail(ExtractStatus.ExtractionFailed, trim(s"extraction failed: ${e.getMessage}"))
+    }
 
   private def trim(s: String): String = if (s == null) "" else if (s.length > 500) s.substring(0, 500) else s
 
@@ -126,15 +135,21 @@ object Extract {
         // re-dispatch on the inner bytes; shares the wrapper depth cap
         if (depth >= 3)
           ExtractResult.fail(ExtractStatus.UnsupportedFormat, "zstd nesting too deep", MimeSniffer.Zstd)
-        else {
-          val inner = Zstd.decode(bytes)
-          val r = dispatch(inner, cfg, ocr, depth + 1)
-          val chained =
-            if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
-              r.copy(error = s"${r.error} <- zstd layer ${depth + 1}")
-            else r
-          chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("zstd")))
-        }
+        else
+          try {
+            val inner = Zstd.decode(bytes)
+            val r = dispatch(inner, cfg, ocr, depth + 1)
+            val chained =
+              if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+                r.copy(error = s"${r.error} <- zstd layer ${depth + 1}")
+              else r
+            chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("zstd")))
+          } catch {
+            // valid-but-out-of-scope frames (dictionaries) refuse with -8
+            // (honest), while structural damage falls through to -4
+            case e: UnsupportedArchiveException =>
+              ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Zstd)
+          }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx |

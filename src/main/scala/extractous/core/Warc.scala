@@ -4,7 +4,7 @@ import extractous.config.ExtractorConfig
 import extractous.model.{ExtractResult, ExtractStatus}
 import extractous.ocr.Ocr
 import extractous.sniff.MimeSniffer
-import extractous.text.{TextEmitter, XmlEmitter}
+import extractous.text.Normalize
 
 /** WARC (ISO 28500) — the container Common-Crawl-style corpora actually ship
   * in, and therefore the native ingest format for this engine (north rule:
@@ -52,13 +52,12 @@ object WarcExtractor {
     if (recs.isEmpty)
       return ExtractResult.fail(ExtractStatus.ExtractionFailed, "warc: no records", MimeSniffer.Warc)
 
-    val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
-    var ok = 0
+    // member-emission policy is the shared [[MemberEmitter]] — identical to
+    // zip/tar/7z/rar, so a policy fix lands once for both container families
+    val me = new MemberEmitter(cfg)
     var responses = 0
-    var firstErr = ""
     val uris = Seq.newBuilder[String]
-    recs.iterator.takeWhile(_ => !emitter.isFull).foreach { rec =>
+    recs.iterator.takeWhile(_ => !me.isFull).foreach { rec =>
       val payload: Option[Array[Byte]] = rec.warcType match {
         case "response" if rec.contentType.startsWith("application/http") =>
           responses += 1
@@ -66,7 +65,7 @@ object WarcExtractor {
           try Some(httpBody(rec.block))
           catch {
             case e: Exception =>
-              if (firstErr.isEmpty) firstErr = s"${e.getMessage} <- warc response '${rec.targetUri}'"
+              me.recordError(s"${e.getMessage} <- warc response '${rec.targetUri}'")
               None
           }
         case "resource" | "conversion" =>
@@ -74,26 +73,13 @@ object WarcExtractor {
           Some(rec.block)
         case _ => None // warcinfo / request / metadata / revisit
       }
-      payload.foreach { body =>
-        val r = Extract.dispatch(body, cfg, ocr, depth + 1)
-        if (r.status == ExtractStatus.Ok) {
-          ok += 1
-          if (r.text.nonEmpty) {
-            // member text is already canonical — re-add line-wise (addBlock
-            // collapses internal whitespace, which would flatten newlines)
-            r.text.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull)
-              .foreach(emitter.addBlock)
-            if (cfg.xmlOutput) xe.addElement("record", r.text)
-          }
-        } else if (firstErr.isEmpty)
-          firstErr = s"${r.error} <- warc record '${rec.targetUri}'"
-      }
+      payload.foreach(body => me.add(body, "record", s"warc record '${rec.targetUri}'", ocr, depth))
     }
-    if (ok == 0)
+    if (me.ok == 0)
       ExtractResult.fail(ExtractStatus.ExtractionFailed,
-        s"warc: no extractable records: $firstErr", MimeSniffer.Warc)
+        s"warc: no extractable records: ${me.firstErr}", MimeSniffer.Warc)
     else
-      ExtractResult.ok(emitter.result(), if (cfg.xmlOutput) xe.result() else "",
+      ExtractResult.ok(me.emitter.result(), if (cfg.xmlOutput) me.xe.result() else "",
         Map("Content-Type" -> Seq(MimeSniffer.Warc),
           "warc:record-count" -> Seq(recs.length.toString),
           "warc:response-count" -> Seq(responses.toString),
@@ -132,13 +118,18 @@ object WarcExtractor {
         var warcType = ""; var uri = ""; var date = ""; var ctype = ""; var len = -1L
         var blank = false
         while (!blank) {
+          // a file cut mid-header must NOT synthesize a blank line at EOF:
+          // with Content-Length: 0 already parsed, the torn record would be
+          // accepted silently — the loss must be accounted, not swallowed
+          if (p >= bytes.length)
+            throw new IllegalArgumentException(s"header at $off truncated at EOF")
           val e = lineEnd(bytes, p)
           val line = ascii(bytes, p, e)
           if (line.isEmpty) blank = true
           else {
             val c = line.indexOf(':')
             if (c > 0) {
-              val name = line.substring(0, c).trim.toLowerCase
+              val name = Normalize.lowerAscii(line.substring(0, c).trim)
               val value = line.substring(c + 1).trim
               name match {
                 case "warc-type" => warcType = value
@@ -187,8 +178,8 @@ object WarcExtractor {
       else {
         val c = line.indexOf(':')
         if (c > 0) {
-          val name = line.substring(0, c).trim.toLowerCase
-          val value = line.substring(c + 1).trim.toLowerCase
+          val name = Normalize.lowerAscii(line.substring(0, c).trim)
+          val value = Normalize.lowerAscii(line.substring(c + 1).trim)
           if (name == "transfer-encoding" && value.contains("chunked")) chunked = true
           if (name == "content-encoding") encoding = value
         }

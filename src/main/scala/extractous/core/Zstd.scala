@@ -26,9 +26,7 @@ object Zstd {
     b.length >= 4 && (u32(b, 0) == Magic ||
       (u32(b, 0) >= SkippableMin && u32(b, 0) <= SkippableMin + 15))
 
-  private def u32(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
-      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def u32(b: Array[Byte], off: Int): Long = BinUtil.u32le(b, off)
 
   private def bad(msg: String): Nothing = throw new IllegalArgumentException(s"zstd: $msg")
 
@@ -376,8 +374,7 @@ object Zstd {
       while (k >= 0) { v = (v << 8) | (b(i + k) & 0xFFL); k -= 1 }
       v
     }
-    private def u32l(b: Array[Byte], i: Int): Long =
-      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    private def u32l(b: Array[Byte], i: Int): Long = BinUtil.u32le(b, i)
     def hash(b: Array[Byte], len: Int, seed: Long): Long = {
       var i = 0
       var acc =
@@ -476,7 +473,10 @@ object Zstd {
       val base = 1L << (10 + (wd >> 3))
       windowSize = base + (base / 8) * (wd & 7)
     }
-    if (didSize > 0) bad("dictionaries not supported") // self-contained frames only
+    // a dictionary frame is VALID zstd that is out of scope, not corruption:
+    // refuse with -8 like xz filter chains / bzip2 randomized blocks / RAR
+    // compressed members, so corpus status_counts keep the taxonomy honest
+    if (didSize > 0) throw new UnsupportedArchiveException("zstd: dictionaries not supported")
     var contentSize = -1L
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0

@@ -23,7 +23,7 @@ object EpubExtractor {
 
   private def findAll(n: HNode, tag: String): Seq[HElem] = n match {
     case e: HElem =>
-      val self = if (e.name.equalsIgnoreCase(tag) || e.name.toLowerCase.endsWith(":" + tag)) Seq(e) else Seq.empty
+      val self = if (e.name.equalsIgnoreCase(tag) || Normalize.lowerAscii(e.name).endsWith(":" + tag)) Seq(e) else Seq.empty
       self ++ e.children.flatMap(findAll(_, tag))
     case _ => Seq.empty
   }
@@ -63,11 +63,14 @@ object EpubExtractor {
           throw new IllegalArgumentException(s"missing chapter ${opfDir + href}"))
         val dom = HtmlDom.parse(new String(chapter, java.nio.charset.StandardCharsets.UTF_8))
         def walk(n: HNode): Unit = n match {
-          case e: HElem if Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "li")(e.name.toLowerCase) =>
+          case e: HElem if Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "li")(Normalize.lowerAscii(e.name)) =>
             val t = Normalize.line(textOf(e))
             if (t.nonEmpty && !emitter.isFull) {
               emitter.addBlock(t)
-              if (cfg.xmlOutput) xe.addElement(if (e.name.toLowerCase.startsWith("h")) e.name.toLowerCase else "p", t)
+              if (cfg.xmlOutput) {
+                val nm = Normalize.lowerAscii(e.name)
+                xe.addElement(if (nm.startsWith("h")) nm else "p", t)
+              }
             }
           case e: HElem => e.children.foreach(walk)
           case _ =>

@@ -35,7 +35,10 @@ object HtmlTokenizer {
     private var pending: Tok = null
     private var lowerCache: String = null
     def lower(src: String): String = {
-      if (lowerCache == null) lowerCache = src.toLowerCase
+      // ASCII-only: locale-independent AND length-preserving, so indices in
+      // the lowered shadow stay aligned with `src` (String.toLowerCase can
+      // change length for some Unicode points and is locale-sensitive)
+      if (lowerCache == null) lowerCache = Normalize.lowerAscii(src)
       lowerCache
     }
     advance()
@@ -72,7 +75,7 @@ object HtmlTokenizer {
       val nameStart = j
       // letters/digits plus ':', '-', '_' so the same tokenizer serves XML (w:p)
       while (j < s.length && (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == ':' || s.charAt(j) == '-' || s.charAt(j) == '_')) j += 1
-      val name = s.substring(nameStart, j).toLowerCase
+      val name = Normalize.lowerAscii(s.substring(nameStart, j))
       // attributes
       var attrs = Map.empty[String, String]
       var selfClosing = false
@@ -86,7 +89,7 @@ object HtmlTokenizer {
           val an = j
           while (j < s.length && !Character.isWhitespace(s.charAt(j)) && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
           if (j == an) { j += 1 } // stray '/' (not '/>') or junk: must advance — found by fuzzing, a non-advancing loop would hang the executor on a poison document
-          val aname = s.substring(an, j).toLowerCase
+          val aname = Normalize.lowerAscii(s.substring(an, j))
           while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
           // only materialize values for attributes the pipeline reads —
           // everything else is scanned past without allocation
@@ -224,7 +227,7 @@ object HtmlExtractor {
   private val contentHints = Seq("content", "article", "main", "post", "story", "body-text", "entry")
 
   private def classHint(attrs: Map[String, String], hints: Seq[String]): Boolean = {
-    val cls = (attrs.getOrElse("class", "") + " " + attrs.getOrElse("id", "")).toLowerCase
+    val cls = Normalize.lowerAscii(attrs.getOrElse("class", "") + " " + attrs.getOrElse("id", ""))
     cls.nonEmpty && hints.exists(cls.contains)
   }
 
@@ -282,7 +285,7 @@ object HtmlExtractor {
           val t = Normalize.line(e.children.collect { case HText(x) => x }.mkString)
           if (t.nonEmpty) m("dc:title") = m.getOrElse("dc:title", Vector.empty) :+ t
         case e: HElem if e.name == "meta" =>
-          val n = e.attrs.getOrElse("name", e.attrs.getOrElse("property", "")).toLowerCase
+          val n = Normalize.lowerAscii(e.attrs.getOrElse("name", e.attrs.getOrElse("property", "")))
           val v = HtmlTokenizer.decodeEntities(e.attrs.getOrElse("content", ""))
           if (n.nonEmpty && v.nonEmpty) m(n) = m.getOrElse(n, Vector.empty) :+ v
         case e: HElem => collectHead(e, m)

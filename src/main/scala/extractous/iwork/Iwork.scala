@@ -25,7 +25,7 @@ object IworkExtractor {
 
   private def findAll(n: HNode, tag: String): Seq[HElem] = n match {
     case e: HElem =>
-      val self = if (e.name.equalsIgnoreCase(tag) || e.name.toLowerCase.endsWith(":" + tag)) Seq(e) else Seq.empty
+      val self = if (e.name.equalsIgnoreCase(tag) || Normalize.lowerAscii(e.name).endsWith(":" + tag)) Seq(e) else Seq.empty
       self ++ e.children.flatMap(findAll(_, tag))
     case _ => Seq.empty
   }
@@ -42,7 +42,7 @@ object IworkExtractor {
         return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
           "iwork: no index.xml (post-2013 IWA packages are not supported)", Iwork))
       val dom = HtmlDom.parse(new String(xml, java.nio.charset.StandardCharsets.UTF_8))
-      val isPages = findAll(dom, "document").exists(_.name.toLowerCase.startsWith("sl:"))
+      val isPages = findAll(dom, "document").exists(e => Normalize.lowerAscii(e.name).startsWith("sl:"))
       if (!isPages)
         return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
           "iwork: index.xml root is not a Pages sl:document", Iwork)

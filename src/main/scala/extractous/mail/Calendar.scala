@@ -2,7 +2,7 @@ package extractous.mail
 
 import extractous.config.ExtractorConfig
 import extractous.model.{ExtractResult, ExtractStatus}
-import extractous.text.{TextEmitter, XmlEmitter}
+import extractous.text.{Normalize, TextEmitter, XmlEmitter}
 
 /** iCalendar (RFC 5545) and vCard (RFC 6350) — both are folded-line
   * `NAME;PARAMS:VALUE` formats, so they share one content-line reader:
@@ -47,7 +47,7 @@ object CalendarExtractor {
       else {
         val name = line.substring(0, colon)
         val base = { val semi = name.indexOf(';'); if (semi >= 0) name.substring(0, semi) else name }
-        Some(base.toUpperCase -> line.substring(colon + 1))
+        Some(Normalize.upperAscii(base) -> line.substring(colon + 1))
       }
     }
   }
@@ -105,10 +105,10 @@ object CalendarExtractor {
     lines.foreach {
       case ("BEGIN", v) =>
         if (inComponent) skipDepth += 1
-        else if (componentNames(v.toUpperCase)) { inComponent = true; events += 1; comp = Nil }
+        else if (componentNames(Normalize.upperAscii(v))) { inComponent = true; events += 1; comp = Nil }
       case ("END", v) =>
         if (skipDepth > 0) skipDepth -= 1
-        else if (inComponent && componentNames(v.toUpperCase)) { flush(); inComponent = false }
+        else if (inComponent && componentNames(Normalize.upperAscii(v))) { flush(); inComponent = false }
       case (n, v) if inComponent && skipDepth == 0 => comp = (n, v) :: comp
       case _ => ()
     }

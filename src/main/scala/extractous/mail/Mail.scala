@@ -3,7 +3,7 @@ package extractous.mail
 import extractous.config.ExtractorConfig
 import extractous.model.{ExtractResult, ExtractStatus}
 import extractous.sniff.MimeSniffer
-import extractous.text.{TextEmitter, XmlEmitter}
+import extractous.text.{Normalize, TextEmitter, XmlEmitter}
 
 /** RFC-822 / MIME email (.eml) extraction — the reference covers email through
   * Tika (/root/reference/README.md:14 "60+ formats"; crawls carry mailing-list
@@ -24,7 +24,7 @@ object MailExtractor {
     val unfolded = head.replaceAll("\n[ \t]+", " ")
     val headers = unfolded.split("\n").iterator.flatMap { line =>
       val c = line.indexOf(':')
-      if (c <= 0) None else Some(line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim)
+      if (c <= 0) None else Some(Normalize.lowerAscii(line.substring(0, c).trim) -> line.substring(c + 1).trim)
     }.toMap
     (headers, body)
   }
@@ -45,7 +45,7 @@ object MailExtractor {
   }
 
   private def decodeBody(body: String, cte: String,
-      charset: java.nio.charset.Charset): String = cte.toLowerCase match {
+      charset: java.nio.charset.Charset): String = Normalize.lowerAscii(cte) match {
     case "base64" =>
       new String(java.util.Base64.getMimeDecoder.decode(body), charset)
     case "quoted-printable" =>
@@ -83,7 +83,7 @@ object MailExtractor {
 
   private def bestBodyOpt(headers: Map[String, String], body: String): Option[String] = {
     val ct = headers.getOrElse("content-type", "text/plain")
-    if (ct.toLowerCase.startsWith("multipart/")) {
+    if (Normalize.lowerAscii(ct).startsWith("multipart/")) {
       // RFC 2045 parameter names are case-insensitive (Boundary=…)
       val b = "(?i)boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ct)
         .getOrElse(throw new IllegalArgumentException("eml: multipart without boundary"))
@@ -102,17 +102,17 @@ object MailExtractor {
           else splitHeadersBody(p)
         }
       // RFC 2046 default for a part without Content-Type is text/plain
-      def partOf(typ: String) = parts.find(_._1.getOrElse("content-type", "text/plain").toLowerCase.startsWith(typ))
+      def partOf(typ: String) = parts.find(p => Normalize.lowerAscii(p._1.getOrElse("content-type", "text/plain")).startsWith(typ))
       partOf("text/plain").orElse(partOf("text/html")) match {
         case Some((ph, pb)) =>
           val decoded = decodeBody(pb, ph.getOrElse("content-transfer-encoding", "7bit"), charsetOf(ph))
           Some(
-            if (ph.getOrElse("content-type", "").toLowerCase.startsWith("text/html")) htmlText(decoded)
+            if (Normalize.lowerAscii(ph.getOrElse("content-type", "")).startsWith("text/html")) htmlText(decoded)
             else decoded)
         case None =>
           // no direct text part at this level: descend into nested multiparts
           parts.iterator
-            .filter(_._1.getOrElse("content-type", "").toLowerCase.startsWith("multipart/"))
+            .filter(p => Normalize.lowerAscii(p._1.getOrElse("content-type", "")).startsWith("multipart/"))
             .flatMap { case (ph, pb) => bestBodyOpt(ph, pb) }
             .nextOption()
       }

@@ -2,7 +2,7 @@ package extractous.office
 
 import extractous.config.ExtractorConfig
 import extractous.model.{ExtractResult, ExtractStatus}
-import extractous.text.{TextEmitter, XmlEmitter}
+import extractous.text.{Normalize, TextEmitter, XmlEmitter}
 
 /** CFB application dispatch + the legacy .xls/.ppt stream walkers.
   *
@@ -56,10 +56,10 @@ object MsgExtractor {
         // mail's own subject/body
         container.rootDir.collectFirst {
           case e if e.objType == 2 &&
-              e.name.toUpperCase.startsWith(s"__SUBSTG1.0_$pid") &&
-              (e.name.toUpperCase.endsWith("001F") || e.name.toUpperCase.endsWith("001E")) =>
+              Normalize.upperAscii(e.name).startsWith(s"__SUBSTG1.0_$pid") &&
+              (Normalize.upperAscii(e.name).endsWith("001F") || Normalize.upperAscii(e.name).endsWith("001E")) =>
             val raw = container.streamOf(e) // NOT stream(name): the flat scan could re-find the attachment's twin
-            if (e.name.toUpperCase.endsWith("001F"))
+            if (Normalize.upperAscii(e.name).endsWith("001F"))
               new String(raw, java.nio.charset.StandardCharsets.UTF_16LE)
             else new String(raw, java.nio.charset.Charset.forName("windows-1252"))
         }

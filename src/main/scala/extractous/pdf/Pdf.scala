@@ -739,7 +739,7 @@ object PdfExtractor {
       if (useText) assembleTagged(page.runs).foreach { case (line, mcTag) =>
         emitter.addBlock(line)
         val tag = mcTag.filter(_ => cfg.pdf.extractMarkedContent)
-          .map(_.toLowerCase).filter(t => t.matches("h[1-6]|p")).getOrElse("p")
+          .map(Normalize.lowerAscii).filter(t => t.matches("h[1-6]|p")).getOrElse("p")
         xe.addElement(tag, line)
       }
       if (useOcr && page.images.nonEmpty) {

@@ -235,7 +235,7 @@ object TextStats {
   def c4Report(content: Column, badwords: Seq[String] = Seq("casino", "viagra", "jackpot")): Seq[(String, Column)] = {
     val r = extractous.spark.signatures.c4_clean(content)
     val sentences = r.getField("n_sentences")
-    val badRe = "\\b(" + badwords.map(_.toLowerCase).mkString("|") + ")\\b"
+    val badRe = "\\b(" + badwords.map(extractous.text.Normalize.lowerAscii).mkString("|") + ")\\b"
     val pass = (sentences >= 5 &&
       !lower(content).contains("lorem ipsum") &&
       !content.contains("{") &&

@@ -40,7 +40,7 @@ object UrlFilter {
 
   /** 1 when the URL's host or any of its parent domains is in `blocked`. */
   def isBlocked(url: Column, blocked: Seq[String]): Column = {
-    val list = array(blocked.map(d => lit(d.toLowerCase)): _*)
+    val list = array(blocked.map(d => lit(extractous.text.Normalize.lowerAscii(d))): _*)
     (size(array_intersect(hostSuffixes(host(url)), list)) > 0).cast("long")
   }
 

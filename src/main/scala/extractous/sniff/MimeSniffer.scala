@@ -196,7 +196,8 @@ object MimeSniffer {
     if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) i = 3
     while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
     if (i >= b.length || b(i) != '<') return false
-    val head = new String(b, i, math.min(256, b.length - i), java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val head = extractous.text.Normalize.lowerAscii(
+      new String(b, i, math.min(256, b.length - i), java.nio.charset.StandardCharsets.ISO_8859_1))
     if (head.startsWith("<?xml")) return false // generic XML, not HTML
     head.startsWith("<!doctype html") || head.startsWith("<html") ||
       head.startsWith("<head") || head.startsWith("<body") ||

@@ -31,7 +31,7 @@ object LinkKernel {
     val c = h.indexOf(':')
     if (c < 0) false
     else {
-      val s = h.substring(0, c).toLowerCase
+      val s = extractous.text.Normalize.lowerAscii(h.substring(0, c))
       // a path like "a:b" only forms a scheme if it looks like one
       s.nonEmpty && s.forall(ch => ch.isLetterOrDigit || ch == '+' || ch == '-' || ch == '.') &&
         s != "http" && s != "https"

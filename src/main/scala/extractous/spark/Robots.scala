@@ -67,12 +67,12 @@ object RobotsRulesExpr {
       val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
       val colon = line.indexOf(':')
       if (colon > 0) {
-        val key = line.substring(0, colon).trim.toLowerCase
+        val key = extractous.text.Normalize.lowerAscii(line.substring(0, colon).trim)
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>
             if (inRules) flush()
-            agents ::= value.toLowerCase
+            agents ::= extractous.text.Normalize.lowerAscii(value)
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
             val wild = value.contains('*') || value.contains('$')
@@ -86,7 +86,7 @@ object RobotsRulesExpr {
     }
     flush()
     val all = groups.result()
-    val a = agent.toLowerCase
+    val a = extractous.text.Normalize.lowerAscii(agent)
     val specific = all.filter(_.agents.exists(_ == a))
     val chosen = if (specific.nonEmpty) specific else all.filter(_.agents.contains("*"))
     chosen.flatMap(_.rules)

@@ -34,6 +34,44 @@ object Normalize {
     */
   def text(s: String): String =
     s.split("\n", -1).iterator.map(line).filter(_.nonEmpty).mkString("\n")
+
+  /** ASCII-only lowercase: locale-independent and length-preserving.
+    * `String.toLowerCase()` uses the JVM default locale ("TITLE" → "tıtle"
+    * under tr_TR, silently breaking every ASCII-keyword comparison on such
+    * executors) and can change string LENGTH for some Unicode points
+    * (U+0130 → "i" + combining dot), which would desynchronize a lowercased
+    * shadow copy from the original's indices. Every parser here compares
+    * against ASCII keywords (tag names, header names, MIME tokens), so the
+    * ASCII map is both the correct semantics and the fast path.
+    */
+  def lowerAscii(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == s.length) return s
+    val b = new Array[Char](s.length)
+    s.getChars(0, s.length, b, 0)
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'A' && c <= 'Z') b(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(b)
+  }
+
+  /** ASCII-only uppercase twin of [[lowerAscii]]. */
+  def upperAscii(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 'a' && s.charAt(i) <= 'z')) i += 1
+    if (i == s.length) return s
+    val b = new Array[Char](s.length)
+    s.getChars(0, s.length, b, 0)
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') b(i) = (c - 32).toChar
+      i += 1
+    }
+    new String(b)
+  }
 }
 
 /** Accumulates blocks under the canonical policy with early truncation at
@@ -54,7 +92,12 @@ final class TextEmitter(maxLen: Int) {
     if (t.nonEmpty) {
       if (sb.length() > 0) sb.append('\n')
       if (sb.length() + t.length > maxLen) {
-        val room = maxLen - sb.length()
+        var room = maxLen - sb.length()
+        // never cut between the halves of a surrogate pair: a dangling high
+        // surrogate would turn into U+FFFD/'?' at every downstream UTF-8
+        // encode (parquet write, stream getBytes), corrupting the output and
+        // desynchronizing byte-count columns from the closed-form oracles
+        if (room > 0 && room < t.length && Character.isHighSurrogate(t.charAt(room - 1))) room -= 1
         if (room > 0) sb.append(t, 0, room)
         // never end on the separator we just added
         if (sb.length() > 0 && sb.charAt(sb.length() - 1) == '\n')
@@ -97,11 +140,26 @@ final class XmlEmitter(maxLen: Int) {
 
   def addElement(tag: String, raw: String): Unit = {
     if (full) return
-    val t = Normalize.line(raw)
+    var t = Normalize.line(raw)
     if (t.nonEmpty) {
-      sb.append('\n').append('<').append(tag).append('>')
-        .append(escape(t)).append("</").append(tag).append('>')
-      if (sb.length() > maxLen) full = true
+      // enforce the cap DURING emission, like TextEmitter.addBlock: a single
+      // oversized block (e.g. a paragraph inflated from a 256 MB-capped
+      // decompression) must not be appended whole before the cap is checked,
+      // or the xml column is unbounded exactly when the bound matters.
+      // Elements that fit are appended whole; the element that crosses the
+      // cap is truncated at the remaining text budget (surrogate-safe) and
+      // still closed, so the output stays well-formed.
+      val room = maxLen - sb.length()
+      if (t.length > room) {
+        var cut = math.max(room, 0)
+        if (cut > 0 && cut < t.length && Character.isHighSurrogate(t.charAt(cut - 1))) cut -= 1
+        t = t.substring(0, cut)
+        full = true
+      }
+      if (t.nonEmpty)
+        sb.append('\n').append('<').append(tag).append('>')
+          .append(escape(t)).append("</").append(tag).append('>')
+      if (sb.length() >= maxLen) full = true
     }
   }
 

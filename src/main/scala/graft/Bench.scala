@@ -210,13 +210,17 @@ object Bench {
     val pairCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
     val pairs = (1 to pairCount).map { i =>
       val (seq, par) =
+        // BOTH legs are min-of-2 reps per slice: an asymmetric design (seq
+        // single-sample vs par min-of-2) would bias the numerator high on a
+        // noisy host and inflate the headline efficiency — the metric this
+        // bench exists to measure must not have a thumb on the scale
         if (i % 2 == 1) {
-          val s = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 1))
+          val s = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 2))
           val p = safePair(s"exec-par-$i")(launchWorkers(4, smallCpus, concurrent = true, reps = 2))
           (s, p)
         } else {
           val p = safePair(s"exec-par-$i")(launchWorkers(4, smallCpus, concurrent = true, reps = 2))
-          val s = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 1))
+          val s = safePair(s"exec-seq-$i")(launchWorkers(4, smallCpus, concurrent = false, reps = 2))
           (s, p)
         }
       System.err.println(f"[bench] pair$i(${if (i % 2 == 1) "seq-first" else "par-first"}) seq=${seq._1}/${seq._2}%.1fs par=${par._1}/${par._2}%.1fs eff=${seq._2 / (4 * par._2)}%.3f")

@@ -144,4 +144,20 @@ class HtmlSpec extends AnyFunSuite {
     assert(r.text == "first segment of words here\nsecond segment of words here")
     assert(r.metadata("k") == Seq("v1", "v2"))
   }
+
+  test("uppercase tags parse identically under a Turkish default locale") {
+    // tr_TR: "TITLE".toLowerCase == "tıtle", and "</SCRIPT>" would never match
+    // the raw-text close-tag search — swallowing the rest of the document
+    val html = "<HTML><HEAD><TITLE>T</TITLE><SCRIPT>var x=1;</SCRIPT></HEAD>" +
+      "<BODY><DIV>real text stays here after the script block</DIV></BODY></HTML>"
+    val before = extract(html)
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val after = extract(html)
+      assert(after.text == before.text)
+      assert(after.text.contains("real text stays here"))
+      assert(!after.text.contains("var x=1"))
+    } finally java.util.Locale.setDefault(saved)
+  }
 }

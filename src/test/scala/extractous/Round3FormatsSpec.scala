@@ -559,4 +559,27 @@ class Round3FormatsSpec extends AnyFunSuite {
     assert(!MimeSniffer.looksLikeShiftJis(corrupt))
     assert(Extract(corrupt).status == ExtractStatus.InvalidUtf8)
   }
+
+  test("a member whose decoder THROWS is skipped like any failing member, not the whole row") {
+    // truncated gzip: magic + deflate header then EOF — gunzip throws, and the
+    // member loop must treat that exactly like a member that returns a status
+    val badGz = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42, 13)
+    val bytes = extractous.gen.DocxWriter.zip(Seq(
+      "good.txt" -> "survivor text".getBytes("UTF-8"), "bad.gz" -> badGz))
+    val r = Extract(bytes)
+    assert(r.status == ExtractStatus.Ok, s"${r.status} ${r.error}")
+    assert(r.text == "survivor text")
+    // and when the throwing member is the ONLY member, the frame is accounted
+    val solo = Extract(extractous.gen.DocxWriter.zip(Seq("bad.gz" -> badGz)))
+    assert(solo.status == ExtractStatus.ExtractionFailed)
+    assert(solo.error.contains("zip member 'bad.gz'"), solo.error)
+  }
+
+  test("zstd dictionary frame refuses with -8 (valid but out of scope), not -4") {
+    // magic, FHD 0x01 (didSize=1, not single-segment), window descriptor, dict id
+    val b = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, 0x01, 0x00, 0x07)
+    val r = Extract(b)
+    assert(r.status == ExtractStatus.UnsupportedFormat, s"${r.status} ${r.error}")
+    assert(r.error.contains("dictionaries"), r.error)
+  }
 }

@@ -59,4 +59,47 @@ class TextSpec extends AnyFunSuite {
     assert(Encoding("héllo", CharSet.Utf8) == "héllo")
     assert(Encoding("héllo こんにちは", CharSet.Utf16Be) == "héllo こんにちは")
   }
+
+  test("truncation never splits a surrogate pair") {
+    val e = new TextEmitter(4)
+    e.addBlock("abc😀z")
+    assert(e.result() == "abc") // cutting at 4 would strand the high surrogate
+    val e2 = new TextEmitter(5)
+    e2.addBlock("abc😀z")
+    assert(e2.result() == "abc😀") // whole pair fits
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val s = (1 to 20).map(_ => if (rnd.nextBoolean()) "😀" else "ab").mkString
+      val e3 = new TextEmitter(1 + rnd.nextInt(12))
+      e3.addBlock(s)
+      val r = e3.result()
+      if (r.nonEmpty) assert(!Character.isHighSurrogate(r.charAt(r.length - 1)), s"input=$s")
+    }
+  }
+
+  test("xml emitter caps an oversized element during emission, not after") {
+    val x = new XmlEmitter(10)
+    x.addElement("p", "a" * 1000)
+    assert(x.isFull)
+    assert(x.result().length < 40, x.result()) // text budget + tag overhead, never the full element
+    // maxLen 9 minus the 5-char "<doc>" prefix leaves a 4-char text budget;
+    // cutting at 4 would strand the high surrogate → backs off to "abc"
+    val x2 = new XmlEmitter(9)
+    x2.addElement("p", "abc😀zzz")
+    assert(x2.result() == "<doc>\n<p>abc</p>\n</doc>")
+  }
+
+  test("lowerAscii/upperAscii: locale-independent, length-preserving, non-ASCII untouched") {
+    assert(Normalize.lowerAscii("TITLE-Ä9") == "title-Ä9")
+    assert(Normalize.upperAscii("div9ß") == "DIV9ß")
+    // U+0130: String.toLowerCase would GROW this to two chars and desync indices
+    assert(Normalize.lowerAscii("İI") == "İi")
+    assert(Normalize.lowerAscii("already lower") eq "already lower") // no-copy fast path
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(Normalize.lowerAscii("TITLE") == "title") // not "tıtle"
+      assert(Normalize.upperAscii("i") == "I")         // not "İ"
+    } finally java.util.Locale.setDefault(saved)
+  }
 }
