@@ -30,21 +30,22 @@ object Multimodal {
       (bytes(0) == 'M' && bytes(1) == 'M'))) (Tiff.decode(bytes), "tiff")
     else (Png.decode(bytes), "png")
 
-  /** (id, image bytes) → typed metadata; partition-batched decode. */
+  /** (id, image bytes) → typed metadata; per-row narrow transform. */
   def imageMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[ImageMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.map { case (id, bytes) =>
+    ds.map { case (id, bytes) =>
       val (g, fmt) = decodeImage(bytes)
       ImageMeta(id, g.width, g.height, fmt, g.pixels.count(_ != 0).toLong)
-    })
+    }
   }
 
   /** Real nearest-neighbor downscale by integer factor, re-encoded as BMP. */
   def resize(ds: Dataset[(Long, Array[Byte])], factor: Int): Dataset[ResizedImage] = {
+    require(factor > 0, s"resize factor must be positive, got $factor")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.map { case (id, bytes) =>
+    ds.map { case (id, bytes) =>
       val (g, _) = decodeImage(bytes)
       val w = math.max(1, g.width / factor)
       val h = math.max(1, g.height / factor)
@@ -56,7 +57,7 @@ object Multimodal {
         y += 1
       }
       ResizedImage(id, w, h, Bmp.encode(Gray(w, h, px)))
-    })
+    }
   }
 
   /** MJPEG-in-AVI: a real RIFF container — `RIFF('AVI ')` holding
@@ -83,7 +84,7 @@ object Multimodal {
       val avih = {
         val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         bb.putInt(100000)          // usec per frame (10 fps)
-        bb.putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, flags (HASINDEX off)
+        bb.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags (no idx1 written, so HASINDEX must be off)
         bb.putInt(frames.length)   // total frames
         bb.putInt(0).putInt(1)     // initial frames, streams
         bb.putInt(0)               // suggested buffer
@@ -121,7 +122,9 @@ object Multimodal {
         }
       }
       val riffEnd = 8 + bb.getInt(4)
-      require(riffEnd <= bytes.length, "avi: truncated RIFF payload")
+      // lower bound guards a negative/undersized size dword, which would
+      // otherwise walk zero chunks and report a corrupt file as "0 frames"
+      require(riffEnd >= 12 && riffEnd <= bytes.length, "avi: truncated RIFF payload")
       walk(12, riffEnd, inMovi = false)
       frames.result()
     }
@@ -134,12 +137,12 @@ object Multimodal {
     require(step > 0, s"frameSample step must be positive, got $step")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.map { case (id, bytes) =>
+    ds.map { case (id, bytes) =>
       val frames = Avi.decode(bytes)
       val sampled = frames.indices.filter(_ % step == 0)
       val t = if (sampled.nonEmpty) GlyphTemplateOcr.recognize(frames(sampled.head), OcrConfig()) else ""
       VideoFrames(id, frames.length, sampled, t)
-    })
+    }
   }
 
   // ---- minimal but real RIFF/WAVE header codec (PCM) ----
@@ -166,6 +169,9 @@ object Multimodal {
       val rate = bb.getInt(24)
       val bits = bb.getShort(34).toInt
       val dataLen = bb.getInt(40)
+      // the header's declared data length must actually be present: a
+      // truncated WAV must error, not fabricate n_samples/duration from air
+      require(dataLen >= 0 && 44L + dataLen <= bytes.length, "wav: truncated data chunk")
       val n = dataLen / math.max(1, channels * (bits / 8))
       AudioMeta(0L, rate, channels, bits, n.toLong, n.toLong * 1000L / math.max(1, rate))
     }
@@ -174,6 +180,6 @@ object Multimodal {
   def audioMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[AudioMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.map { case (id, bytes) => Wav.decode(bytes).copy(id = id) })
+    ds.map { case (id, bytes) => Wav.decode(bytes).copy(id = id) }
   }
 }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   def bucket(textCol: Column, buckets: Int = 100): Column =
-    pmod(TextStats.fingerprint(textCol), lit(buckets.toLong))
+    // null text (e.g. failed-extraction rows joined back in) folds to the
+    // empty string's bucket: fingerprint(null) is null, and a null bucket
+    // would fall through every `when` and silently route all such rows to
+    // the LAST split instead of a deterministic assignment
+    pmod(TextStats.fingerprint(coalesce(textCol, lit(""))), lit(buckets.toLong))
 
   /** Adds `bucket` (0..99) and `split` (train/val/test at trainPct/valPct). */
   def split(df: DataFrame, textCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {

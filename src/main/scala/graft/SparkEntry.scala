@@ -70,6 +70,31 @@ object SparkEntry {
     d.union(d.select(col("doc_id") + 100000, col("text")))
   }
 
+  /** File-stream source over one parquet file. The file source needs a
+    * DIRECTORY, so expose the file through a temp symlink dir; schema comes
+    * from a batch read of the same file. Harness-scoped: the temp dir lives
+    * until the process exits (Verify runs each query once, not a bench loop).
+    */
+  private def streamOfParquet(s: SparkSession, file: String, prefix: String): DataFrame = {
+    val schema = s.read.parquet(file).schema
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    val p = java.nio.file.Paths.get(file).toAbsolutePath
+    java.nio.file.Files.createSymbolicLink(streamDir.resolve(p.getFileName), p)
+    s.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Drain a streaming frame through a uniquely-named APPEND memory sink and
+    * return the sink table — the one completion/sink policy every
+    * `q_stream_*` harness query shares.
+    */
+  private def drainToMemory(s: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+    val qn = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn)
+  }
+
   private def binDs(s: SparkSession, dir: String, f: Long => Array[Byte]) = {
     import s.implicits._
     docs(s, dir).select(col("doc_id")).as[Long].map(id => (id, f(id)))
@@ -142,20 +167,12 @@ object SparkEntry {
       // micro-batch APPEND output must equal the batch result (oracle
       // recomputes the signals over raw text in SQL). A real pipeline runs
       // this gate on the live crawl stream before anything is stored.
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val qn = "stream_quality_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val streamDir = java.nio.file.Files.createTempDirectory("qualstream")
-      java.nio.file.Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+      val out = streamOfParquet(s, s"$dir/documents.parquet", "qualstream")
         .select(col("doc_id") +: TextStats.gopherReport(col("text"), minWords = 10)
           .map { case (n, c) => c.as(n) }: _*)
         .select(col("doc_id"), col("n_words"), col("mean_word_len_x100"),
           col("stop_hits"), col("gopher_pass"))
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).orderBy(col("doc_id"))
+      drainToMemory(s, out, "stream_quality_").orderBy(col("doc_id"))
     }),
     "q_stream_extract" -> ((s, dir) => {
       // incremental crawl processing: the FLAGSHIP extraction as a stream —
@@ -169,14 +186,10 @@ object SparkEntry {
       val corpusDir = java.nio.file.Files.createTempDirectory("qstreamcorpus").toString
       extractous.jobs.CorpusWriter.write(s, dir, corpusDir)
       val schema = s.read.parquet(corpusDir).schema
-      val qn = "stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = xf.extractFrame(
+      val out = xf.extractFrame(
           s.readStream.schema(schema).parquet(corpusDir), CorpusGen.flagshipConfig)
         .select(col("url"), col("text"), col("status").cast("long").as("status"), col("content_type"))
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).orderBy(col("url"))
+      drainToMemory(s, out, "stream_out_").orderBy(col("url"))
     }),
     "x_job" -> ((s, dir) => {
       // END-TO-END: corpus table → resumable snapshot job → read-back of the
@@ -256,23 +269,14 @@ object SparkEntry {
       // emit, and their state is evicted — real state cleanup, not complete-
       // mode re-emission. The no-data micro-batch after the last file advances
       // the watermark to max(ts) - 10min and flushes every closed window.
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val qn = "stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // file-stream source needs a directory; expose the single file through one
-      val streamDir = java.nio.file.Files.createTempDirectory("eventstream")
-      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+      val out = streamOfParquet(s, s"$dir/events.parquet", "eventstream")
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type (UTC session)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n").cast("long").as("n"))
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).orderBy(col("w_start"), col("event_type"))
+      drainToMemory(s, out, "stream_out_").orderBy(col("w_start"), col("event_type"))
     }),
     "q_stream_dedup" -> ((s, dir) => {
       // streaming stateful dedup (dropDuplicatesWithinWatermark): first sight
@@ -280,21 +284,13 @@ object SparkEntry {
       // absorbed by keyed state that the watermark eventually evicts — the
       // streaming twin of exact dedup. Output selects only the key columns,
       // so WHICH physical row wins a tie is irrelevant to the result set.
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val qn = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val streamDir = java.nio.file.Files.createTempDirectory("dedupstream")
-      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+      val out = streamOfParquet(s, s"$dir/events.parquet", "dedupstream")
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
         .select(col("ts"), col("user_id"), col("event_type"))
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id").cast("long"), col("event_type"))
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).orderBy(col("user_id"), col("event_type"))
+      drainToMemory(s, out, "stream_dedup_").orderBy(col("user_id"), col("event_type"))
     }),
     "q_stream_sessions" -> ((s, dir) => {
       // stateful streaming with CUSTOM state (flatMapGroupsWithState +
@@ -305,11 +301,6 @@ object SparkEntry {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val GapUs = 3600L * 1000000L
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val qn = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val streamDir = java.nio.file.Files.createTempDirectory("sessstream")
-      java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       // state per user: (session_start_us, last_event_us, n_events)
       def update(user: Long, evs: Iterator[Long],
           state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
@@ -336,7 +327,7 @@ object SparkEntry {
           closed.result().iterator
         }
       }
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+      val out = streamOfParquet(s, s"$dir/events.parquet", "sessstream")
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
         // keep the watermarked ts column itself in the projection — the
@@ -351,10 +342,7 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss").as("s_start"),
           col("n").cast("long").as("n"))
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).orderBy(col("user_id"), col("s_start"))
+      drainToMemory(s, out, "stream_sess_").orderBy(col("user_id"), col("s_start"))
     }),
     "x_encoding" -> ((s, dir) => {
       // SetEncoding semantics (#10): US-ASCII output folds non-representable
@@ -1752,7 +1740,12 @@ object SparkEntry {
         |SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start, CAST(n AS BIGINT) AS n
         |FROM sess
         |WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
-        |   OR s_last + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+        |   -- timeout emission mirrors Spark EXACTLY: the timeout timestamp is
+        |   -- the ms-FLOORED last event + gap, the watermark is the ms-floored
+        |   -- max event time - delay, and EventTimeTimeout fires only when the
+        |   -- watermark is STRICTLY past the timeout (timeoutTs < wm) — an
+        |   -- inclusive µs-precision compare would diverge on boundary sessions
+        |   OR epoch_ms(s_last) + 3600000 < (SELECT epoch_ms(max(ts)) FROM events) - 600000
         |ORDER BY user_id, s_start""".stripMargin,
     "r_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events

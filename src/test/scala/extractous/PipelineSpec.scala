@@ -430,6 +430,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.n_samples == 100 + 13 % 50)
   }
 
+  test("corrupt container sizes error instead of fabricating results") {
+    // negative RIFF size dword: must error, not decode as "0 frames"
+    val avi = Multimodal.Avi.encode(Seq(Array.tabulate[Byte](8)(_.toByte)), 16, 16)
+    val negSize = avi.clone()
+    negSize(4) = 0; negSize(5) = 0; negSize(6) = 0; negSize(7) = 0x80.toByte
+    intercept[Exception] { Multimodal.Avi.decode(negSize) }
+    // WAV whose data chunk declares more bytes than the file carries: error,
+    // not a fabricated n_samples/duration
+    val wav = CorpusGen.audioPayload(13)
+    intercept[Exception] { Multimodal.Wav.decode(wav.take(60)) }
+    // resize factor must be validated on the driver, not blow up in a task
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((1L, CorpusGen.payload(90, "words", "en"))))
+    intercept[IllegalArgumentException] { Multimodal.resize(ds, 0) }
+  }
+
   test("resize halves dimensions and preserves decodability") {
     import spark.implicits._
     val img = CorpusGen.payload(90, "some sample words", "en") // image kind
