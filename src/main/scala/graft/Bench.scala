@@ -145,7 +145,7 @@ object Bench {
           case Seq("--add-opens", v) => Seq("--add-opens", v)
         }.flatten.toSeq
       val workerErrFor = new java.util.concurrent.ConcurrentHashMap[Process, java.io.File]()
-      def spawn(sliceArg: String): Process = {
+      def spawn(sliceArg: String): (Process, java.io.BufferedReader) = {
         // ActiveProcessorCount pins EVERY pool the worker sizes off CPU count
         // (GC threads, ForkJoin, netty) to its core share; fixed pre-touched
         // heap keeps concurrent heap growth from page-faulting in-kernel
@@ -162,10 +162,27 @@ object Bench {
         pb.redirectError(ProcessBuilder.Redirect.to(errFile))
         val p = pb.start()
         workerErrFor.put(p, errFile)
-        p
+        (p, new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream, "UTF-8")))
       }
-      def harvest(p: Process): (Long, Double) = {
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // start barrier: a worker finishes boot + warmup, prints "[worker] ready",
+      // and blocks on stdin until the parent releases it. Without this, one
+      // par-leg worker's 6 GB AlwaysPreTouch / Spark-session boot overlaps
+      // another's TIMED region — a penalty the single-JVM sequential leg never
+      // pays, biasing the scaling efficiency low. Applied to both legs.
+      def awaitReady(pr: (Process, java.io.BufferedReader)): Unit = {
+        var line = pr._2.readLine()
+        while (line != null && !line.contains("[worker] ready")) line = pr._2.readLine()
+      }
+      def release(pr: (Process, java.io.BufferedReader)): Unit = {
+        pr._1.getOutputStream.write('\n')
+        pr._1.getOutputStream.flush()
+      }
+      def harvest(pr: (Process, java.io.BufferedReader)): (Long, Double) = {
+        val (p, reader) = pr
+        val sb = new StringBuilder
+        var line = reader.readLine()
+        while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
+        val out = sb.toString
         p.waitFor()
         val m = "\\[worker\\] docs=(\\d+) secs=([0-9.]+)".r.findFirstMatchIn(out)
           .getOrElse {
@@ -181,6 +198,8 @@ object Bench {
       var aggSecs = 0.0
       if (concurrent) {
         val procs = slices.map(s => spawn(s.mkString(",")))
+        procs.foreach(awaitReady)
+        procs.foreach(release)
         procs.foreach { p =>
           val (d, t) = harvest(p)
           totalDocs += d
@@ -188,8 +207,12 @@ object Bench {
         }
       } else {
         // sequential baseline: ONE worker JVM processes every slice back-to-
-        // back (';'-separated) — boot amortized like a long-running executor
-        val (d, t) = harvest(spawn(slices.map(_.mkString(",")).mkString(";")))
+        // back (';'-separated) — boot amortized like a long-running executor;
+        // same ready/release path as the concurrent leg (trivial barrier of 1)
+        val pr = spawn(slices.map(_.mkString(",")).mkString(";"))
+        awaitReady(pr)
+        release(pr)
+        val (d, t) = harvest(pr)
         totalDocs += d
         aggSecs += t
       }

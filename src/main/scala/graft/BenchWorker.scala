@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * slice (min of `reps`); with several it processes them back-to-back and
   * reports the SUM — the sequential baseline of the scaling pair, in one JVM
   * so its boot cost is amortized exactly like a long-running executor's.
-  * Prints one line the parent parses: `[worker] docs=<n> secs=<s>`;
-  * JVM/session startup and an untimed JIT-warmup rep are excluded.
+  * Prints `[worker] ready` once boot + warmup are done, blocks on stdin for
+  * the parent's release (start barrier — concurrent siblings must all be
+  * warm before any timed region opens), then prints the line the parent
+  * parses: `[worker] docs=<n> secs=<s>`. JVM/session startup and an untimed
+  * JIT-warmup rep are excluded from the timing.
   */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
@@ -36,12 +39,18 @@ object BenchWorker {
     }
     var totalDocs = 0L
     var totalSecs = 0.0
-    slices.zipWithIndex.foreach { case (dirs, i) =>
+    val dfs = slices.zipWithIndex.map { case (dirs, i) =>
       val df = spark.read.parquet(dirs.toIndexedSeq: _*).select("url", "html")
       totalDocs += df.count() // warms page-cache mappings + codegen, untimed
       if (i == 0) rep(df.limit(2000)) // JIT warmup, untimed
-      totalSecs += (1 to reps).map(_ => rep(df)).min
+      df
     }
+    // start barrier: boot, heap pre-touch, and warmup are done — tell the
+    // parent and wait for the release so no sibling worker's startup storm
+    // lands inside this worker's timed region (see Bench.awaitReady)
+    println("[worker] ready")
+    scala.io.StdIn.readLine() // parent writes one newline (or closes stdin)
+    dfs.foreach { df => totalSecs += (1 to reps).map(_ => rep(df)).min }
     println(s"[worker] docs=$totalDocs secs=$totalSecs")
     spark.stop()
   }
