@@ -1,0 +1,61 @@
+package extractous.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus distribution statistics — the "know your data" report every
+  * training-data pipeline runs before fixing sequence lengths, packing
+  * budgets, and truncation points (doc-length percentiles at minimum).
+  *
+  * 100 TB shape: the textbook exact quantile — `percentile` or a global
+  * sort — shuffles every row; `approx_percentile` avoids that but its
+  * t-digest answer is engine- and merge-order-dependent, so no independent
+  * engine can replay it. This takes the exact-histogram path the repo's LM
+  * terciles use ([[LmQuality]]): document LENGTH is integer-valued and
+  * bounded (a crawl pipeline caps extraction at maxLen anyway —
+  * [[extractous.config.ExtractorConfig]]), so ONE bounded-key count
+  * aggregation (map-side combined, ≤ #distinct-lengths rows through the
+  * exchange) yields the full distribution, and the quantile boundary walk
+  * happens on the metadata-sized histogram driver-side. Exact, RNG-free,
+  * bit-identical across engines and parallelism — the DuckDB oracle
+  * replays it with the textbook window cumsum.
+  */
+object CorpusStats {
+
+  /** One row per requested per-mille quantile: (q_mille, value) under the
+    * type-1 (inverse-CDF) definition — the smallest length L whose
+    * cumulative count reaches ⌈q·N/1000⌉. Includes n_docs on every row so
+    * the result is self-describing.
+    */
+  def lengthQuantiles(
+      df: DataFrame,
+      textCol: String,
+      qMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(qMille.nonEmpty && qMille.forall(q => q >= 1 && q <= 1000),
+      "quantiles are per-mille in [1, 1000]")
+    val spark = df.sparkSession
+    val hist = df
+      .select(length(coalesce(col(textCol), lit(""))).cast("long").as("len"))
+      .groupBy("len").count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val rows = qMille.sorted.map { q =>
+      // ceil(q·n/1000) in exact integer arithmetic (q·n ≤ 10³·10¹² — no overflow)
+      val rank = (q.toLong * n + 999) / 1000
+      var cum = 0L
+      var value = if (hist.isEmpty) 0L else hist.last._1
+      var i = 0
+      var found = false
+      while (i < hist.length && !found) {
+        cum += hist(i)._2
+        if (cum >= rank) { value = hist(i)._1; found = true }
+        i += 1
+      }
+      (q.toLong, if (n == 0) 0L else value, n)
+    }
+    import spark.implicits._
+    rows.toDF("q_mille", "len", "n_docs")
+  }
+}

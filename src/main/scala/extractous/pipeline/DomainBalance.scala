@@ -1,7 +1,8 @@
 package extractous.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Per-domain document cap — the domain-balancing step every large crawl
   * corpus runs so a handful of mega-hosts (forums, wikis, link farms) cannot
@@ -78,5 +79,81 @@ object DomainBalance {
         col("_dc_prio") < col("_dc_th.p") ||
         (col("_dc_prio") === col("_dc_th.p") && col(idCol) <= col("_dc_th.id")))
       .drop("_dc_prio", "_dc_th")
+  }
+
+  /** Hash-threshold modulus for [[temperatureResample]]: 2²⁰ keep-probability
+    * quanta. The URL fingerprint lives in [0, 1e9+7), which is not a multiple
+    * of 2²⁰, so residues carry a ≤ ~10⁻³ relative non-uniformity — irrelevant
+    * for a sampler and identical in both engines.
+    */
+  val ResampleMod = 1L << 20
+
+  /** Exact integer sqrt as a column: IEEE double sqrt is correctly rounded,
+    * so `floor(sqrt(n))` is within ±1 of ⌊√n⌋ on every engine; the two
+    * square-comparison fixups make the result exactly ⌊√n⌋ regardless of
+    * which way the float rounded — bit-identical across engines by
+    * construction, with no float ever crossing an engine boundary.
+    */
+  private[extractous] def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val up = when((s0 + 1) * (s0 + 1) <= n, s0 + 1).otherwise(s0)
+    when(up * up > n, up - 1).otherwise(up)
+  }
+
+  /** Temperature-based domain REBALANCING (the α-sampling of mT5, Xue et
+    * al. 2021 §3.1 / XLM-R, Conneau et al. 2020 §3.1, applied to hosts):
+    * where [[capPerDomain]] hard-caps each host, this reshapes the whole
+    * host distribution toward p(host) ∝ n_host^α with α = 1/2 — mega-hosts
+    * are squashed ~√n while the long tail keeps most of its documents — and
+    * scales it to ≈ `targetTotal` kept documents.
+    *
+    * Per host: weight w_h = ⌊√n_h⌋, keep probability
+    * p_h = min(1, targetTotal·w_h / (Σw·n_h)), decided per page by the
+    * RNG-free URL-fingerprint test
+    *
+    *   (fp(url) mod 2²⁰) · Σw · n_h  <  2²⁰ · targetTotal · w_h
+    *
+    * evaluated in DECIMAL(38,0) — multiplication only, no division, every
+    * intermediate ≤ ~10²⁷ ≪ 10³⁸ — so the decision is exact integer
+    * arithmetic an independent engine replays bit-identically (DuckDB:
+    * HUGEINT). Duplicate URLs get the same verdict by construction.
+    *
+    * 100 TB shape: the only aggregation exchange carries per-host count
+    * partials (map-side combined); the host-stats table (host, n, w) is
+    * metadata-sized and broadcast back (`broadcastStats = false` shuffles
+    * the join by host instead when the crawl has more hosts than fits the
+    * broadcast budget); the keep decision is a narrow filter — the corpus
+    * itself never shuffles, never sorts, and passes the executor boundary
+    * exactly once. Host-less rows (unparseable URL) are mutually unrelated
+    * documents, not one domain: they bypass the rebalance and are kept,
+    * the same posture as [[capPerDomain]].
+    */
+  def temperatureResample(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      targetTotal: Long,
+      broadcastStats: Boolean = true): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    val dec = DecimalType(38, 0)
+    val withKeys = df
+      .withColumn("host", UrlFilter.host(col(urlCol)))
+      .withColumn("_tr_fpm", pmod(TextStats.fingerprint(col(urlCol)), lit(ResampleMod)))
+    val stats = withKeys
+      .filter(col("host") =!= "")
+      .groupBy("host")
+      .agg(count(lit(1)).as("_tr_n"))
+      .withColumn("_tr_w", isqrt(col("_tr_n")))
+    // Σw is ONE scalar over the metadata-sized host table — a driver-side
+    // reduce, not a corpus collect
+    val sumW = Option(stats.agg(sum(col("_tr_w"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val statsSide = if (broadcastStats) broadcast(stats) else stats
+    withKeys
+      .join(statsSide, Seq("host"), "left")
+      .filter(col("_tr_n").isNull ||
+        (col("_tr_fpm").cast(dec) * lit(sumW).cast(dec) * col("_tr_n").cast(dec)) <
+          (lit(ResampleMod).cast(dec) * lit(targetTotal).cast(dec) * col("_tr_w").cast(dec)))
+      .drop("_tr_fpm", "_tr_n", "_tr_w")
   }
 }

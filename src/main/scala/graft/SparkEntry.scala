@@ -1010,6 +1010,34 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet").select(col("text"))
       extractous.pipeline.Sketch.kmvDistinct(d.union(d), "text", k = 64)
     }),
+    "s_quantiles" -> ((s, dir) => {
+      // exact doc-length percentiles via the bounded-histogram path (no
+      // global sort, no engine-dependent approx_percentile digest): ONE
+      // count aggregation over the integer length key space, quantile walk
+      // on the metadata-sized histogram. The oracle replays it with the
+      // textbook window cumsum the Spark side avoids.
+      extractous.pipeline.CorpusStats.lengthQuantiles(
+        docs(s, dir).select(col("text")), "text", Seq(500, 900, 990))
+        .orderBy(col("q_mille"))
+    }),
+    "s_cms" -> ((s, dir) => {
+      // Count–Min phrase-frequency sketch (Cormode & Muthukrishnan 2005):
+      // corpus-wide bigram counts answered from a 4×1024-counter sketch
+      // (bounded-key aggregation — the exchange carries ≤ 4·W count rows no
+      // matter the corpus size) instead of the 10¹⁴-gram-row shuffle of the
+      // textbook explode+groupBy. Candidates are the distinct bigrams of a
+      // deterministic 20-document sample; the oracle replays the ENTIRE
+      // sketch in SQL — token poly-hashes, affine row positions, counter
+      // collisions, and the min-over-rows estimate — so CMS semantics are
+      // verified exactly, overcounts included.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val sketch = extractous.pipeline.Cms.build(d, "text", w = 1024)
+      val cands = extractous.pipeline.Cms.candidateBigrams(
+        d.filter(col("doc_id") < 20), "text")
+      extractous.pipeline.Cms.estimatePhrases(cands, "w1", "w2", sketch)
+        .filter(col("est") >= 30)
+        .orderBy(col("w1"), col("w2"))
+    }),
     "d_dsir" -> ((s, dir) => {
       // DSIR importance selection (Xie et al. 2023, arXiv 2302.03169):
       // target = the English subset; hashed uni+bigram profiles, fixed-point
@@ -1262,6 +1290,22 @@ object SparkEntry {
       val df = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), url.as("url"))
       extractous.pipeline.DomainBalance.capPerDomain(df, "url", "doc_id", 25)
+        .select(col("doc_id"), col("url"), col("host"))
+        .orderBy(col("doc_id"))
+    }),
+    "d_resample" -> ((s, dir) => {
+      // temperature-based domain REBALANCING (mT5/XLM-R α-sampling, α=1/2,
+      // over hosts): the hot host holding half the corpus is squashed ~√n
+      // while 50 cold hosts keep most of their documents, scaled to ≈150
+      // kept docs total. Per-page keep decision = a multiplication-only
+      // DECIMAL(38,0) threshold test on the URL fingerprint — the oracle
+      // replays host counts, the exact-isqrt weights, Σw, and every
+      // per-page verdict in HUGEINT, bit-identically.
+      val host = when(col("doc_id") % 2 === 1, lit("hot.example"))
+        .otherwise(concat(lit("host-"), (col("doc_id") % 50).cast("string"), lit(".example")))
+      val url = concat(lit("https://"), host, lit("/doc/"), col("doc_id").cast("string"))
+      val df = docs(s, dir).select(col("doc_id"), url.as("url"))
+      extractous.pipeline.DomainBalance.temperatureResample(df, "url", "doc_id", targetTotal = 150)
         .select(col("doc_id"), col("url"), col("host"))
         .orderBy(col("doc_id"))
     }),
@@ -2021,6 +2065,56 @@ object SparkEntry {
         |  CAST(CASE WHEN k_used < 64 THEN k_used
         |    ELSE floor(63.0 * 1000000007.0 / greatest(kth, 1)) END AS BIGINT) AS distinct_est
         |FROM agg""".stripMargin,
+    "s_quantiles" ->
+      // textbook window-cumsum formulation, verifying the histogram walk
+      // against the obvious plan
+      """WITH l AS (SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS len FROM documents),
+        |n AS (SELECT count(*) AS n FROM l),
+        |h AS (SELECT len, count(*) AS c FROM l GROUP BY len),
+        |cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cum FROM h),
+        |q(q_mille) AS (VALUES (500), (900), (990))
+        |SELECT CAST(q.q_mille AS BIGINT) AS q_mille,
+        |  CAST((SELECT min(len) FROM cum WHERE cum >= (q.q_mille * n.n + 999) // 1000) AS BIGINT) AS len,
+        |  CAST(n.n AS BIGINT) AS n_docs
+        |FROM q, n ORDER BY q_mille""".stripMargin,
+    "s_cms" ->
+      // full replay of the Count–Min sketch: token poly-hashes, bigram
+      // combine, the four affine row positions, the bounded counter table,
+      // and the min-over-rows estimate — collisions and overcounts must
+      // reproduce bit-identically, not just "roughly agree"
+      raw"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+         |), th AS (
+         |  SELECT doc_id, unnest(range(1, len(ts)+1)) AS i,
+         |    unnest(list_transform(ts, t ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t)+1),
+         |        j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*31+c) % 1000000007))) AS h
+         |  FROM tok
+         |), grams AS (
+         |  SELECT (a.h * 131 + c.h) % 1000000007 AS g
+         |  FROM th a JOIN th c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+         |), rk(j, ka, kb) AS (VALUES (0, 31, 7), (1, 131, 77), (2, 1009, 777), (3, 9176, 7777)),
+         |cnt AS (
+         |  SELECT rk.j * 1024 + ((g * rk.ka + rk.kb) % 1000000007) % 1024 AS slot, count(*) AS n
+         |  FROM grams, rk GROUP BY 1
+         |), cpair AS (
+         |  SELECT DISTINCT ts[CAST(i AS INTEGER)] AS w1, ts[CAST(i+1 AS INTEGER)] AS w2
+         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tok WHERE doc_id < 20)
+         |), chash AS (
+         |  SELECT w1, w2,
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w1)+1),
+         |       j -> CAST(ascii(substr(w1, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*31+c) % 1000000007) * 131 +
+         |     list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w2)+1),
+         |       j -> CAST(ascii(substr(w2, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a*31+c) % 1000000007)) % 1000000007 AS g
+         |  FROM cpair
+         |), est AS (
+         |  SELECT c.w1, c.w2, min(coalesce(t.n, 0)) AS est
+         |  FROM chash c CROSS JOIN rk
+         |  LEFT JOIN cnt t ON t.slot = rk.j * 1024 + ((c.g * rk.ka + rk.kb) % 1000000007) % 1024
+         |  GROUP BY c.w1, c.w2
+         |)
+         |SELECT w1, w2, CAST(est AS BIGINT) AS est FROM est WHERE est >= 30
+         |ORDER BY w1, w2""".stripMargin,
     "t_rarity" ->
       raw"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS w
@@ -2384,6 +2478,30 @@ object SparkEntry {
         |r AS (SELECT doc_id, host, url,
         |  row_number() OVER (PARTITION BY host ORDER BY fp, doc_id) AS rn FROM f)
         |SELECT doc_id, url, host FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+    "d_resample" ->
+      // full replay of the α=1/2 temperature rebalance: host counts, the
+      // exact-isqrt weights (float sqrt + square-comparison fixups), Σw,
+      // and the multiplication-only threshold verdict in HUGEINT
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN 'hot.example'
+        |         ELSE 'host-' || CAST(doc_id % 50 AS VARCHAR) || '.example' END AS host
+        |  FROM documents),
+        |u AS (SELECT doc_id, host,
+        |  'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS url FROM t),
+        |f AS (SELECT doc_id, host, url,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(url)+1), i -> CAST(ascii(substr(url, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) % 1048576 AS fpm FROM u),
+        |st AS (SELECT host, count(*) AS n FROM u GROUP BY host),
+        |w0 AS (SELECT host, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM st),
+        |w1 AS (SELECT host, n, CASE WHEN (s0+1)*(s0+1) <= n THEN s0+1 ELSE s0 END AS up FROM w0),
+        |ws AS (SELECT host, n, CASE WHEN up*up > n THEN up-1 ELSE up END AS w FROM w1),
+        |tot AS (SELECT sum(w) AS sumw FROM ws)
+        |SELECT f.doc_id AS doc_id, f.url AS url, f.host AS host
+        |FROM f JOIN ws USING (host), tot
+        |WHERE CAST(f.fpm AS HUGEINT) * CAST(tot.sumw AS HUGEINT) * CAST(ws.n AS HUGEINT)
+        |    < CAST(1048576 AS HUGEINT) * CAST(150 AS HUGEINT) * CAST(ws.w AS HUGEINT)
+        |ORDER BY doc_id""".stripMargin,
     "d_dedup_url" ->
       s"""SELECT 'https://host-' || CAST(doc_id % 9 AS VARCHAR) || '.example/path' || $sqlId
          | || '?q=' || $sqlId AS canonical_url,

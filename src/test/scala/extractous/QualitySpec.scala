@@ -515,6 +515,134 @@ class QualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges:\n$plan")
   }
 
+  /** Independent plain-Scala reference for the α=1/2 temperature rebalance:
+    * same integer math via BigInt — no Spark, no decimals.
+    */
+  private def refResample(rows: Seq[(Long, String)], target: Long): Seq[Long] = {
+    def host(u: String): String =
+      "https?://([^/]+)".r.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    def poly(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def isqrt(n: Long): Long = { var s = 0L; while ((s + 1) * (s + 1) <= n) s += 1; s }
+    val byHost = rows.groupBy(r => host(r._2))
+    val counts = byHost.collect { case (h, rs) if h.nonEmpty => h -> rs.size.toLong }
+    val sumW = counts.values.map(isqrt).sum
+    rows.collect {
+      case (id, u) if host(u).isEmpty => id
+      case (id, u) if {
+        val n = counts(host(u)); val w = isqrt(n)
+        BigInt(poly(u) % (1L << 20)) * BigInt(sumW) * BigInt(n) <
+          BigInt(1L << 20) * BigInt(target) * BigInt(w)
+      } => id
+    }.map(identity)
+  }
+
+  test("temperature resample: hot host squashed toward sqrt(n), cold tail mostly kept") {
+    import spark.implicits._
+    // hot host: 300 docs; 30 cold hosts: 5 docs each
+    val rows = (1 to 300).map(i => (i.toLong, s"https://hot.example/p/$i")) ++
+      (1 to 150).map(i => (300L + i, s"https://cold-${i % 30}.example/p/$i"))
+    val df = rows.toDF("doc_id", "url")
+    val out = extractous.pipeline.DomainBalance.temperatureResample(df, "url", "doc_id", targetTotal = 150)
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == refResample(rows, 150).sorted, "must equal the BigInt reference verdicts")
+    // distribution shape: w_hot=17, w_cold=2, sumW=77. p_hot=150·17/(77·300)≈0.11,
+    // p_cold=150·2/(77·5)≈0.78 — the hot host drops ~89%, the tail keeps ~78%
+    val hotKept = kept.count(_ <= 300)
+    val coldKept = kept.size - hotKept
+    assert(hotKept < 80, s"hot host must be squashed, kept $hotKept of 300")
+    assert(coldKept > 80, s"cold tail must mostly survive, kept $coldKept of 150")
+  }
+
+  test("temperature resample: deterministic across repartitioning, saturates to keep-all") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      (i.toLong, s"https://h${i % 13}.example/doc/$i")
+    }
+    val df = rows.toDF("doc_id", "url")
+    val a = extractous.pipeline.DomainBalance.temperatureResample(df, "url", "doc_id", 60)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = extractous.pipeline.DomainBalance.temperatureResample(df.repartition(7), "url", "doc_id", 60)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "verdicts must not depend on partitioning")
+    // p_h = min(1, ...): a target beyond the corpus keeps every row
+    val all = extractous.pipeline.DomainBalance.temperatureResample(df, "url", "doc_id", 1000000)
+      .count()
+    assert(all == 200)
+  }
+
+  test("temperature resample: host-less rows bypass, plan broadcasts stats and never shuffles the corpus") {
+    import spark.implicits._
+    val df = ((1 to 8).map(i => (i.toLong, s"not a url $i")) ++
+      (9 to 40).map(i => (i.toLong, s"https://a.example/p/$i"))).toDF("doc_id", "url")
+    val out = extractous.pipeline.DomainBalance.temperatureResample(df, "url", "doc_id", 5)
+    val byHost = out.collect().groupBy(_.getAs[String]("host"))
+    assert(byHost("").length == 8, "mutually-unrelated host-less rows must all survive")
+    assert(byHost.getOrElse("a.example", Array.empty).length < 32)
+    // collect() above finalized AQE: the plan string renders the SAME tree
+    // twice (Final + Initial), so count exchanges in the final section only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"host stats must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the host-count aggregate may exchange:\n$plan")
+  }
+
+  test("temperature resample: exact isqrt column fixes float boundaries") {
+    import spark.implicits._
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L, 2147483647L,
+      999999999999L, 4611686014132420608L) // (2^31-1+?)... large squares near double rounding
+    val df = ns.toDF("n")
+    val got = df.select(col("n"),
+      extractous.pipeline.DomainBalance.isqrt(col("n")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val s = got(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n)=$s")
+    }
+  }
+
+  test("length quantiles: type-1 inverse CDF on a hand histogram, empty-safe") {
+    import spark.implicits._
+    // lengths: 1×"a", 3×"bb", 6×"ccc" → N=10; p50 rank=5 → len 3 (cum 1,4,10)
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("bb") ++ Seq.fill(6)("ccc")).toDF("text")
+    val got = extractous.pipeline.CorpusStats.lengthQuantiles(df, "text", Seq(100, 400, 500, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 1L, 400L -> 2L, 500L -> 3L, 1000L -> 3L))
+    // null text counts as the empty document, not a dropped row
+    val withNull = Seq(Some("xx"), None, Some("xx")).toDF("text")
+    val g2 = extractous.pipeline.CorpusStats.lengthQuantiles(withNull, "text", Seq(333, 1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g2.toSeq == Seq((333L, 0L, 3L), (1000L, 2L, 3L)))
+    // empty corpus yields zeros rather than a crash
+    val empty = extractous.pipeline.CorpusStats.lengthQuantiles(
+      Seq.empty[String].toDF("text"), "text", Seq(500))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(empty.toSeq == Seq((500L, 0L, 0L)))
+  }
+
+  test("length quantiles: histogram aggregation is the only exchange (no global sort)") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => "x" * (i % 23)).toDF("text")
+    val histPlan = df
+      .select(length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+      .groupBy("len").count()
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(histPlan).size == 1, histPlan)
+    assert(!histPlan.contains("Sort"), s"no sort may touch the corpus:\n$histPlan")
+    // agreement with Spark's own exact percentile on the same type-1 rule
+    val want = df.select(expr("percentile(length(text), array(0.5, 0.9))")).first()
+      .getSeq[Double](0)
+    val got = extractous.pipeline.CorpusStats.lengthQuantiles(df, "text", Seq(500, 900))
+      .collect().map(_.getLong(1))
+    // percentile() interpolates; type-1 must land on one of the neighboring
+    // integer lengths
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 1.0, s"type-1 $g vs interpolated $w")
+    }
+  }
+
   /** Independent fixed-point PageRank reference: same recurrence, plain
     * Scala maps — no Spark, no SQL.
     */
