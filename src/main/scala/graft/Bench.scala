@@ -314,7 +314,10 @@ object Bench {
       "t_tokens_bpe" -> (() => force(docsDf.select(extractous.pipeline.Bpe.countTokens(col("text"))))),
       "t_langid" -> (() => force(SparkEntry.queries("t_langid")(spark, sfDir))),
       "d_dsir" -> (() => force(SparkEntry.queries("d_dsir")(spark, sfDir))),
-      "s_semdedup" -> (() => force(SparkEntry.queries("s_semdedup")(spark, sfDir)))
+      "s_semdedup" -> (() => force(SparkEntry.queries("s_semdedup")(spark, sfDir))),
+      "s_cms" -> (() => force(SparkEntry.queries("s_cms")(spark, sfDir))),
+      "d_resample" -> (() => force(SparkEntry.queries("d_resample")(spark, sfDir))),
+      "s_quantiles" -> (() => force(SparkEntry.queries("s_quantiles")(spark, sfDir)))
     ).map { case (name, f) =>
       // min of 2 reps: one transient noisy window (writeback, neighbor VM)
       // must not be recorded as the operator's cost

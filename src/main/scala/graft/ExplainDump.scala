@@ -79,6 +79,21 @@ object ExplainDump {
     dump("14. C4 gate (one narrow codegen'd projection)",
       docs.select(col("doc_id") +:
         extractous.pipeline.TextStats.c4Report(col("text")).map { case (n, c) => c.as(n) }: _*))
+    dump("15. temperature resample (host-count agg + broadcast stats, corpus never shuffles)",
+      extractous.pipeline.DomainBalance.temperatureResample(
+        pages.select(col("doc_id"), col("url")), "url", "doc_id", targetTotal = 100))
+    val cmsSketch = extractous.pipeline.Cms.build(docs, "text", w = 1024)
+    dump("16. CMS probe (zero-exchange projection against the embedded sketch)",
+      extractous.pipeline.Cms.estimatePhrases(
+        extractous.pipeline.Cms.candidateBigrams(docs.filter(col("doc_id") < 20), "text"),
+        "w1", "w2", cmsSketch))
+    dump("17. CMS build (bounded 4*W-key aggregation, sketch-sized exchange)",
+      docs.select(org.apache.spark.sql.functions.explode(extractous.spark.cms.cms_slots(
+        extractous.pipeline.TextStats.gramTokens(col("text")), 1024)).as("slot"))
+        .groupBy("slot").count())
+    dump("18. length quantiles (bounded histogram, no global sort)",
+      docs.select(org.apache.spark.sql.functions.length(col("text")).cast("long").as("len"))
+        .groupBy("len").count())
     spark.stop()
   }
 }
