@@ -158,6 +158,17 @@ object TextStats {
     * counted, zh documents instead fail on the English stopword gate —
     * which IS Gopher's documented behavior).
     */
+  /** Character-distribution entropy in ⅓-bit fixed point — the
+    * information-theoretic gibberish signal ([[extractous.spark.EntropyKernel]]):
+    * ent_mean_x3 ≈ 3·H bits/char (prose ≈ 12–13, one-char spam = 0, random
+    * bytes ≈ 24). Null ≡ empty; one imperative pass, narrow, replayed 1:1
+    * by the DuckDB oracle.
+    */
+  def entropyReport(content: Column): Seq[(String, Column)] = {
+    val r = extractous.spark.entropy.char_entropy(coalesce(content, lit("")))
+    extractous.spark.EntropyKernel.Fields.map(f => f -> r.getField(f))
+  }
+
   def gopherReport(content: Column, minWords: Int = 50): Seq[(String, Column)] = {
     // One imperative pass ([[extractous.spark.GopherExpr]]) — the HOF
     // formulation below re-scans the document ~15 times (two tokenizations,

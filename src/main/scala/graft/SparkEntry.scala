@@ -1109,6 +1109,21 @@ object SparkEntry {
           extractous.pipeline.LangId.predict(col("content")).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
+    "t_entropy" -> ((s, dir) => {
+      // character-distribution entropy (information-theoretic gibberish
+      // signal): codepoint mod-256 buckets, ⅓-bit fixed-point surprise via
+      // the shared flog2cube, truncating mean — the oracle replays buckets,
+      // logs, and the mean bit-exactly. Planted rungs: a one-char spam doc
+      // (entropy 0) and a 64-char ramp (high entropy) alongside the prose.
+      val content = when(col("doc_id") % 97 === 0, lit("a" * 200))
+        .when(col("doc_id") % 97 === 1,
+          concat_ws("", (0 until 64).map(i => lit((33 + i).toChar.toString)): _*))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id") +:
+          TextStats.entropyReport(content).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     "t_gopher" -> ((s, dir) => {
       // Gopher-style quality gate (Rae et al. §A1.1) over a multi-line doc
       // with deterministic bullet/ellipsis/duplicate-line rungs planted by
@@ -2197,6 +2212,29 @@ object SparkEntry {
         |  WHEN 7 THEN 'pt' WHEN 8 THEN 'ru' WHEN 9 THEN 'sv' WHEN 10 THEN 'tr'
         |  ELSE 'zh' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_entropy" ->
+      // replays the codepoint mod-256 buckets, the shared flog2cube
+      // (⅓-bit log) surprise, and the truncating mean bit-exactly
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN repeat('a', 200)
+        |         WHEN doc_id % 97 = 1 THEN (SELECT string_agg(chr(CAST(i AS INTEGER)), '' ORDER BY i) FROM range(33, 97) t(i))
+        |         ELSE text END AS c
+        |  FROM documents),
+        |ch AS (SELECT doc_id, ascii(substr(c, CAST(i AS INTEGER), 1)) % 256 AS b
+        |       FROM (SELECT doc_id, c, unnest(range(1, length(c)+1)) AS i FROM src)),
+        |k AS (SELECT doc_id, b, count(*) AS k FROM ch GROUP BY doc_id, b),
+        |n AS (SELECT doc_id, CAST(length(c) AS BIGINT) AS n FROM src),
+        |terms AS (
+        |  SELECT k.doc_id, k.k * (
+        |    CAST(floor(log2(CAST(least(n.n+1,131072)*least(n.n+1,131072)*least(n.n+1,131072) AS DOUBLE))) AS BIGINT) -
+        |    CAST(floor(log2(CAST(least(k.k+1,131072)*least(k.k+1,131072)*least(k.k+1,131072) AS DOUBLE))) AS BIGINT)) AS term
+        |  FROM k JOIN n USING (doc_id)),
+        |s AS (SELECT doc_id, sum(term) AS ent_sum FROM terms GROUP BY doc_id)
+        |SELECT n.doc_id AS doc_id, CAST(n.n AS BIGINT) AS n_chars,
+        |  CAST(coalesce(s.ent_sum, 0) AS BIGINT) AS ent_sum,
+        |  CAST(coalesce(s.ent_sum, 0) // greatest(n.n, 1) AS BIGINT) AS ent_mean_x3
+        |FROM n LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "t_gopher" ->
       raw"""WITH d AS (SELECT doc_id, text, lang, $sqlStop AS stop FROM documents),
          |c AS (

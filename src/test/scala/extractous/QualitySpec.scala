@@ -603,6 +603,40 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy: hand cases, plain-Scala reference equality, narrow plan") {
+    import spark.implicits._
+    // independent ⅓-bit log: exact bit position of the highest set bit of m³
+    def refL(x: Long): Long = {
+      val m = math.min(x + 1, 131072L)
+      java.lang.Long.numberOfTrailingZeros(java.lang.Long.highestOneBit(m * m * m)).toLong
+    }
+    def refEnt(s: String): (Long, Long, Long) = {
+      val cps = s.codePoints.toArray
+      val n = cps.length.toLong
+      val sum = cps.groupBy(_ % 256).values
+        .map(g => g.length.toLong).map(k => k * (refL(n) - refL(k))).sum
+      (n, sum, if (n > 0) sum / n else 0L)
+    }
+    // hand rungs: empty → zeros; one-char spam → entropy 0; 64 distinct
+    // chars → mean 3H−penalty = 15 (L(64)−L(1) = 18−3 per char)
+    val ramp = (33 until 97).map(_.toChar).mkString
+    val rnd = new scala.util.Random(4242)
+    val pool = "abcdefgh ijklmnop.日本語中文кирилл"
+    val texts = Seq("", "a" * 200, ramp, "the quick brown fox jumps over the lazy dog") ++
+      (1 to 60).map(_ => (1 to rnd.nextInt(120)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id") +:
+      TextStats.entropyReport(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refEnt(t), s"doc $i: '${t.take(30)}'")
+    }
+    assert(got(1L) == ((200L, 0L, 0L)), "one-char spam must score zero entropy")
+    assert(got(2L)._3 == 15L, "64 distinct chars: (L(64)-L(1)) = 15 per char")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"entropy must stay narrow:\n$plan")
+  }
+
   test("length quantiles: type-1 inverse CDF on a hand histogram, empty-safe") {
     import spark.implicits._
     // lengths: 1×"a", 3×"bb", 6×"ccc" → N=10; p50 rank=5 → len 3 (cum 1,4,10)
