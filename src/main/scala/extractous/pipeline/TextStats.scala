@@ -169,6 +169,18 @@ object TextStats {
     extractous.spark.EntropyKernel.Fields.map(f => f -> r.getField(f))
   }
 
+  /** Crawl-text normalization ([[extractous.spark.NormalizeKernel]]):
+    * NFC, typographic-punctuation folding, invisible-char removal,
+    * whitespace canonicalization — the pass CCNet/C4 assume upstream of
+    * their gates. Returns (clean, n_in, n_out) codepoint-counted; null ≡
+    * empty; one imperative pass, narrow, replayed 1:1 by the DuckDB
+    * oracle's nfc_normalize + replace + regexp_replace chain.
+    */
+  def normalizeReport(content: Column): Seq[(String, Column)] = {
+    val r = extractous.spark.normalize.normalize_text(coalesce(content, lit("")))
+    extractous.spark.NormalizeKernel.Fields.map(f => f -> r.getField(f))
+  }
+
   def gopherReport(content: Column, minWords: Int = 50): Seq[(String, Column)] = {
     // One imperative pass ([[extractous.spark.GopherExpr]]) — the HOF
     // formulation below re-scans the document ~15 times (two tokenizations,

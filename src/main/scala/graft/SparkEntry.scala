@@ -32,6 +32,28 @@ object SparkEntry {
   private val latin1Prefix = CorpusGen.Latin1Prefix
   private val sjisPrefix = CorpusGen.SjisPrefix
   private val gbkPrefix = CorpusGen.GbkPrefix
+  // t_normalize planted rungs (unicode the pure-ASCII corpus lacks) —
+  // embedded verbatim in both the Column lit and the DuckDB string literal,
+  // so the two engines normalize the identical codepoint sequence.
+  private val normRungA = // combining e-acute, curly quotes, em dash, ellipsis, CRLF, NBSP, ZWSP, tab
+    "Cafe\u0301  \u201Csmart\u201D \u2014 quotes\u2026\r\nsecond\u00A0line\u200B end\t "
+  private val normRungB = // decomposed A-ring, C0 + DEL controls, LF runs, en dash, curly singles, astral emoji
+    "\n\nA\u030A\u0001ctl\u007Fchars\n\n\n\n\nend \u2013 dash \u2018q\u2019 \uD83D\uDE00"
+  /** DuckDB replay of [[extractous.spark.NormalizeKernel]]'s rewrite chain
+    * over the SQL expression `raw` — built from the SAME CharMap table the
+    * kernel compiles, so the two can't silently diverge.
+    */
+  private def sqlNormClean(raw: String): String = {
+    val crlf = s"replace(replace(nfc_normalize($raw), chr(13)||chr(10), chr(10)), chr(13), chr(10))"
+    val mapped = extractous.spark.NormalizeKernel.CharMap.foldLeft(crlf) {
+      case (acc, (c, to)) => s"replace($acc, chr(${c.toInt}), '${to.replace("'", "''")}')"
+    }
+    val ctl = s"regexp_replace($mapped, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+    val ws1 = s"regexp_replace($ctl, '[ \\t]+', ' ', 'g')"
+    val ws2 = s"regexp_replace($ws1, ' *\\n *', chr(10), 'g')"
+    val ws3 = s"regexp_replace($ws2, '\\n\\n\\n+', chr(10)||chr(10), 'g')"
+    s"trim($ws3, ' ' || chr(10))"
+  }
   private val sqlImageFormat =
     "CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'tiff' END"
   /** Expected content_type per format-mix kind (single expression, embeddable). */
@@ -1122,6 +1144,22 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id") +:
           TextStats.entropyReport(content).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "t_normalize" -> ((s, dir) => {
+      // crawl-text normalization: NFC + typographic-punctuation folding +
+      // invisible-char removal + whitespace canonicalization, one
+      // imperative pass (NormalizeKernel); the oracle replays the same
+      // rewrite chain with nfc_normalize + replace + regexp_replace built
+      // from the SAME CharMap. Planted rungs exercise combining accents,
+      // curly quotes/dashes/ellipsis, CRLF, NBSP/ZWSP, C0/DEL controls,
+      // LF runs, and an astral emoji over the otherwise-ASCII corpus.
+      val content = when(col("doc_id") % 97 === 0, lit(normRungA))
+        .when(col("doc_id") % 97 === 1, lit(normRungB))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id") +:
+          TextStats.normalizeReport(content).map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
     "t_gopher" -> ((s, dir) => {
@@ -2235,6 +2273,20 @@ object SparkEntry {
         |  CAST(coalesce(s.ent_sum, 0) AS BIGINT) AS ent_sum,
         |  CAST(coalesce(s.ent_sum, 0) // greatest(n.n, 1) AS BIGINT) AS ent_mean_x3
         |FROM n LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t_normalize" ->
+      // replays NormalizeKernel's chain: nfc_normalize, CRLF/CR folding,
+      // the CharMap replaces (generated from the kernel's own table),
+      // control strip, and the whitespace-collapse regexes
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 0 THEN '$normRungA'
+         |         WHEN doc_id % 97 = 1 THEN '$normRungB'
+         |         ELSE text END AS raw
+         |  FROM documents),
+         |c AS (SELECT doc_id, raw, ${sqlNormClean("raw")} AS clean FROM src)
+         |SELECT doc_id, clean, CAST(length(raw) AS BIGINT) AS n_in,
+         |  CAST(length(clean) AS BIGINT) AS n_out
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t_gopher" ->
       raw"""WITH d AS (SELECT doc_id, text, lang, $sqlStop AS stop FROM documents),
          |c AS (

@@ -637,6 +637,48 @@ class QualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"entropy must stay narrow:\n$plan")
   }
 
+  test("normalize_text: hand rungs, regex-chain reference equality, narrow plan") {
+    import spark.implicits._
+    import extractous.spark.NormalizeKernel
+    // independent reference: the exact rewrite chain the DuckDB oracle runs
+    def ref(s: String): String = {
+      var x = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        .replace("\r\n", "\n").replace("\r", "\n")
+      NormalizeKernel.CharMap.foreach { case (c, to) => x = x.replace(c.toString, to) }
+      x = x.replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      x = x.replaceAll("[ \\t]+", " ")
+      x = x.replaceAll(" *\\n *", "\n")
+      x = x.replaceAll("\\n{3,}", "\n\n")
+      x.replaceAll("\\A[ \\n]+|[ \\n]+\\z", "")
+    }
+    val rnd = new scala.util.Random(77)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "a", "b", "word", " ", "  ", "\t", "\n", "\r", "\r\n", "e\u0301", "\u00e9",
+      "\u0001", "\u007f", "\uD83D\uDE00") ++ NormalizeKernel.CharMap.map(_._1.toString)
+    val fuzz = (1 to 80).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val hand = Seq(
+      "", "   ", "\u0001\u0002", "plain text stays",
+      "Cafe\u0301  \u201Cq\u201D \u2014 x\u2026\r\nsecond\u00A0line\u200B end\t ",
+      "\n\nA\u030A\u0001ctl\u007Fchars\n\n\n\n\nend \u2013 dash \u2018q\u2019 \uD83D\uDE00")
+    val texts = hand ++ fuzz
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id") +:
+      TextStats.normalizeReport(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val e = ref(t)
+      val exp = (e, t.codePointCount(0, t.length).toLong, e.codePointCount(0, e.length).toLong)
+      assert(got(i.toLong) == exp,
+        s"doc $i: ${t.take(40).map(c => f"u${c.toInt}%04x").mkString(" ")}")
+    }
+    assert(got(4L)._1 == "Caf\u00e9 \"q\" - x...\nsecond line end")
+    assert(got(5L)._1 == "\u00C5ctlchars\n\nend - dash \u0027q\u0027 \uD83D\uDE00")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalize must stay narrow:\n$plan")
+  }
+
   test("length quantiles: type-1 inverse CDF on a hand histogram, empty-safe") {
     import spark.implicits._
     // lengths: 1×"a", 3×"bb", 6×"ccc" → N=10; p50 rank=5 → len 3 (cum 1,4,10)
