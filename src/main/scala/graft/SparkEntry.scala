@@ -54,6 +54,11 @@ object SparkEntry {
     val ws3 = s"regexp_replace($ws2, '\\n\\n\\n+', chr(10)||chr(10), 'g')"
     s"trim($ws3, ' ' || chr(10))"
   }
+  /** DuckDB replay of the ⅓-bit saturating log L(x) = floor(log2(min(x+1,2^17)^3))
+    * shared by the entropy/DSIR/BM25 fixed-point oracles.
+    */
+  private def sqlL(x: String): String =
+    s"CAST(floor(log2(CAST(least($x+1,131072)*least($x+1,131072)*least($x+1,131072) AS DOUBLE))) AS BIGINT)"
   private val sqlImageFormat =
     "CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'tiff' END"
   /** Expected content_type per format-mix kind (single expression, embeddable). */
@@ -1022,6 +1027,14 @@ object SparkEntry {
         TextStats.punctCount(col("text")).cast("long").as("n_punct"),
         TextStats.isGood(col("text")).cast("long").as("is_good"))
         .orderBy(col("doc_id"))
+    }),
+    "s_bm25" -> ((s, dir) => {
+      // BM25 keyword retrieval (the lexical complement of the knn family):
+      // one-pass term_freqs kernel → single broadcast stats row → top-10 by
+      // exact fixed-point score (⅓-bit IDF, integer tf normalization) —
+      // the oracle replays every score bit-for-bit and the same tie-break.
+      extractous.pipeline.Retrieval.bm25(docs(s, dir), "text", "doc_id",
+        Seq("query", "vector", "stream"), k = 10)
     }),
     "s_kmv" -> ((s, dir) => {
       // KMV distinct-count sketch over the content fingerprint: the corpus
@@ -2105,6 +2118,29 @@ object SparkEntry {
         |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10 <= length(text)
         |  AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_good
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_bm25" ->
+      // bit-exact BM25 replay: same tokenization as t_tokens, same ⅓-bit
+      // IDF (sqlL), same integer tf normalization and // division, same
+      // (score desc, doc_id asc) tie-break
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS a FROM d),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE w IN ('query', 'vector', 'stream') GROUP BY doc_id, w),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |avd AS (SELECT n, greatest(a // n, 1) AS av FROM stats),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((${sqlL("avd.n")} - ${sqlL("df.df")}) *
+         |        ((22000 * tf.tf * avd.av) // (10 * tf.tf * avd.av + 3 * avd.av + 9 * d.dl))) AS score
+         |  FROM tf JOIN df USING (w) JOIN d USING (doc_id) CROSS JOIN avd
+         |  GROUP BY tf.doc_id)
+         |SELECT s.doc_id, d.dl, CAST(s.score AS BIGINT) AS score_x1000
+         |FROM scored s JOIN d USING (doc_id)
+         |ORDER BY score_x1000 DESC, doc_id LIMIT 10""".stripMargin,
     "s_kmv" ->
       """WITH u AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
         |h AS (SELECT DISTINCT

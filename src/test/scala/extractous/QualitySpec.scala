@@ -679,6 +679,47 @@ class QualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"normalize must stay narrow:\n$plan")
   }
 
+  test("bm25: kernel/HOF tf parity, hand-computed scores, take-ordered plan") {
+    import spark.implicits._
+    import extractous.pipeline.Retrieval
+    val terms = Seq("x", "y")
+    // kernel vs HOF-twin parity on whitespace-mixed fuzz
+    val rnd = new scala.util.Random(23)
+    val pool = IndexedSeq("x", "y", "xx", "yx", "a", "bb", " ", "  ", "\t", "\n")
+    val fuzz = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString) ++
+      Seq("", " ", "x", "x x y")
+    val fdf = fuzz.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val k = extractous.spark.retrieval.term_freqs(col("text"), terms)
+    val kern = fdf.select(col("id"), k.getField("dl").as("dl"),
+      k.getField("tfs")(0).as("t0"), k.getField("tfs")(1).as("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hofCols = Retrieval.termFreqsHof(col("text"), terms)
+    val hof = fdf.select(col("id") +: hofCols.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    fuzz.indices.foreach(i => assert(kern(i.toLong) == hof(i.toLong), s"doc $i: '${fuzz(i)}'"))
+
+    // hand-computed fixed-point scores: N=4, A=14, avgdl=3, df_x=df_y=2,
+    // idf = L(4)-L(2) = 6-4 = 2 for both terms
+    val docs = Seq(
+      (1L, "x x y a b"), (2L, "x a"), (3L, "a b c"), (4L, "y y y y")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "text", "doc_id", terms, k = 10)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1: x: (22000·2·3)//(60+9+45)=1157, y: 66000//84=785 → 2·(1157+785)=3884
+    // doc2: x: 66000//(30+9+18)=1157 → 2314; doc4: y: 264000//165=1600 → 3200
+    assert(got == Seq((1L, 5L, 3884L), (4L, 4L, 3200L), (2L, 2L, 2314L)))
+    // plan probe needs k < maxRows: on a tiny LocalRelation the optimizer's
+    // EliminateLimits proves maxRows ≤ k and drops the limit entirely (at
+    // parquet scale maxRows is unknown, so the top-k operator survives)
+    val big = (1L to 40L).map(i => (i, s"x y w$i" + " pad" * (i % 5).toInt)).toDF("doc_id", "text")
+    val probe = Retrieval.bm25(big, "text", "doc_id", terms, k = 5)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"the one-row stats join must broadcast:\n$plan")
+  }
+
   test("length quantiles: type-1 inverse CDF on a hand histogram, empty-safe") {
     import spark.implicits._
     // lengths: 1×"a", 3×"bb", 6×"ccc" → N=10; p50 rank=5 → len 3 (cum 1,4,10)
