@@ -29,6 +29,20 @@ object Dedup {
     df.groupBy(md5(col(keyCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
 
+  /** [[byHash]] that also carries content-determined columns through the
+    * aggregate (`first` is deterministic here BECAUSE every carry column
+    * must be a function of the key column — identical within a group).
+    * This is how a pipeline keeps per-representative stats without joining
+    * the representatives back against the corpus: the only shuffle carries
+    * (digest, id, carries) — the document text never moves.
+    */
+  def byHashWith(df: DataFrame, keyCol: String, idCol: String,
+                 carry: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +: carry.map(c => first(col(c)).as(c))
+    df.groupBy(md5(col(keyCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), aggs: _*)
+  }
+
   /** Canonical-URL normalization — crawl pipelines dedup re-fetches of the
     * same resource behind URL variation: case-insensitive scheme/host,
     * default ports (:80 http / :443 https), trailing path slashes, fragments,

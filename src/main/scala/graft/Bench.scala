@@ -317,7 +317,13 @@ object Bench {
       "s_semdedup" -> (() => force(SparkEntry.queries("s_semdedup")(spark, sfDir))),
       "s_cms" -> (() => force(SparkEntry.queries("s_cms")(spark, sfDir))),
       "d_resample" -> (() => force(SparkEntry.queries("d_resample")(spark, sfDir))),
-      "s_quantiles" -> (() => force(SparkEntry.queries("s_quantiles")(spark, sfDir)))
+      "s_quantiles" -> (() => force(SparkEntry.queries("s_quantiles")(spark, sfDir))),
+      "t_entropy" -> (() => force(docsDf.select(col("doc_id") +:
+        TextStats.entropyReport(col("text")).map { case (n, c) => c.as(n) }: _*))),
+      "t_normalize" -> (() => force(docsDf.select(col("doc_id") +:
+        TextStats.normalizeReport(col("text")).map { case (n, c) => c.as(n) }: _*))),
+      "s_bm25" -> (() => force(extractous.pipeline.Retrieval.bm25(
+        docsDf, "text", "doc_id", Seq("query", "vector", "stream"))))
     ).map { case (name, f) =>
       // min of 2 reps: one transient noisy window (writeback, neighbor VM)
       // must not be recorded as the operator's cost

@@ -1307,6 +1307,37 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    "d_corpus" -> ((s, dir) => {
+      // END-TO-END corpus build in ONE declarative plan, composed entirely
+      // from the library's own stages: normalize → quality gate (token
+      // count + char-entropy band) → exact dedup on the CLEANED text (keep
+      // min doc_id; the doubled corpus proves removal) → content-keyed
+      // train/val/test split. Planted junk rungs make both gate signals
+      // bite: a 1-token doc (length gate) and an 11-token single-char doc
+      // (entropy gate). The oracle replays the whole chain.
+      val base = docsWithCopies(s, dir)
+      val raw = when(col("doc_id") % 83 === 0, lit("zzzz"))
+        .when(col("doc_id") % 83 === 1, lit("a a a a a a a a a a a"))
+        .otherwise(col("text"))
+      val cleaned = base.select(col("doc_id"),
+        extractous.spark.normalize.normalize_text(coalesce(raw, lit("")))
+          .getField("clean").as("clean"))
+      val gated = cleaned
+        .withColumn("n_tokens", TextStats.tokenCount(col("clean")).cast("long"))
+        .withColumn("ent_mean_x3",
+          extractous.spark.entropy.char_entropy(col("clean")).getField("ent_mean_x3"))
+        .where(col("n_tokens") >= 10 && col("ent_mean_x3") >= 6)
+      // split assignment is content-keyed, so compute it (and keep the gate
+      // stats) BEFORE dedup — all narrow — and let the dedup aggregate carry
+      // them: one shuffle of (digest, id, small stats); the cleaned text
+      // never moves and no representative join is needed
+      val enriched = extractous.pipeline.Sampling.split(gated, "clean")
+      Dedup.byHashWith(enriched, "clean", "doc_id",
+        Seq("n_tokens", "ent_mean_x3", "bucket", "split"))
+        .select(col("keep_id").as("doc_id"), col("cnt"), col("n_tokens"),
+          col("ent_mean_x3"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "d_robots" -> ((s, dir) => {
       // robots-exclusion gate (RFC 9309): per-host robots.txt with a `*`
       // group (Disallow /private, Allow /private/ok — longest-match allow
@@ -2498,6 +2529,43 @@ object SparkEntry {
         |SELECT doc_id, fp % 100 AS bucket,
         |  CASE WHEN fp % 100 < 80 THEN 'train' WHEN fp % 100 < 90 THEN 'val' ELSE 'test' END AS split
         |FROM f ORDER BY doc_id""".stripMargin,
+    "d_corpus" ->
+      // full-chain replay: doubled corpus → junk rungs → normalize chain →
+      // token count → ⅓-bit char entropy → group-by-clean dedup (min id) →
+      // polynomial-fingerprint split
+      s"""WITH b AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |r AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 83 = 0 THEN 'zzzz'
+         |    WHEN doc_id % 83 = 1 THEN 'a a a a a a a a a a a'
+         |    ELSE text END AS raw FROM b),
+         |c AS (SELECT doc_id, ${sqlNormClean("raw")} AS clean FROM r),
+         |tok AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(trim(clean), '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+         |  FROM c),
+         |n AS (SELECT doc_id, CAST(length(clean) AS BIGINT) AS n FROM c),
+         |ch AS (SELECT doc_id, ascii(substr(clean, CAST(i AS INTEGER), 1)) % 256 AS bkt
+         |  FROM (SELECT doc_id, clean, unnest(range(1, length(clean)+1)) AS i FROM c)),
+         |k AS (SELECT doc_id, bkt, count(*) AS k FROM ch GROUP BY doc_id, bkt),
+         |terms AS (SELECT k.doc_id, k.k * (${sqlL("n.n")} - ${sqlL("k.k")}) AS term
+         |  FROM k JOIN n USING (doc_id)),
+         |e AS (SELECT n.doc_id,
+         |  CAST(coalesce(s.s, 0) // greatest(n.n, 1) AS BIGINT) AS ent_mean_x3
+         |  FROM n LEFT JOIN (SELECT doc_id, sum(term) AS s FROM terms GROUP BY doc_id) s USING (doc_id)),
+         |g AS (SELECT c.doc_id, c.clean, tok.n_tokens, e.ent_mean_x3
+         |  FROM c JOIN tok USING (doc_id) JOIN e USING (doc_id)
+         |  WHERE tok.n_tokens >= 10 AND e.ent_mean_x3 >= 6),
+         |reps AS (SELECT clean, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM g GROUP BY clean),
+         |f AS (SELECT reps.doc_id, reps.cnt, g.n_tokens, g.ent_mean_x3,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(g.clean)+1), i -> CAST(ascii(substr(g.clean, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) % 100 AS bucket
+         |  FROM reps JOIN g ON g.doc_id = reps.doc_id)
+         |SELECT doc_id, cnt, n_tokens, ent_mean_x3, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM f ORDER BY doc_id""".stripMargin,
     "d_robots" ->
       // closed form: odd hosts have a specific graftbot group (only /bot
       // blocked); even hosts fall back to * (/private blocked unless the

@@ -311,6 +311,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("d_corpus end-to-end plan: one small-column shuffle, cleaned text never moves") {
+    val df = graft.SparkEntry.queries("d_corpus")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("clean#"), s"cleaned text in a shuffle:\n$l")
+    }
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"expected one hash shuffle (the dedup aggregate), got $hashEx:\n$plan")
+  }
+
   test("fingerprint matches scala reference implementation") {
     import spark.implicits._
     val rows = docs.select(col("doc_id"), col("text"),
