@@ -23,6 +23,21 @@ object LinkGraph {
       .groupBy("host")
       .agg(count(lit(1)).as("in_degree"))
 
+  /** Inbound anchor-text aggregation per TARGET host — the classic
+    * web-corpus relevance/label signal (anchor text describes the page it
+    * points AT; anchor-based weak labeling and query expansion both consume
+    * exactly this table). Same 100 TB shape as the in-degree graph: narrow
+    * [[extractous.spark.links.extract_anchors]] kernel, the explode emits
+    * (host, short anchor string), map-side partial count, one short-key
+    * exchange — page HTML never moves.
+    */
+  def anchorTexts(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    df.select(explode(extractous.spark.links.extract_anchors(col(htmlCol), col(urlCol))).as("a"))
+      .select(UrlFilter.host(col("a.url")).as("host"), col("a.anchor").as("anchor"))
+      .filter(col("host") =!= "")
+      .groupBy("host", "anchor")
+      .agg(count(lit(1)).as("cnt"))
+
   /** The distinct host→host edge set from page outlinks (self-loops kept —
     * a host linking itself is real crawl signal; the damping factor bounds
     * the rank it can self-concentrate).

@@ -38,14 +38,13 @@ object LinkKernel {
     }
   }
 
-  def compute(html0: UTF8String, base0: UTF8String): GenericArrayData = {
-    val html = html0.toString
-    val base = base0.toString
-    // base decomposition (RFC 3986 §3): scheme://authority/path?query#frag.
-    // The authority ends at the first of '/', '?', '#'; the base PATH used
-    // for merging (§5.2.3) excludes query and fragment — a '/' inside
-    // "?redirect=/login" must not become the merge directory.
-    var schemeEnd = base.indexOf("://")
+  /** Base decomposition (RFC 3986 §3): (origin, path-for-merge, scheme).
+    * The authority ends at the first of '/', '?', '#'; the base PATH used
+    * for merging (§5.2.3) excludes query and fragment — a '/' inside
+    * "?redirect=/login" must not become the merge directory.
+    */
+  private def baseParts(base: String): (String, String, String) = {
+    val schemeEnd = base.indexOf("://")
     val (origin, path) =
       if (schemeEnd < 0) ("", "")
       else {
@@ -55,39 +54,105 @@ object LinkKernel {
         while (j < base.length && base.charAt(j) != '?' && base.charAt(j) != '#') j += 1
         (base.substring(0, i), base.substring(i, j))
       }
+    val scheme = if (schemeEnd < 0) "https" else base.substring(0, schemeEnd)
+    (origin, path, scheme)
+  }
+
+  /** Resolve one raw href against the decomposed base; "" means dropped
+    * (non-web scheme, fragment-only, or relative against a schemeless base).
+    */
+  private def resolve(raw0: String, origin: String, path: String, scheme: String): String = {
+    val raw = extractous.html.HtmlTokenizer.decodeEntities(raw0).trim
+    val noFrag = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
+    if (noFrag.isEmpty || skipScheme(noFrag)) return ""
     val dir = {
       val cut = path.lastIndexOf('/')
       if (cut < 0) "/" else path.substring(0, cut + 1)
     }
-    val scheme = if (schemeEnd < 0) "https" else base.substring(0, schemeEnd)
+    // schemes are case-insensitive (RFC 3986 §3.1): recognize HTTP:// etc.
+    // as absolute and normalize the scheme to lower
+    val httpAt = noFrag.regionMatches(true, 0, "http://", 0, 7)
+    val httpsAt = noFrag.regionMatches(true, 0, "https://", 0, 8)
+    if (httpAt) "http://" + noFrag.substring(7)
+    else if (httpsAt) "https://" + noFrag.substring(8)
+    else if (noFrag.startsWith("//")) scheme + ":" + noFrag
+    else if (origin.isEmpty) "" // schemeless base cannot anchor relatives
+    else if (noFrag.startsWith("/")) origin + noFrag
+    else if (noFrag.startsWith("?")) origin + path + noFrag // RFC 3986 §5.3: keep the FULL base path
+    else origin + dir + noFrag
+  }
+
+  def compute(html0: UTF8String, base0: UTF8String): GenericArrayData = {
+    val html = html0.toString
+    val (origin, path, scheme) = baseParts(base0.toString)
     val out = Vector.newBuilder[UTF8String]
     val toks = extractous.html.HtmlTokenizer.tokenize(html)
     while (toks.hasNext) {
       toks.next() match {
         case extractous.html.HtmlTokenizer.StartTag("a", attrs, _) =>
           attrs.get("href").foreach { raw0 =>
-            val raw = extractous.html.HtmlTokenizer.decodeEntities(raw0).trim
-            val noFrag = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
-            if (noFrag.nonEmpty && !skipScheme(noFrag)) {
-              // schemes are case-insensitive (RFC 3986 §3.1): recognize
-              // HTTP:// etc. as absolute and normalize the scheme to lower
-              val httpAt = noFrag.regionMatches(true, 0, "http://", 0, 7)
-              val httpsAt = noFrag.regionMatches(true, 0, "https://", 0, 8)
-              val abs =
-                if (httpAt) "http://" + noFrag.substring(7)
-                else if (httpsAt) "https://" + noFrag.substring(8)
-                else if (noFrag.startsWith("//")) scheme + ":" + noFrag
-                else if (origin.isEmpty) "" // schemeless base cannot anchor relatives
-                else if (noFrag.startsWith("/")) origin + noFrag
-                else if (noFrag.startsWith("?")) origin + path + noFrag // RFC 3986 §5.3: keep the FULL base path
-                else origin + dir + noFrag
-              if (abs.nonEmpty) out += UTF8String.fromString(abs)
-            }
+            val abs = resolve(raw0, origin, path, scheme)
+            if (abs.nonEmpty) out += UTF8String.fromString(abs)
           }
         case _ =>
       }
     }
     new GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** Whitespace-normalize an accumulated anchor: collapse runs, trim. */
+  private def normAnchor(sb: java.lang.StringBuilder): UTF8String = {
+    val s = sb.toString
+    val out = new java.lang.StringBuilder(s.length)
+    var pending = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pending = true
+      else {
+        if (pending && out.length > 0) out.append(' ')
+        pending = false
+        out.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** (url, anchor-text) pairs in document order — anchor text is every text
+    * node between `<a href>` and its `</a>` (nested inline markup included,
+    * entities decoded), whitespace-normalized. A new `<a>` implicitly closes
+    * an unclosed one (HTML anchors cannot nest); EOF flushes an open anchor.
+    * Links whose href is dropped by [[resolve]] collect no anchor.
+    */
+  def computeAnchors(html0: UTF8String, base0: UTF8String): GenericArrayData = {
+    val html = html0.toString
+    val (origin, path, scheme) = baseParts(base0.toString)
+    val out = Vector.newBuilder[Any]
+    var openUrl: String = null
+    var acc: java.lang.StringBuilder = null
+    def flush(): Unit = {
+      if (openUrl != null) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(openUrl), normAnchor(acc)))
+        openUrl = null; acc = null
+      }
+    }
+    val toks = extractous.html.HtmlTokenizer.tokenize(html)
+    while (toks.hasNext) {
+      toks.next() match {
+        case extractous.html.HtmlTokenizer.StartTag("a", attrs, _) =>
+          flush()
+          val abs = attrs.get("href").map(resolve(_, origin, path, scheme)).getOrElse("")
+          if (abs.nonEmpty) { openUrl = abs; acc = new java.lang.StringBuilder }
+        case extractous.html.HtmlTokenizer.EndTag("a") => flush()
+        case extractous.html.HtmlTokenizer.Text(raw) if acc != null =>
+          acc.append(extractous.html.HtmlTokenizer.decodeEntities(raw))
+        case _ =>
+      }
+    }
+    flush()
+    new GenericArrayData(out.result().toArray)
   }
 }
 
@@ -102,10 +167,29 @@ final case class ExtractLinksExpr(left: Expression, right: Expression) extends B
     copy(left = l, right = r)
 }
 
+final case class ExtractAnchorsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "extract_anchors"
+  override protected def nullSafeEval(html: Any, base: Any): Any =
+    LinkKernel.computeAnchors(html.asInstanceOf[UTF8String], base.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b) => s"extractous.spark.LinkKernel.computeAnchors($h, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractAnchorsExpr =
+    copy(left = l, right = r)
+}
+
 object links {
   /** `extract_links(html, baseUrl)` → array<string> of absolute outlinks in
     * document order.
     */
   def extract_links(html: Column, base: Column): Column =
     ColumnBridge.column(ExtractLinksExpr(ColumnBridge.expression(html), ColumnBridge.expression(base)))
+
+  /** `extract_anchors(html, baseUrl)` → array<struct<url, anchor>> in
+    * document order — see [[LinkKernel.computeAnchors]].
+    */
+  def extract_anchors(html: Column, base: Column): Column =
+    ColumnBridge.column(ExtractAnchorsExpr(ColumnBridge.expression(html), ColumnBridge.expression(base)))
 }

@@ -1429,6 +1429,27 @@ object SparkEntry {
       extractous.pipeline.LinkGraph.hostInDegree(pages, "url", "html")
         .orderBy(col("host"))
     }),
+    "d_anchors" -> ((s, dir) => {
+      // inbound anchor-text aggregation per TARGET host (anchor text labels
+      // the page it points AT — the web-corpus weak-labeling signal). Rungs:
+      // the absolute link's anchor is the doc's first word; the relative
+      // link's anchor exercises nested markup + entity + whitespace
+      // normalization; a javascript link must collect nothing.
+      val idS = col("doc_id").cast("string")
+      val url = concat(lit("https://src-"), (col("doc_id") % 5).cast("string"),
+        lit(".example/p/"), idS)
+      val w1 = element_at(split(col("text"), " "), 1)
+      val html = concat(
+        lit("<html><body><a href=\"https://host-"), (col("doc_id") % 9).cast("string"),
+        lit(".example/t/"), idS, lit("\">"), w1, lit("</a>"),
+        lit("<a href=\"/rel/"), idS, lit("\"> <b>Read</b> &amp;\tmore </a>"),
+        lit("<a href=\"javascript:void(0)\">skip</a>"),
+        lit("</body></html>"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"), html.as("html"))
+      extractous.pipeline.LinkGraph.anchorTexts(pages, "url", "html")
+        .orderBy(col("host"), col("anchor"))
+    }),
     "d_pagerank" -> ((s, dir) => {
       // host-level PageRank (crawl-quality prior): same crafted link graph
       // as d_linkgraph — 7 hosts in a ring with self-loops, cdn.example as a
@@ -2594,6 +2615,16 @@ object SparkEntry {
         |  UNION ALL SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' FROM documents
         |  UNION ALL SELECT 'cdn.example' FROM documents WHERE doc_id % 5 = 0
         |) GROUP BY host ORDER BY host""".stripMargin,
+    "d_anchors" ->
+      // closed form: every page contributes (host-(id%9), first word) from
+      // the absolute link and (src-(id%5), 'Read & more') from the relative
+      // one; the javascript link contributes nothing
+      """SELECT host, anchor, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT 'host-' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host,
+        |         string_split(text, ' ')[1] AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT 'src-' || CAST(doc_id % 5 AS VARCHAR) || '.example', 'Read & more' FROM documents
+        |) GROUP BY host, anchor ORDER BY host, anchor""".stripMargin,
     "d_pagerank" ->
       // full replay: the distinct edge set, outdegrees, and THREE unrolled
       // fixed-point iterations — every division a floor BIGINT division

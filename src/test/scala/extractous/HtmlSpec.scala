@@ -126,6 +126,32 @@ class HtmlSpec extends AnyFunSuite {
       Seq("http://B.EXAMPLE/p", "https://c.example/q"))
   }
 
+  test("extract_anchors: text accumulation, nesting, entities, implicit close, EOF flush") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def anchors(html: String, base: String): Seq[(String, String)] =
+      extractous.spark.LinkKernel.computeAnchors(
+        UTF8String.fromString(html), UTF8String.fromString(base))
+        .array.map { r =>
+          val row = r.asInstanceOf[GenericInternalRow]
+          (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+        }.toSeq
+    val base = "https://a.example/dir/page.html"
+    // nested inline markup + entities + whitespace runs normalize
+    assert(anchors("""<a href="/x"> <b>Read</b> &amp;&#9;more </a>""", base) ==
+      Seq(("https://a.example/x", "Read & more")))
+    // a second <a> implicitly closes the first; EOF flushes an open anchor
+    assert(anchors("""<a href="/p">one<a href="/q">two""", base) ==
+      Seq(("https://a.example/p", "one"), ("https://a.example/q", "two")))
+    // dropped hrefs collect nothing; their inner text leaks to no anchor
+    assert(anchors("""<a href="javascript:void(0)">skip</a><a href="/k">kept</a>""", base) ==
+      Seq(("https://a.example/k", "kept")))
+    // empty anchor (image link) is an empty string, not a dropped row
+    assert(anchors("""<a href="/img"><img src="i.png"/></a>""", base) ==
+      Seq(("https://a.example/img", "")))
+    assert(anchors("no links at all", base).isEmpty)
+  }
+
   test("extract_links: the generator page's boilerplate anchors in document order") {
     import org.apache.spark.unsafe.types.UTF8String
     val html = new String(extractous.gen.CorpusGen.htmlPayload(3, "the quick brown fox", "en"), "UTF-8")
