@@ -30,18 +30,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
 
   /** [[byHash]] that also carries content-determined columns through the
-    * aggregate (`first` is deterministic here BECAUSE every carry column
-    * must be a function of the key column — identical within a group).
-    * This is how a pipeline keeps per-representative stats without joining
-    * the representatives back against the corpus: the only shuffle carries
-    * (digest, id, carries) — the document text never moves.
+    * aggregate. Every carry column MUST be a function of the key column
+    * (identical within a group), so folding them into the GROUPING key
+    * changes no group boundaries — and keeps the aggregate hash-based with
+    * map-side combine (a `first(stringCol)` aggregate would force
+    * SortAggregate: string agg buffers are not hash-aggregable). This is
+    * how a pipeline keeps per-representative stats without joining the
+    * representatives back against the corpus: the only shuffle carries
+    * (digest, carries, id) — the document text never moves.
     */
   def byHashWith(df: DataFrame, keyCol: String, idCol: String,
-                 carry: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("cnt") +: carry.map(c => first(col(c)).as(c))
-    df.groupBy(md5(col(keyCol)).as("text_md5"))
-      .agg(min(col(idCol)).as("keep_id"), aggs: _*)
-  }
+                 carry: Seq[String]): DataFrame =
+    df.groupBy(md5(col(keyCol)).as("text_md5") +: carry.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
 
   /** Canonical-URL normalization — crawl pipelines dedup re-fetches of the
     * same resource behind URL variation: case-insensitive scheme/host,

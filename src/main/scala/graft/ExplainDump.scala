@@ -94,6 +94,20 @@ object ExplainDump {
     dump("18. length quantiles (bounded histogram, no global sort)",
       docs.select(org.apache.spark.sql.functions.length(col("text")).cast("long").as("len"))
         .groupBy("len").count())
+
+    // round-4 session-3 additions (EXPLAIN.md §11)
+    dump("19. normalize + entropy (one narrow imperative projection)",
+      docs.select(col("doc_id") +:
+        (extractous.pipeline.TextStats.normalizeReport(col("text")) ++
+         extractous.pipeline.TextStats.entropyReport(col("text"))).map { case (n, c) => c.as(n) }: _*))
+    dump("20. BM25 retrieval (broadcast stats row + TakeOrdered top-k, no document shuffle)",
+      extractous.pipeline.Retrieval.bm25(
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+        Seq("query", "vector", "stream")))
+    dump("21. end-to-end corpus build (narrow stages -> ONE digest-keyed exchange)",
+      SparkEntry.queries("d_corpus")(spark, sf))
+    dump("22. anchor-text aggregation (narrow anchor kernel -> short-key partial count)",
+      extractous.pipeline.LinkGraph.anchorTexts(pages, "url", "html"))
     spark.stop()
   }
 }
