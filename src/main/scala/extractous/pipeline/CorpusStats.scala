@@ -26,16 +26,37 @@ object CorpusStats {
     * type-1 (inverse-CDF) definition — the smallest length L whose
     * cumulative count reaches ⌈q·N/1000⌉. Includes n_docs on every row so
     * the result is self-describing.
+    *
+    * Driver-histogram bound: the round-4 version collected the FULL
+    * distinct-length histogram, whose worst case is max-doc-length rows
+    * (up to 10⁸ with the default 100 MB `maxStringLength` — gigabytes on the
+    * driver). Lengths are now EXACT below `exactCap` and log-bucketed above
+    * it (key = 2^⌊log₂ len⌋, the bucket's lower bound), so the histogram is
+    * ≤ `exactCap` + 64 rows by construction regardless of corpus tail.
+    * Quantiles that land below `exactCap` — in practice all of them; p990 of
+    * a crawl corpus is ~10⁴ chars — are unchanged and exact; a quantile
+    * landing in the tail reports its power-of-two bucket floor (a documented
+    * ≤2× value quantization, never a wrong rank). The oracle replays the
+    * identical bucketing, so the check stays bit-exact.
     */
   def lengthQuantiles(
       df: DataFrame,
       textCol: String,
-      qMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+      qMille: Seq[Int] = Seq(500, 900, 990),
+      exactCap: Long = 65536L): DataFrame = {
     require(qMille.nonEmpty && qMille.forall(q => q >= 1 && q <= 1000),
       "quantiles are per-mille in [1, 1000]")
+    require(exactCap >= 1, "exactCap must be positive")
     val spark = df.sparkSession
     val hist = df
-      .select(length(coalesce(col(textCol), lit(""))).cast("long").as("len"))
+      .select(length(coalesce(col(textCol), lit(""))).cast("long").as("_rawlen"))
+      // histogram key: exact length below the cap, power-of-two bucket floor
+      // above it — a narrow codegen'd CASE, still one map-side-combined groupBy
+      // pow/log₂ floor is exact here: 2^k is exact in double, log₂ is
+      // monotone, and doc lengths are far below the 2^50 mantissa bound
+      .select(when(col("_rawlen") <= exactCap, col("_rawlen"))
+        .otherwise(pow(lit(2.0), floor(log(2.0, col("_rawlen")))))
+        .cast("long").as("len"))
       .groupBy("len").count()
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -40,11 +40,27 @@ object Packing {
   /** Pack `df` into `seqLen`-token sequences in `idCol` order. A document
     * with zero tokens occupies no positions: its `seq_id_first`/`seq_off_first`
     * mark where it would start and `seq_id_last` = `seq_id_first`.
+    *
+    * `blocks = 0` (the default) AUTO-SCALES the block count to
+    * `max(32, 4 × input partitions)`: a fixed default (the round-4 value was
+    * a constant 32) caps the per-block Window sort at N/32 rows in ONE task —
+    * at 10¹² documents that is ~3×10¹⁰ rows per window partition, a
+    * scale-killer for any caller who takes the default. Deriving from the
+    * scan's own partition count keeps each window partition at ~¼ of an input
+    * split regardless of corpus size, while the driver prefix scan stays
+    * metadata-sized (`blocks` longs). Blocks don't affect results — only
+    * balance — so the oracle is unchanged.
     */
   def pack(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
-      blocks: Int = 32): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    require(blocks > 0, "blocks must be positive")
+    require(blocks >= 0, "blocks must be non-negative (0 = auto)")
+    val blockCount = if (blocks > 0) blocks else math.max(32, 4 * df.rdd.getNumPartitions)
+    packWithBlocks(df, idCol, textCol, seqLen, blockCount)
+  }
+
+  private def packWithBlocks(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
+      blocks: Int): DataFrame = {
     // internal fixed name: expr() below must not re-parse a caller-supplied
     // column name (spaces, dots, reserved words would mis-resolve)
     val counted = df.select(col(idCol).as("_id"),

@@ -2208,8 +2208,13 @@ object SparkEntry {
         |FROM agg""".stripMargin,
     "s_quantiles" ->
       // textbook window-cumsum formulation, verifying the histogram walk
-      // against the obvious plan
-      """WITH l AS (SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS len FROM documents),
+      // against the obvious plan — including the bounded-histogram key rule
+      // (exact length ≤ 65536, power-of-two bucket floor above), replayed
+      // identically so the driver-side bound is itself under test
+      """WITH l AS (SELECT CASE WHEN length(coalesce(text, '')) <= 65536
+        |    THEN CAST(length(coalesce(text, '')) AS BIGINT)
+        |    ELSE CAST(power(2, floor(log2(length(text)))) AS BIGINT) END AS len
+        |  FROM documents),
         |n AS (SELECT count(*) AS n FROM l),
         |h AS (SELECT len, count(*) AS c FROM l GROUP BY len),
         |cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cum FROM h),

@@ -49,6 +49,29 @@ class PackingSpec extends AnyFunSuite {
     assert(got(2L) == ((10L, 0L, 10L, 1L)))  // tokens 10..19 span seq 0 and seq 1
   }
 
+  test("auto blocks: default scales with input partitions and bounds rows per window partition") {
+    import spark.implicits._
+    val parts = 16
+    val n = 3200
+    val df = spark.sparkContext.parallelize((0 until n).map(i => (i.toLong, "a b c")), parts)
+      .toDF("doc_id", "text")
+    // default (blocks=0) must derive ≥ 4× the input partition count, so no
+    // window partition can hold more than ~¼ of an input split's rows
+    val expectedBlocks = math.max(32, 4 * df.rdd.getNumPartitions)
+    val got = Packing.pack(df, "doc_id", "text", 64)
+    // observe the block size pack actually chose via the plan's closed-form
+    // literal: maxId=3199, blocks=64 → blockSize = (3199+64)/64 = 50 (a fixed
+    // 32 would give 100) — so every window partition holds ≤ 50 dense ids
+    val plan = got.queryExecution.analyzed.toString
+    val expectedBlockSize = (n.toLong - 1 + expectedBlocks) / expectedBlocks
+    assert(plan.contains(s"div cast($expectedBlockSize as bigint)"),
+      s"expected auto-derived block size $expectedBlockSize in plan:\n$plan")
+    // and the results still match the reference cumsum (blocks never change results)
+    val ref = refPack((0 until n).map(i => (i.toLong, "a b c")), 64)
+    val gotMap = got.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(gotMap == ref)
+  }
+
   test("plan: the running sum is block-partitioned, never a single-partition window") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")

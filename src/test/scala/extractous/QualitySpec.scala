@@ -739,6 +739,25 @@ class QualitySpec extends AnyFunSuite {
     assert(empty.toSeq == Seq((500L, 0L, 0L)))
   }
 
+  test("length quantiles: long-tail corpus is log-bucketed above exactCap, exact below") {
+    import spark.implicits._
+    // 90 short docs (len 10) + 10 monsters (len 3000, above the cap of 100):
+    // p500 is exact (10); p990 lands in the tail and must report the
+    // power-of-two bucket FLOOR of 3000 = 2048 — quantized, never wrong-rank
+    val df = (Seq.fill(90)("x" * 10) ++ Seq.fill(10)("y" * 3000)).toDF("text")
+    val got = extractous.pipeline.CorpusStats.lengthQuantiles(df, "text", Seq(500, 990), exactCap = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(500L -> 10L, 990L -> 2048L))
+    // the histogram key space is bounded by construction: with lengths up to
+    // 10^6 and exactCap=100, at most 100 + 64 distinct keys can exist
+    val wild = (1 to 500).map(i => "z" * (i * i * 7 % 1000000)).toDF("text")
+    val keys = wild
+      .select(when(length(col("text")) <= 100, length(col("text")).cast("long"))
+        .otherwise(pow(lit(2.0), floor(log(2.0, length(col("text"))))).cast("long")).as("len"))
+      .distinct().count()
+    assert(keys <= 164, s"bounded histogram key space violated: $keys")
+  }
+
   test("length quantiles: histogram aggregation is the only exchange (no global sort)") {
     import spark.implicits._
     val df = (1 to 300).map(i => "x" * (i % 23)).toDF("text")
