@@ -188,14 +188,16 @@ object WarcExtractor {
     }
     var body = java.util.Arrays.copyOfRange(block, p, block.length)
     if (chunked) body = dechunk(body)
-    // single-coding values only; anything else (br, zstd, compress, coding
-    // stacks) throws so the row becomes an ACCOUNTED response_error — a
-    // brotli body emitted as raw bytes would be silent mojibake
+    // single-coding values only; anything else (compress, coding stacks)
+    // throws so the row becomes an ACCOUNTED response_error — a compressed
+    // body emitted as raw bytes would be silent mojibake. The big four
+    // modern codings (gzip, deflate, br, zstd) all decode.
     encoding match {
       case "" | "identity"       =>
       case "gzip" | "x-gzip"     => body = Extract.gunzip(body, maxOut = 256 * 1024 * 1024)
       case "deflate"             => body = inflate(body)
       case "zstd"                => body = Zstd.decode(body, maxOut = 256 * 1024 * 1024)
+      case "br"                  => body = Brotli.decode(body, maxOut = 256 * 1024 * 1024)
       case other                 =>
         throw new IllegalArgumentException(s"http: unsupported content-encoding '$other'")
     }

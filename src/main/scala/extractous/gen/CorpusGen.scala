@@ -558,10 +558,14 @@ object CorpusGen {
         deflater.end()
         http("text/html", out.toByteArray, Seq("Content-Encoding: deflate"))
       case _ =>
-        // the third stratum alternates identity / zstd (RFC 8878 is a
-        // registered HTTP content coding modern servers ship)
-        if ((id / 3) % 2 == 1) http("text/html", ZstdWriter.zst(html), Seq("Content-Encoding: zstd"))
-        else http("text/html", html)
+        // the third stratum rotates identity / zstd / brotli (RFC 8878 and
+        // RFC 7932 are the registered HTTP content codings modern servers
+        // actually ship — br alone is on the order of a quarter of responses)
+        (id / 3) % 3 match {
+          case 1 => http("text/html", ZstdWriter.zst(html), Seq("Content-Encoding: zstd"))
+          case 2 => http("text/html", BrotliWriter.br(html), Seq("Content-Encoding: br"))
+          case _ => http("text/html", html)
+        }
     }
     val note = s"Crawl note $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // two chunks: split the note at byte 6 ("Crawl ")
