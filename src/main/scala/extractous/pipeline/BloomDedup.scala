@@ -72,4 +72,52 @@ object BloomDedup {
   /** The guaranteed-new subset of `probe` (drops maybe-seen rows). */
   def fresh(probe: DataFrame, keyCol: Column, f: Filter): DataFrame =
     probe.filter(!extractous.spark.bloom.bloom_maybe_contains(keyCol, f.bits, f.m))
+
+  // ------------------------------------------------------------- sharding
+
+  /** `shards` filters of `m` bits each, packed shard-major into one word
+    * array. The past-10⁹-keys scale path: one 1%-FP filter for 10¹² seen
+    * keys would be ~1.8 TB of bits — unbroadcastable — but 10⁴ shards of
+    * ~180 MB each build independently (the aggregation is keyed by
+    * (shard, position): still ONE exchange, ≤ shards·m rows through it, and
+    * per-shard packing parallelizes trivially). A row's shard is
+    * `floorMod(fp, shards)` — a pure function of its own fingerprint — so
+    * the probe needs no join to find its filter and stays a narrow
+    * zero-exchange projection.
+    */
+  final case class ShardedFilter(bits: Array[Long], m: Int, shards: Int) {
+    require(m > 0 && shards > 0 && bits.length == shards * ((m + 63) / 64),
+      "bitset size must be shards x words-per-shard")
+  }
+
+  /** Build `shards` packed m-bit filters of every `keyCol` in `seen`. */
+  def buildSharded(seen: DataFrame, keyCol: Column, shards: Int,
+      m: Int = DefaultBits): ShardedFilter = {
+    require(shards > 0, "shards must be positive")
+    val pos = seen
+      .select(pmod(keyCol, lit(shards.toLong)).cast("int").as("shard"),
+        explode(extractous.spark.bloom.bloom_positions(keyCol, m)).as("p"))
+      .distinct()
+      .collect()
+    val wps = (m + 63) / 64
+    val bits = new Array[Long](shards * wps)
+    pos.foreach { r =>
+      val p = r.getLong(1)
+      bits(r.getInt(0) * wps + (p >>> 6).toInt) |= 1L << (p & 63)
+    }
+    ShardedFilter(bits, m, shards)
+  }
+
+  /** `(idCol, maybe_seen)` per probe row against the sharded filter —
+    * same narrow zero-exchange shape as [[flagged]].
+    */
+  def flaggedSharded(probe: DataFrame, idCol: String, keyCol: Column,
+      f: ShardedFilter): DataFrame =
+    probe.select(col(idCol),
+      extractous.spark.bloom.bloom_maybe_contains_sharded(keyCol, f.bits, f.m, f.shards)
+        .cast("long").as("maybe_seen"))
+
+  /** The guaranteed-new subset of `probe` under the sharded filter. */
+  def freshSharded(probe: DataFrame, keyCol: Column, f: ShardedFilter): DataFrame =
+    probe.filter(!extractous.spark.bloom.bloom_maybe_contains_sharded(keyCol, f.bits, f.m, f.shards))
 }

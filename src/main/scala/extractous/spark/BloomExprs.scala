@@ -57,6 +57,26 @@ object BloomKernel {
     }
     true
   }
+
+  /** Shard routing: a pure function of the key itself, so the probe needs no
+    * lookup to find its filter. floorMod keeps full-range hashes in range.
+    */
+  def shardOf(fp: Long, shards: Int): Int =
+    java.lang.Math.floorMod(fp, shards.toLong).toInt
+
+  /** Membership against the `shardOf(fp)`-th of `shards` filters packed
+    * shard-major into one word array (each shard owns (m+63)/64 words).
+    */
+  def maybeContainsSharded(fp: Long, bits: Array[Long], m: Int, shards: Int): Boolean = {
+    val base = shardOf(fp, shards) * ((m + 63) >>> 6)
+    var j = 0
+    while (j < K) {
+      val p = position(fp, j, m)
+      if ((bits(base + (p >>> 6).toInt) & (1L << (p & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
 }
 
 /** bigint fingerprint → array<long> of the K probe positions (build side;
@@ -90,6 +110,23 @@ final case class BloomContainsExpr(child: Expression, bits: Array[Long], m: Int)
     copy(child = newChild)
 }
 
+/** bigint fingerprint → boolean "maybe seen" under `shards` filters packed
+  * shard-major into one embedded word array; the row's shard is
+  * `floorMod(fp, shards)` — a function of the key itself, so the probe stays
+  * a narrow zero-exchange projection no matter how many shards exist.
+  */
+final case class BloomContainsShardedExpr(child: Expression, bits: Array[Long],
+    m: Int, shards: Int) extends UnaryExpression with CodegenFallback {
+  require(m > 0 && shards > 0 && bits.length == shards * ((m + 63) / 64),
+    "bitset size must be shards x words-per-shard")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_maybe_contains_sharded"
+  override protected def nullSafeEval(input: Any): Any =
+    BloomKernel.maybeContainsSharded(input.asInstanceOf[Long], bits, m, shards)
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsShardedExpr =
+    copy(child = newChild)
+}
+
 object bloom {
   /** `bloom_positions(fp, m)` → array<bigint> of K probe positions. */
   def bloom_positions(fp: Column, m: Int): Column =
@@ -98,4 +135,8 @@ object bloom {
   /** `bloom_maybe_contains(fp)` against a prebuilt packed bitset. */
   def bloom_maybe_contains(fp: Column, bits: Array[Long], m: Int): Column =
     ColumnBridge.column(BloomContainsExpr(ColumnBridge.expression(fp), bits, m))
+
+  /** `bloom_maybe_contains_sharded(fp)` against `shards` packed filters. */
+  def bloom_maybe_contains_sharded(fp: Column, bits: Array[Long], m: Int, shards: Int): Column =
+    ColumnBridge.column(BloomContainsShardedExpr(ColumnBridge.expression(fp), bits, m, shards))
 }

@@ -913,6 +913,20 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", col("fp"), bits)
         .orderBy(col("doc_id"))
     }),
+    "d_dedup_bloom_sharded" -> ((s, dir) => {
+      // the >10⁹-seen-keys scale path: 4 shards of 2¹⁵ bits, a row's shard
+      // = fp mod 4 (a function of its own key, so the probe is still a
+      // narrow zero-exchange projection). The oracle replays shard routing
+      // AND each shard's bit pattern — a key is "maybe seen" only if all 4
+      // probe positions hit within ITS OWN shard's position set.
+      val d = docs(s, dir).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      val f = extractous.pipeline.BloomDedup.buildSharded(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0), col("fp"), shards = 4, m = 32768)
+      extractous.pipeline.BloomDedup.flaggedSharded(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", col("fp"), f)
+        .orderBy(col("doc_id"))
+    }),
     "d_minhash_lsh" -> ((s, dir) => {
       // LSH candidates + exact-Jaccard verification ⇒ the output equals the
       // brute-force pair set (oracle) whenever recall holds (P(miss) ~ 4e-8/pair)
@@ -1976,6 +1990,29 @@ object SparkEntry {
          |SELECT pr.doc_id AS doc_id,
          |  CAST(min(CASE WHEN s.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS maybe_seen
          |FROM pos pr LEFT JOIN seen s ON pr.p = s.p
+         |WHERE pr.doc_id % 3 = 0
+         |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
+    "d_dedup_bloom_sharded" ->
+      // shard-aware bloom replay: the (shard, position) pair is the seen
+      // key, so cross-shard position collisions must NOT read as hits
+      raw"""WITH fp AS (
+         |  SELECT doc_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         |  FROM documents
+         |), pos AS (
+         |  SELECT doc_id, fp % 4 AS shard, unnest([
+         |    ((fp * 31 + 7) % 1000000007) % 32768,
+         |    ((fp * 131 + 77) % 1000000007) % 32768,
+         |    ((fp * 1009 + 777) % 1000000007) % 32768,
+         |    ((fp * 9176 + 7777) % 1000000007) % 32768]) AS p
+         |  FROM fp
+         |), seen AS (
+         |  SELECT DISTINCT shard, p FROM pos WHERE doc_id % 3 <> 0
+         |)
+         |SELECT pr.doc_id AS doc_id,
+         |  CAST(min(CASE WHEN s.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS maybe_seen
+         |FROM pos pr LEFT JOIN seen s ON pr.shard = s.shard AND pr.p = s.p
          |WHERE pr.doc_id % 3 = 0
          |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
     "d_minhash_lsh" ->

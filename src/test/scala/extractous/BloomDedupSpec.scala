@@ -85,6 +85,53 @@ class BloomDedupSpec extends AnyFunSuite {
       ((12345L * 31 + 7) % 1000000007L) % 2048)
   }
 
+  test("sharded: routing isolates shards — a position set in another shard is never a hit") {
+    import spark.implicits._
+    // two keys with fp ≡ 0 and ≡ 1 (mod 2): same positions in DIFFERENT
+    // shards must not alias. Craft fps directly (the fp column is the key).
+    val seenDf = Seq((0L, 10L)).toDF("doc_id", "fp") // shard 0
+    val f = BloomDedup.buildSharded(seenDf, col("fp"), shards = 2, m = 64)
+    // fp=10 is seen (shard 0). A probe fp=11 (shard 1) — even if its four
+    // positions all collide with fp=10's in the 64-bit space, shard 1's
+    // bits are empty, so it MUST test fresh.
+    val probe = Seq((1L, 10L), (2L, 11L)).toDF("doc_id", "fp")
+    val got = BloomDedup.flaggedSharded(probe, "doc_id", col("fp"), f)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L, "the seen key must flag in its own shard")
+    // shard-1 filter is all zeros: anything routed there is guaranteed new
+    assert(got(2L) == 0L, "an empty shard can never produce a hit")
+  }
+
+  test("sharded: no false negatives, and shards=1 equals the unsharded filter bit-for-bit") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), extractous.spark.signatures.poly_fingerprint(col("text")).as("fp"))
+    val seen = df.filter(col("doc_id") % 3 =!= 0)
+    val probe = df.filter(col("doc_id") % 3 === 0)
+    val sharded = BloomDedup.buildSharded(seen, col("fp"), shards = 4, m = 8192)
+    // one-sided guarantee holds per shard
+    assert(BloomDedup.freshSharded(seen, col("fp"), sharded).count() == 0L)
+    // shards=1 degenerates to exactly the single filter
+    val one = BloomDedup.buildSharded(seen, col("fp"), shards = 1, m = 8192)
+    val flat = BloomDedup.build(seen, col("fp"), m = 8192)
+    assert(java.util.Arrays.equals(one.bits, flat.bits))
+    val a = BloomDedup.flaggedSharded(probe, "doc_id", col("fp"), one)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = BloomDedup.flagged(probe, "doc_id", col("fp"), flat)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("sharded plan: the probe is still a narrow zero-exchange projection") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, i.toLong * 31 + 5)).toDF("doc_id", "fp")
+    val plan = BloomDedup.flaggedSharded(df, "doc_id", col("fp"),
+        BloomDedup.ShardedFilter(new Array[Long](4 * 512), 32768, 4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"sharded bloom probe must be narrow:\n$plan")
+  }
+
   test("plan: the probe is a narrow zero-exchange projection") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i.toLong, i.toLong * 31 + 5)).toDF("doc_id", "fp")
