@@ -2,20 +2,24 @@ package extractous.core
 
 /** 7z (.7z) member walk — the archive format's container structure from the
   * published 7zFormat.txt spec. Copy (0x00), LZMA1 (0x030101) and LZMA2
-  * (0x21) folders are decoded through the from-scratch [[Lzma]] decoder;
-  * compressed (kEncodedHeader) metadata — what `7z a` writes by default —
-  * is decoded and re-parsed, so real-world archives open, not just store
-  * mode. Folders with any other coder (BCJ filters, BZip2, AES) are
-  * rejected with [[UnsupportedArchiveException]] → status −8 upstream —
+  * (0x21) folders are decoded through the from-scratch [[Lzma]] decoder,
+  * including FILTER CHAINS of Delta (0x03) and BCJ x86 (0x03030103) wired
+  * by bind pairs — the `-mf=BCJ`/`-mf=Delta` layouts executables-adjacent
+  * strata ship ([[Bra]] provides the transforms, CLI-golden-validated in
+  * XzSpec). Compressed (kEncodedHeader) metadata — what `7z a` writes by
+  * default — is decoded and re-parsed, so real-world archives open, not
+  * just store mode. Folders with any other coder (BCJ2, BZip2, PPMd, AES)
+  * are rejected with [[UnsupportedArchiveException]] → status −8 upstream —
   * honest "we can see the members but won't guess their bytes", never
   * garbage. File-heavy crawl strata carry .7z alongside zip/tar; Tika (the
   * reference's engine) descends them via Commons Compress
   * (/root/reference/README.md:271-273).
   *
-  * Scope: single-coder folders, one pack stream and one substream per
-  * folder, no empty streams. Both header CRCs are verified; any structural
-  * damage throws IllegalArgumentException → status −4. Unpacked sizes are
-  * bomb-capped inside the LZMA decoders.
+  * Scope: chains of up to 4 simple coders, one pack stream and one
+  * substream per folder, no empty streams. Both header CRCs are verified;
+  * any structural damage throws IllegalArgumentException → status −4.
+  * Unpacked sizes are bomb-capped inside the LZMA decoders and by the
+  * aggregate budget (intermediate chain outputs included).
   */
 final class UnsupportedArchiveException(msg: String) extends RuntimeException(msg)
 
@@ -130,9 +134,24 @@ object SevenZip {
     defined
   }
 
-  private final case class FolderInfo(coderId: Array[Byte], props: Array[Byte])
+  private final case class CoderInfo(id: Array[Byte], props: Array[Byte])
+  /** One folder: a chain of simple (1-in/1-out) coders wired by bind pairs
+    * (inIndex, outIndex); `outSizes` has one entry per coder output in coder
+    * order. The folder's final output is the out-stream no bind pair consumes.
+    */
+  private final case class FolderInfo(coders: Array[CoderInfo],
+      bindPairs: Array[(Int, Int)], outSizes: Array[Long]) {
+    def finalOutIndex: Int = {
+      val used = bindPairs.map(_._2).toSet
+      val free = coders.indices.filterNot(used.contains)
+      if (free.length != 1)
+        throw new IllegalArgumentException(s"7z: folder has ${free.length} final outputs")
+      free.head
+    }
+    def unpackSize: Long = outSizes(finalOutIndex)
+  }
   private final case class StreamsInfo(packPos: Long, packSizes: Array[Long],
-      folders: Array[FolderInfo], unpackSizes: Array[Long])
+      folders: Array[FolderInfo])
 
   /** Parse a StreamsInfo property set (the body of kMainStreamsInfo, or the
     * payload of kEncodedHeader) up to and including its terminating kEnd.
@@ -144,7 +163,6 @@ object SevenZip {
     var packPos = 0L
     var numFolders = 0
     var folders: Array[FolderInfo] = Array.empty
-    var unpackSizes: Array[Long] = Array.empty
     var folderCrcDefined = 0
     var sid = r.byte()
     while (sid != kEnd) {
@@ -166,29 +184,42 @@ object SevenZip {
           numFolders = r.numInt(1 << 20, "folder count")
           if (r.byte() != 0) throw new UnsupportedArchiveException("external folder data")
           folders = (0 until numFolders).map { _ =>
-            val numCoders = r.numInt(64, "coder count")
-            // ONE simple coder per folder: with coder chains the
-            // per-output-stream kCodersUnpackSize list no longer maps 1:1
-            // onto folders, and a chained folder's final size sits at a
-            // bind-pair-dependent index - out of scope, refused honestly
-            // (-8) rather than risking a desynced size check
-            if (numCoders != 1)
-              throw new UnsupportedArchiveException(
-                s"coder chain ($numCoders coders per folder) - single-coder only")
-            val flag = r.byte()
-            val idSize = flag & 0x0f
-            val coderId = r.bytes(idSize)
-            if ((flag & 0x10) != 0)
-              throw new UnsupportedArchiveException("complex (multi-stream) coder")
-            val props =
-              if ((flag & 0x20) != 0) r.bytes(r.numInt(1 << 16, "coder props"))
-              else Array.emptyByteArray
-            FolderInfo(coderId, props)
+            // chains of up to 4 SIMPLE (1-in/1-out) coders wired by bind
+            // pairs — the layout `7z a -mf=BCJ` / `-mf=Delta` writes.
+            // Complex (multi-stream) coders stay refused (-8): they exist
+            // only for BCJ2, whose 4-input topology is out of scope.
+            val numCoders = r.numInt(4, "coder count")
+            val coders = (0 until numCoders).map { _ =>
+              val flag = r.byte()
+              val idSize = flag & 0x0f
+              val coderId = r.bytes(idSize)
+              if ((flag & 0x10) != 0)
+                throw new UnsupportedArchiveException("complex (multi-stream) coder")
+              val props =
+                if ((flag & 0x20) != 0) r.bytes(r.numInt(1 << 16, "coder props"))
+                else Array.emptyByteArray
+              CoderInfo(coderId, props)
+            }.toArray
+            // all coders simple → numInStreams = numOutStreams = numCoders,
+            // numBindPairs = numCoders - 1, numPackedStreams = 1 (its index
+            // is implied, not stored, when there is exactly one)
+            val bindPairs = (0 until numCoders - 1).map { _ =>
+              val in = r.numInt(numCoders - 1, "bind pair in-index")
+              val outI = r.numInt(numCoders - 1, "bind pair out-index")
+              (in, outI)
+            }.toArray
+            if (bindPairs.map(_._1).distinct.length != bindPairs.length ||
+                bindPairs.map(_._2).distinct.length != bindPairs.length)
+              throw new IllegalArgumentException("7z: duplicate bind pair endpoints")
+            FolderInfo(coders, bindPairs, Array.empty)
           }.toArray
           var uid = r.byte()
           while (uid != kEnd) {
             uid match {
-              case `kCodersUnpackSize` => unpackSizes = Array.fill(numFolders)(r.num())
+              case `kCodersUnpackSize` =>
+                // one size per coder OUTPUT in folder/coder order
+                folders = folders.map(f =>
+                  f.copy(outSizes = Array.fill(f.coders.length)(r.num())))
               case `kCRC`              => folderCrcDefined = skipDigests(r, numFolders)
               case other => throw new IllegalArgumentException(f"7z: UnPackInfo property 0x$other%02x")
             }
@@ -221,10 +252,13 @@ object SevenZip {
     if (numFolders != packSizes.length)
       throw new UnsupportedArchiveException(
         s"folder/pack mismatch ($numFolders folders, ${packSizes.length} packs)")
-    if (unpackSizes.length != numFolders)
-      throw new IllegalArgumentException(
-        s"7z: kCodersUnpackSize carries ${unpackSizes.length} sizes for $numFolders folders")
-    StreamsInfo(packPos, packSizes, folders, unpackSizes)
+    folders.foreach { f =>
+      if (f.outSizes.length != f.coders.length)
+        throw new IllegalArgumentException(
+          s"7z: kCodersUnpackSize carries ${f.outSizes.length} sizes for ${f.coders.length} coders")
+      f.finalOutIndex // validates exactly one unconsumed output
+    }
+    StreamsInfo(packPos, packSizes, folders)
   }
 
   /** Slice folder i's (single) pack stream out of the archive body. */
@@ -241,24 +275,57 @@ object SevenZip {
   private final val CoderCopy = Array[Byte](0x00)
   private final val CoderLzma = Array[Byte](0x03, 0x01, 0x01)
   private final val CoderLzma2 = Array[Byte](0x21)
+  private final val CoderDelta = Array[Byte](0x03)
+  private final val CoderBcjX86 = Array[Byte](0x03, 0x03, 0x01, 0x03)
 
-  /** Decode one folder's bytes by its coder: Copy, LZMA1, or LZMA2 (the
-    * decoders enforce the decompression-bomb cap); everything else refuses
-    * with -8, never garbage.
-    */
-  private def decodeFolder(f: FolderInfo, packed: Array[Byte], unpackSize: Long): Array[Byte] = {
-    if (java.util.Arrays.equals(f.coderId, CoderCopy)) {
-      if (packed.length.toLong != unpackSize)
-        throw new IllegalArgumentException("7z: Copy folder pack/unpack size mismatch")
-      packed
-    } else if (java.util.Arrays.equals(f.coderId, CoderLzma)) {
-      Lzma.decode(f.props, packed, unpackSize)
-    } else if (java.util.Arrays.equals(f.coderId, CoderLzma2)) {
-      Lzma.decodeLzma2(packed, unpackSize)
+  /** Decode one coder's output given its already-decoded input. */
+  private def decodeCoder(c: CoderInfo, input: Array[Byte], outSize: Long): Array[Byte] = {
+    if (java.util.Arrays.equals(c.id, CoderCopy)) {
+      if (input.length.toLong != outSize)
+        throw new IllegalArgumentException("7z: Copy coder in/out size mismatch")
+      input
+    } else if (java.util.Arrays.equals(c.id, CoderLzma)) {
+      Lzma.decode(c.props, input, outSize)
+    } else if (java.util.Arrays.equals(c.id, CoderLzma2)) {
+      Lzma.decodeLzma2(input, outSize)
+    } else if (java.util.Arrays.equals(c.id, CoderDelta)) {
+      // length-preserving filter; props = one byte, distance - 1
+      if (c.props.length != 1) throw new IllegalArgumentException("7z: bad delta props")
+      if (input.length.toLong != outSize)
+        throw new IllegalArgumentException("7z: delta coder in/out size mismatch")
+      val out = input.clone()
+      Bra.deltaDecode(out, (c.props(0) & 0xFF) + 1)
+      out
+    } else if (java.util.Arrays.equals(c.id, CoderBcjX86)) {
+      if (input.length.toLong != outSize)
+        throw new IllegalArgumentException("7z: BCJ coder in/out size mismatch")
+      val out = input.clone()
+      Bra.x86(out, encoding = false)
+      out
     } else {
-      val hexId = f.coderId.map(b => f"${b & 0xff}%02x").mkString
-      throw new UnsupportedArchiveException(s"unsupported coder 0x$hexId (Copy/LZMA/LZMA2 only)")
+      val hexId = c.id.map(b => f"${b & 0xff}%02x").mkString
+      throw new UnsupportedArchiveException(
+        s"unsupported coder 0x$hexId (Copy/LZMA/LZMA2/Delta/BCJ-x86 only)")
     }
+  }
+
+  /** Decode a folder's final output by walking the bind-pair chain from the
+    * packed stream. All coders are simple, so out-stream j belongs to coder
+    * j and coder j's single input is in-stream j: the input is either the
+    * pack stream (no bind pair consumes in-stream j) or another coder's
+    * output (the bind pair (j, k) routes out-stream k into it).
+    */
+  private def decodeFolder(f: FolderInfo, packed: Array[Byte]): Array[Byte] = {
+    def outStream(outIdx: Int, depth: Int): Array[Byte] = {
+      if (depth > f.coders.length)
+        throw new IllegalArgumentException("7z: bind pair cycle")
+      val input = f.bindPairs.find(_._1 == outIdx) match {
+        case Some((_, srcOut)) => outStream(srcOut, depth + 1)
+        case None              => packed
+      }
+      decodeCoder(f.coders(outIdx), input, f.outSizes(outIdx))
+    }
+    outStream(f.finalOutIndex, 0)
   }
 
   /** Ordered (name, bytes) members. Copy, LZMA and LZMA2 folders are
@@ -287,14 +354,14 @@ object SevenZip {
         val hsi = parseStreamsInfo(r)
         if (hsi.folders.length != 1)
           throw new UnsupportedArchiveException("multi-folder encoded header")
-        val decoded = decodeFolder(hsi.folders(0), packSlice(bytes, hsi, 0), hsi.unpackSizes(0))
+        val decoded = decodeFolder(hsi.folders(0), packSlice(bytes, hsi, 0))
         r = new Rd(decoded)
         if (r.byte() != kHeader)
           throw new IllegalArgumentException("7z: encoded header does not contain kHeader")
       case other => throw new IllegalArgumentException(f"7z: unexpected root property 0x$other%02x")
     }
 
-    var si: StreamsInfo = StreamsInfo(0L, Array.empty, Array.empty, Array.empty)
+    var si: StreamsInfo = StreamsInfo(0L, Array.empty, Array.empty)
     var names: Seq[String] = Seq.empty
     var sawStreams = false
 
@@ -346,7 +413,8 @@ object SevenZip {
     // the LZMA decoders, but a crafted archive declaring thousands of folders
     // would otherwise multiply that cap without bound (same posture as
     // Rar.MaxTotalBytes) — refuse before decoding anything
-    val totalDeclared = si.unpackSizes.foldLeft(0L) { (a, s) =>
+    // intermediate chain outputs count too: a filter chain materializes them
+    val totalDeclared = si.folders.iterator.flatMap(_.outSizes).foldLeft(0L) { (a, s) =>
       if (s < 0 || a + s < 0) throw new IllegalArgumentException("7z: unpack size overflow")
       a + s
     }
@@ -354,7 +422,7 @@ object SevenZip {
       throw new IllegalArgumentException(
         s"7z: aggregate declared unpack size $totalDeclared exceeds budget $maxTotal")
     names.indices.map { i =>
-      (names(i), decodeFolder(si.folders(i), packSlice(bytes, si, i), si.unpackSizes(i)))
+      (names(i), decodeFolder(si.folders(i), packSlice(bytes, si, i)))
     }
   }
 }

@@ -6,8 +6,10 @@ package extractous.core
   * alongside gzip; Tika (the reference's engine) descends them via
   * Commons Compress (/root/reference/README.md:271-273).
   *
-  * Scope: one stream, LZMA2 as the only filter — Delta/BCJ filter chains
-  * refuse with [[UnsupportedArchiveException]] → status −8, never garbage.
+  * Scope: one stream; filter chains of Delta and/or BCJ x86 ([[Bra]])
+  * in front of LZMA2 decode (validated against real `xz --x86`/`--delta`
+  * CLI goldens in XzSpec); other BCJ architectures refuse with
+  * [[UnsupportedArchiveException]] → status −8, never garbage.
   * Block sizes come from the index (the `xz` CLI's default layout omits
   * them from block headers), so decode parses footer → index → blocks.
   * All four spec check types verify over the DECODED bytes: None, CRC32,
@@ -103,6 +105,8 @@ object Xz {
   }
 
   private final val FilterLzma2 = 0x21L
+  private final val FilterDelta = 0x03L
+  private final val FilterX86 = 0x04L
 
   /** Decompress a whole `.xz` payload; total output bomb-capped at `cap`.
     * Concatenated streams (`cat a.xz b.xz` — legal per spec §2, `xz -d`
@@ -221,15 +225,41 @@ object Xz {
       val numFilters = (flags & 0x03) + 1
       val declComp = if ((flags & 0x40) != 0) r.varint() else -1L
       val declUnc = if ((flags & 0x80) != 0) r.varint() else -1L
-      if (numFilters != 1)
-        throw new UnsupportedArchiveException(
-          s"xz: filter chain ($numFilters filters) - LZMA2-only")
-      val filterId = r.varint()
-      if (filterId != FilterLzma2)
-        throw new UnsupportedArchiveException(f"xz: filter 0x$filterId%x (LZMA2-only)")
-      val propsLen = r.varint()
-      if (propsLen != 1) throw new IllegalArgumentException("xz: bad LZMA2 props length")
-      r.byte() // dictionary-size byte; LZMA2 chunks carry their own resets
+      // filter chain: the non-last filters may be Delta (0x03) or BCJ x86
+      // (0x04) — both length-preserving [[Bra]] transforms applied in
+      // REVERSE order after LZMA2 decodes; the last filter must be LZMA2.
+      // Anything else (other BCJ architectures, unknown ids) refuses with
+      // −8, never garbage.
+      val preFilters = Seq.newBuilder[Array[Byte] => Unit]
+      var fi = 0
+      while (fi < numFilters) {
+        val filterId = r.varint()
+        val last = fi == numFilters - 1
+        if (last) {
+          if (filterId != FilterLzma2)
+            throw new UnsupportedArchiveException(f"xz: last filter 0x$filterId%x (LZMA2 required)")
+          if (r.varint() != 1) throw new IllegalArgumentException("xz: bad LZMA2 props length")
+          r.byte() // dictionary-size byte; LZMA2 chunks carry their own resets
+        } else filterId match {
+          case FilterDelta =>
+            if (r.varint() != 1) throw new IllegalArgumentException("xz: bad delta props length")
+            val dist = r.byte() + 1
+            preFilters += (b => Bra.deltaDecode(b, dist))
+          case FilterX86 =>
+            val pl = r.varint()
+            if (pl == 4) {
+              // a nonzero start offset changes every displacement; honest
+              // refusal beats silently wrong addresses (encoders don't set it)
+              if ((0 until 4).map(_ => r.byte()).exists(_ != 0))
+                throw new UnsupportedArchiveException("xz: x86 filter with nonzero start offset")
+            } else if (pl != 0)
+              throw new IllegalArgumentException("xz: bad x86 props length")
+            preFilters += (b => Bra.x86(b, encoding = false))
+          case other =>
+            throw new UnsupportedArchiveException(f"xz: filter 0x$other%x (Delta/x86/LZMA2 only)")
+        }
+        fi += 1
+      }
       while (r.pos < blockStart + headerLen - 4)
         if (r.byte() != 0) throw new IllegalArgumentException("xz: nonzero block header padding")
       if (crc32(bytes, blockStart, headerLen - 4) != u32le(bytes, blockStart + headerLen - 4))
@@ -245,6 +275,9 @@ object Xz {
       val packed = java.util.Arrays.copyOfRange(
         bytes, blockStart + headerLen, (blockStart + headerLen + compLen).toInt)
       val decoded = Lzma.decodeLzma2(packed, unpacked(i), math.min(cap, Int.MaxValue.toLong).toInt)
+      // undo the pre-filters in reverse encoding order (both are in-place
+      // and length-preserving, so sizes/checks are unaffected)
+      preFilters.result().reverse.foreach(f => f(decoded))
       var p = blockStart + headerLen + compLen
       while ((p & 3) != 0) {
         if (p >= indexStart || bytes(p.toInt) != 0)

@@ -415,12 +415,14 @@ object CorpusGen {
       case 2 =>
         // rotate the 7z stratum through its coder/layout variants — the
         // extracted text is container-invariant, so the closed-form oracle
-        // is unchanged while store, LZMA, LZMA2 and compressed-header
-        // archives all flow through the corpus
-        (id % 4) match {
+        // is unchanged while store, LZMA, LZMA2, BCJ/Delta filter chains
+        // and compressed-header archives all flow through the corpus
+        (id % 6) match {
           case 0 => SevenZWriter.sevenZ(members)
           case 1 => SevenZWriter.sevenZ(members, coder = "lzma")
           case 2 => SevenZWriter.sevenZ(members, coder = "lzma2")
+          case 3 => SevenZWriter.sevenZ(members, coder = "bcj-lzma")
+          case 4 => SevenZWriter.sevenZ(members, coder = "delta-lzma2")
           case _ => SevenZWriter.sevenZ(members, coder = "lzma2", encodedHeader = true)
         }
       case _ => RarWriter.rar5(members)

@@ -860,16 +860,32 @@ object SevenZWriter {
     out.toByteArray
   }
 
-  /** (packed bytes, coder id, coder props) for one member. */
-  private def encodeMember(d: Array[Byte], coder: String): (Array[Byte], Array[Byte], Array[Byte]) =
+  /** (packed bytes, coder chain as (id, props) pairs in decode order —
+    * coder 0 consumes the pack stream, each next coder consumes the
+    * previous one's output via a bind pair) for one member.
+    */
+  private def encodeMember(d: Array[Byte], coder: String): (Array[Byte], Seq[(Array[Byte], Array[Byte])]) =
     coder match {
-      case "copy" => (d, Array[Byte](0x00), Array.emptyByteArray)
+      case "copy" => (d, Seq((Array[Byte](0x00), Array.emptyByteArray)))
       case "lzma" =>
         val (props, enc) = LzmaWriter.encode(d)
-        (enc, Array[Byte](0x03, 0x01, 0x01), props)
+        (enc, Seq((Array[Byte](0x03, 0x01, 0x01), props)))
       case "lzma2" =>
         // props: one dictionary-size byte; 24 → (2|0) << 23 = 16 MiB
-        (LzmaWriter.encodeLzma2(d), Array[Byte](0x21), Array[Byte](24))
+        (LzmaWriter.encodeLzma2(d), Seq((Array[Byte](0x21), Array[Byte](24))))
+      case "bcj-lzma" =>
+        // the `-mf=BCJ` layout: data --x86-encode--> LZMA; decode chain is
+        // LZMA (coder 0, consumes pack) then BCJ x86 (coder 1, via bind pair)
+        val filtered = d.clone()
+        extractous.core.Bra.x86(filtered, encoding = true)
+        val (props, enc) = LzmaWriter.encode(filtered)
+        (enc, Seq((Array[Byte](0x03, 0x01, 0x01), props),
+          (Array[Byte](0x03, 0x03, 0x01, 0x03), Array.emptyByteArray)))
+      case "delta-lzma2" =>
+        val filtered = d.clone()
+        extractous.core.Bra.deltaEncode(filtered, 4)
+        (LzmaWriter.encodeLzma2(filtered), Seq((Array[Byte](0x21), Array[Byte](24)),
+          (Array[Byte](0x03), Array[Byte](3)))) // delta props: dist - 1
       case other => throw new IllegalArgumentException(s"unknown 7z coder $other")
     }
 
@@ -883,7 +899,7 @@ object SevenZWriter {
     val n = members.length
     val enc = members.map { case (_, d) => encodeMember(d, coder) }
     val packed = new ByteArrayOutputStream()
-    enc.foreach { case (p, _, _) => packed.write(p) }
+    enc.foreach { case (p, _) => packed.write(p) }
 
     val h = new ByteArrayOutputStream()
     h.write(0x01) // kHeader
@@ -892,20 +908,29 @@ object SevenZWriter {
     num(h, 0)     // PackPos
     num(h, n)     // NumPackStreams
     h.write(0x09) // kSize
-    enc.foreach { case (p, _, _) => num(h, p.length) }
+    enc.foreach { case (p, _) => num(h, p.length) }
     h.write(0x00) // end PackInfo
     h.write(0x07) // kUnPackInfo
     h.write(0x0B) // kFolder
     num(h, n)
     h.write(0x00) // not external
-    enc.foreach { case (_, id, props) =>
-      num(h, 1)   // one coder
-      h.write(id.length | (if (props.nonEmpty) 0x20 else 0x00)) // flag: id size, simple
-      h.write(id)
-      if (props.nonEmpty) { num(h, props.length); h.write(props) }
+    enc.foreach { case (_, chain) =>
+      num(h, chain.length) // coders in the chain
+      chain.foreach { case (id, props) =>
+        h.write(id.length | (if (props.nonEmpty) 0x20 else 0x00)) // flag: id size, simple
+        h.write(id)
+        if (props.nonEmpty) { num(h, props.length); h.write(props) }
+      }
+      // bind pairs: coder k+1's input <- coder k's output (simple coders,
+      // so global in/out stream index == coder index)
+      (0 until chain.length - 1).foreach { k => num(h, k + 1); num(h, k) }
     }
-    h.write(0x0C) // kCodersUnpackSize
-    members.foreach { case (_, d) => num(h, d.length) }
+    h.write(0x0C) // kCodersUnpackSize: one size per coder output — every
+    // coder in these chains is length-preserving past the decompressor, so
+    // all outputs equal the member length
+    members.zip(enc).foreach { case ((_, d), (_, chain)) =>
+      chain.foreach(_ => num(h, d.length))
+    }
     h.write(0x00) // end UnPackInfo
     h.write(0x00) // end MainStreamsInfo
     h.write(0x05) // kFilesInfo

@@ -178,15 +178,19 @@ class Round3FormatsSpec extends AnyFunSuite {
     val html = CorpusGen.htmlPayload(7, "seven zip body", "en")
     val members = Seq("a.html" -> html, "b.txt" -> "plain note".getBytes("UTF-8"))
     val expected = "Document 7\nthe and of to in\nseven zip body\nplain note"
-    for ((coder, eh) <- Seq(("lzma", false), ("lzma2", false), ("copy", true), ("lzma2", true))) {
+    for ((coder, eh) <- Seq(("lzma", false), ("lzma2", false), ("copy", true), ("lzma2", true),
+        ("bcj-lzma", false), ("delta-lzma2", false), ("bcj-lzma", true))) {
       val bytes = extractous.gen.SevenZWriter.sevenZ(members, coder = coder, encodedHeader = eh)
       assert(MimeSniffer.sniff(bytes) == "application/x-7z-compressed")
       val r = Extract(bytes)
       assert(r.status == ExtractStatus.Ok, s"$coder eh=$eh: ${r.status} ${r.error}")
       assert(r.text == expected, s"$coder eh=$eh")
       assert(r.metadata("7z:member-count") == Seq("2"))
-      // LZMA actually compresses: the repetitive HTML member shrinks the archive
-      if (coder != "copy") assert(bytes.length < members.map(_._2.length).sum)
+      // LZMA actually compresses: the repetitive HTML member shrinks the
+      // archive (filtered chains excluded — x86/delta transforms scramble
+      // small NON-code inputs, which is expected and harmless)
+      if (coder == "lzma" || coder == "lzma2")
+        assert(bytes.length < members.map(_._2.length).sum)
     }
     // truncating a compressed pack stream → typed failure, never a hang/garbage
     val whole = extractous.gen.SevenZWriter.sevenZ(members, coder = "lzma2", encodedHeader = true)
@@ -241,9 +245,9 @@ class Round3FormatsSpec extends AnyFunSuite {
     nb.toByteArray
   }
 
-  test("7z with a chained-coder folder refuses with -8 (no desynced size check)") {
-    // numCoders=2 would desync the per-folder kCodersUnpackSize mapping —
-    // the walker must refuse BEFORE any size comparison
+  test("7z chained-coder folder decodes through the bind pair (round-4 refusal lifted)") {
+    // two simple Copy coders wired by bind pair (in 1 ← out 0): the final
+    // output is coder 1's, sizes per coder output in coder order
     val header = Array[Byte](0x01, 0x04,
       0x06, 0x00, 0x01, 0x09, 0x02, 0x00,              // PackInfo: 1 stream of 2 B
       0x07, 0x0B, 0x01, 0x00, 0x02,                    // UnPackInfo: 1 folder, TWO coders
@@ -252,8 +256,22 @@ class Round3FormatsSpec extends AnyFunSuite {
       0x0C, 0x02, 0x02, 0x00, 0x00,                    // unpack sizes + ends
       0x05, 0x01) ++ nameAtxt ++ Array[Byte](0x00, 0x00)
     val r = Extract(sevenZWith("hi".getBytes("US-ASCII"), header))
+    assert(r.status == ExtractStatus.Ok, s"${r.status} ${r.error}")
+    assert(r.text == "hi")
+  }
+
+  test("7z complex (multi-stream) coder still refuses with -8, never garbage") {
+    // flag 0x11: id size 1 + the complex bit — the BCJ2-style topology we
+    // refuse rather than guess
+    val header = Array[Byte](0x01, 0x04,
+      0x06, 0x00, 0x01, 0x09, 0x02, 0x00,
+      0x07, 0x0B, 0x01, 0x00, 0x01,
+      0x11, 0x00, 0x04, 0x01, 0x02, 0x00, // complex coder, 4 in / 1 out
+      0x0C, 0x02, 0x00, 0x00,
+      0x05, 0x01) ++ nameAtxt ++ Array[Byte](0x00, 0x00)
+    val r = Extract(sevenZWith("hi".getBytes("US-ASCII"), header))
     assert(r.status == ExtractStatus.UnsupportedFormat, s"${r.status} ${r.error}")
-    assert(r.error.contains("coder chain"))
+    assert(r.error.contains("complex"))
   }
 
   test("7z missing kCodersUnpackSize fails with a typed 7z diagnostic, not AIOOBE") {
