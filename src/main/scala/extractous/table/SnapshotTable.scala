@@ -233,6 +233,72 @@ final class SnapshotTable(val root: String) {
     } finally deleteRecursively(staging)
   }
 
+  /** Iceberg `MERGE INTO` analog for the recrawl loop: copy-on-write upsert
+    * keyed by `url`, latest `warc_ts` wins (ties favor the INCOMING row, so
+    * re-ingesting the same crawl day is an idempotent overwrite, and equal
+    * timestamps within the increment resolve by content hash — fully
+    * deterministic across parallelism). Committed as ONE atomic snapshot:
+    * only partitions that contain matched or new keys are rewritten
+    * (`replaced_days`); untouched days' files are inherited through the
+    * manifest chain, and time travel to the pre-merge snapshot still sees
+    * the old rows.
+    *
+    * 100 TB shape: the increment is the small side — the two url-keyed
+    * joins broadcast it; the big side is read ONCE with day-partition
+    * pruning on the second pass (only affected days are re-read and
+    * rewritten, the Iceberg copy-on-write contract). No windows, no global
+    * sorts.
+    *
+    * `incoming` must carry `url` and `warc_ts` (timestamp); `warc_day` is
+    * derived from `warc_ts` — a recrawl moving a url to a new day rewrites
+    * BOTH days (the old row is dropped from its old partition).
+    */
+  def merge(spark: SparkSession, incoming: DataFrame, extractorVersion: String): Long = {
+    import org.apache.spark.sql.functions._
+    init()
+    val incDay = incoming.withColumn("warc_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+    val cols = incDay.columns.toSeq
+    // one winner per url WITHIN the increment: (warc_ts, content hash) order
+    val ord = struct(col("warc_ts"), xxhash64(concat_ws(" ", cols.map(col): _*)))
+    val incW = incDay.groupBy(col("url"))
+      .agg(max_by(struct(cols.map(col): _*), ord).as("_r"))
+      .select(col("_r.*"))
+    val staging = Files.createTempDirectory(Paths.get(root), ".merge")
+    try {
+      val (staged, days) =
+        if (currentSnapshotId.isEmpty) {
+          val ds = incW.select(col("warc_day")).distinct().collect().map(_.getString(0)).toSeq
+          (incW, ds)
+        } else {
+          // partition-column type inference reads warc_day back as DATE;
+          // normalize to the canonical string form so day-set arithmetic and
+          // the union with the increment are type-stable
+          val current = read(spark)
+            .withColumn("warc_day", date_format(col("warc_day"), "yyyy-MM-dd"))
+          // metadata-sized collect: the DISTINCT days touched by a matched
+          // key (bounded by the calendar, not the corpus)
+          val matchedDays = current.join(broadcast(incW.select("url")), "url")
+            .select(col("warc_day")).distinct().collect().map(_.getString(0))
+          val incDays = incW.select(col("warc_day")).distinct().collect().map(_.getString(0))
+          val days = (matchedDays ++ incDays).distinct.sorted.toSeq
+          // second pass over ONLY the affected partitions (pruned scan)
+          val affected = current.filter(col("warc_day").isin(days: _*))
+          val survivors = affected
+            .join(broadcast(incW.select(col("url"), col("warc_ts").as("_inc_ts"))), Seq("url"), "left")
+            .filter(col("_inc_ts").isNull || col("_inc_ts") < col("warc_ts"))
+            .drop("_inc_ts")
+          val curTs = affected.groupBy(col("url")).agg(max(col("warc_ts")).as("_cur_ts"))
+          val inserted = incW.join(broadcast(curTs), Seq("url"), "left")
+            .filter(col("_cur_ts").isNull || col("warc_ts") >= col("_cur_ts"))
+            .drop("_cur_ts")
+          (survivors.select(cols.map(col): _*).unionByName(inserted.select(cols.map(col): _*)), days)
+        }
+      staged.write.mode("overwrite").partitionBy("warc_day").parquet(staging.toString)
+      commit(staging.toString, days, lineage = Seq.empty, version = extractorVersion,
+        statusCounts = Map.empty, replacedDays = days)
+    } finally deleteRecursively(staging)
+  }
+
   /** Iceberg's expire-snapshots + remove-orphan-files, for a chain-manifest
     * layout: squash the CURRENT visible state into one self-contained
     * manifest (committed days, visible files, concatenated lineage, summed

@@ -491,6 +491,38 @@ object SparkEntry {
         .select(col("doc_id"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("doc_id"))
     }),
+    "x_merge" -> ((s, dir) => {
+      // incremental recrawl MERGE (Iceberg MERGE INTO analog): build a base
+      // snapshot keyed by url, then merge an increment carrying (a) recrawls
+      // with LATER warc_ts and new text — they must replace, (b) brand-new
+      // urls — they must insert, (c) STALE rows with older warc_ts — they
+      // must lose. The oracle is the window-free latest-wins replay of the
+      // same three row sets; time travel across the merge is asserted in
+      // TableSpec.
+      val tmp = java.nio.file.Files.createTempDirectory("qmergetable").toString
+      val t = new extractous.table.SnapshotTable(tmp)
+      val d = docs(s, dir)
+      def urlOf = concat(lit("https://host-"), pmod(col("doc_id"), lit(7)),
+        lit(".example/doc/"), col("doc_id"))
+      val base = d.select(urlOf.as("url"),
+        to_timestamp(concat(lit("2024-01-0"), pmod(col("doc_id"), lit(3)) + 1)).as("warc_ts"),
+        col("text"))
+      t.merge(s, base, "v1")
+      val recrawl = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(urlOf.as("url"), to_timestamp(lit("2024-01-10")).as("warc_ts"),
+          concat(lit("R "), col("text")).as("text"))
+      val fresh = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(concat(urlOf, lit("/v2")).as("url"),
+          to_timestamp(lit("2024-01-11")).as("warc_ts"),
+          concat(lit("N "), col("text")).as("text"))
+      val stale = d.filter(pmod(col("doc_id"), lit(5)) === 0 && pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(urlOf.as("url"), to_timestamp(lit("2023-12-01")).as("warc_ts"),
+          lit("STALE must never win").as("text"))
+      t.merge(s, recrawl.unionByName(fresh).unionByName(stale), "v2")
+      t.read(s).select(col("url"), col("text"),
+          date_format(col("warc_day"), "yyyy-MM-dd").as("warc_day"))
+        .orderBy(col("url"))
+    }),
     "x_warc" -> ((s, dir) => {
       // WARC (ISO 28500) — the Common-Crawl container: warcinfo/request
       // records skipped, HTTP response records parsed (incl. gzip
@@ -1757,6 +1789,21 @@ object SparkEntry {
          |CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Second section ' || $sqlId ELSE '' END AS text,
          |'application/vnd.apple.pages' AS content_type
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_merge" ->
+      // window-free latest-wins replay: recrawled urls take the increment
+      // text/day, untouched urls keep the base row, new urls append, stale
+      // rows (older warc_ts) never appear
+      s"""SELECT url, text, warc_day FROM (
+         |  SELECT 'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/' || $sqlId AS url,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'R ' || text ELSE text END AS text,
+         |    CASE WHEN doc_id % 3 = 0 THEN '2024-01-10'
+         |         ELSE '2024-01-0' || CAST(doc_id % 3 + 1 AS VARCHAR) END AS warc_day
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/' || $sqlId || '/v2',
+         |    'N ' || text, '2024-01-11'
+         |  FROM documents WHERE doc_id % 7 = 0
+         |) ORDER BY url""".stripMargin,
     "x_warc" ->
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) || $sqlStop || chr(10) || text || chr(10)

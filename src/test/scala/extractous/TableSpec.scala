@@ -65,6 +65,50 @@ class TableSpec extends AnyFunSuite {
     assert(table.chain().head.status_counts.values.sum == 500)
   }
 
+  test("merge: latest-wins upsert is one atomic snapshot; time travel crosses it; untouched days inherit") {
+    import spark.implicits._
+    val tableDir = java.nio.file.Files.createTempDirectory("tablem").toString
+    val t = new SnapshotTable(tableDir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // base: 3 urls across 2 days
+    val base = Seq(
+      ("u/a", ts("2024-01-01"), "a v1"),
+      ("u/b", ts("2024-01-01"), "b v1"),
+      ("u/c", ts("2024-01-02"), "c v1")).toDF("url", "warc_ts", "text")
+    t.merge(spark, base, "v1")
+    val preMerge = t.currentSnapshotId.get
+    val day2FilesBefore = t.visibleRelFiles().filter(_.contains("warc_day=2024-01-02"))
+    // increment: recrawl u/a (later ts, SAME day), stale u/b (older ts — must
+    // lose), new u/d on a new day; u/c's day is untouched
+    val inc = Seq(
+      ("u/a", ts("2024-01-05"), "a v2"),
+      ("u/b", ts("2023-12-01"), "b STALE"),
+      ("u/d", ts("2024-01-07"), "d new")).toDF("url", "warc_ts", "text")
+    val mid = t.merge(spark, inc, "v2")
+    assert(mid > preMerge)
+    val now = t.read(spark).select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(now == Map("u/a" -> "a v2", "u/b" -> "b v1", "u/c" -> "c v1", "u/d" -> "d new"))
+    // the recrawled row moved day: it lives in warc_day=2024-01-05 now
+    val days = t.read(spark).filter(col("url") === "u/a")
+      .select(date_format(col("warc_day"), "yyyy-MM-dd")).head.getString(0)
+    assert(days == "2024-01-05")
+    // time travel: the pre-merge snapshot still shows every v1 row
+    val old = t.read(spark, asOf = Some(preMerge)).select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(old == Map("u/a" -> "a v1", "u/b" -> "b v1", "u/c" -> "c v1"))
+    // copy-on-write scope: u/c's day had no matched/new key → its files are
+    // INHERITED (identical relative paths), not rewritten
+    val day2FilesAfter = t.visibleRelFiles().filter(_.contains("warc_day=2024-01-02"))
+    assert(day2FilesAfter == day2FilesBefore, "untouched day must not be rewritten")
+    // idempotence: re-merging the same increment changes no rows (ties favor
+    // incoming, so the rewrite converges to the same content)
+    t.merge(spark, inc, "v2")
+    val again = t.read(spark).select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == now)
+  }
+
   test("expire retention window spares young orphans (racing-commit safeguard)") {
     val tableDir = java.nio.file.Files.createTempDirectory("tabler").toString
     ExtractJob.run(spark, corpusDir, tableDir, groupSize = 30)
