@@ -181,6 +181,23 @@ object TextStats {
     extractous.spark.NormalizeKernel.Fields.map(f => f -> r.getField(f))
   }
 
+  /** ONE-SCAN fused quality projection: language id, token count, Gopher
+    * gates, C4 gates and character entropy emitted from a single narrow
+    * projection — the shape a d_corpus-style composition should use instead
+    * of one scan per signal. Every constituent is an imperative codegen'd
+    * kernel, so the whole report stays inside one WholeStageCodegen span
+    * over one file scan (plan-asserted in SparkPlanSpec); at 100 TB that
+    * turns k quality signals from k corpus scans into one. Individual
+    * reports (and their DuckDB oracles) are unchanged — this is a
+    * composition helper, not a new semantic.
+    */
+  def fusedQualityReport(content: Column, minWords: Int = 50): Seq[(String, Column)] =
+    // token count rides along as gopher's n_words (the imperative kernel) —
+    // adding the HOF tokenCount here would drop the whole projection out of
+    // whole-stage codegen (lambda HOFs are CodegenFallback)
+    Seq("pred_lang" -> LangId.predict(coalesce(content, lit("")))) ++
+      gopherReport(content, minWords) ++ c4Report(content) ++ entropyReport(content)
+
   def gopherReport(content: Column, minWords: Int = 50): Seq[(String, Column)] = {
     // One imperative pass ([[extractous.spark.GopherExpr]]) — the HOF
     // formulation below re-scans the document ~15 times (two tokenizations,

@@ -59,6 +59,23 @@ object SparkEntry {
     */
   private def sqlL(x: String): String =
     s"CAST(floor(log2(CAST(least($x+1,131072)*least($x+1,131072)*least($x+1,131072) AS DOUBLE))) AS BIGINT)"
+  // t_quality_fused: 12 fixed per-language sentences (60 lexicon words each)
+  // sampled at a stream seed disjoint from both the LangId training stream
+  // (-1) and the t_langid evaluation streams (doc ids), embedded VERBATIM in
+  // the Column lit and the DuckDB literal. pred_lang's oracle is the id
+  // arithmetic alone — the same statistical-recovery contract as t_langid.
+  private val fusedSents: Vector[(String, String)] =
+    extractous.pipeline.LangData.langs.map(l =>
+      l -> extractous.pipeline.LangData.sampleText(l, 424242L, 60))
+  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
+  private val sqlFusedContent: String =
+    "'Doc ' || CAST(doc_id AS VARCHAR) || '. ' || CASE doc_id % 12 " +
+      fusedSents.zipWithIndex.map { case ((_, txt), i) => s"WHEN $i THEN ${sqlQ(txt)}" }
+        .mkString(" ") + " END || '.'"
+  private val sqlFusedLang: String =
+    "CASE doc_id % 12 " +
+      fusedSents.zipWithIndex.map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ") +
+      " END"
   private val sqlImageFormat =
     "CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' ELSE 'tiff' END"
   /** Expected content_type per format-mix kind (single expression, embeddable). */
@@ -1268,6 +1285,25 @@ object SparkEntry {
           TextStats.c4Report(col("content")).map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
+    "t_quality_fused" -> ((s, dir) => {
+      // ONE-SCAN fused quality projection (TextStats.fusedQualityReport):
+      // language id + the full Gopher, C4 and entropy reports emitted from a
+      // single narrow codegen'd Project — the d_corpus-style composition
+      // shape that turns k quality signals from k corpus scans into ONE at
+      // 100 TB (SparkPlanSpec asserts: one FileScan, zero Exchange, one
+      // whole-stage-codegen span). Content is a fixed 60-word sentence per
+      // language (seed disjoint from the classifier's training stream), so
+      // pred_lang's oracle is pure id arithmetic while gopher/c4/entropy are
+      // replayed by the SAME textbook CTE chains the standalone oracles use.
+      val sent = fusedSents.zipWithIndex.foldRight(lit("")) {
+        case (((_, txt), i), acc) => when(col("doc_id") % 12 === i, lit(txt)).otherwise(acc)
+      }
+      val content = concat(lit("Doc "), col("doc_id").cast("string"), lit(". "), sent, lit("."))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +:
+          TextStats.fusedQualityReport(content, minWords = 10).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     "t_repetition" -> ((s, dir) => {
       // top-2-gram repetition: shuffle-free sorted-run scan (the oracle uses
       // the explode+group formulation — the clever plan is checked against
@@ -1570,6 +1606,88 @@ object SparkEntry {
           col("n_samples").cast("long"), col("duration_ms").cast("long"))
         .orderBy(col("id"))
     }))
+
+  // Oracle CTE chains replaying the quality kernels over a caller-supplied
+  // `src(doc_id, content)` CTE. Shared VERBATIM between the standalone
+  // t_gopher / t_c4 / t_entropy oracles and the fused t_quality_fused
+  // oracle, so the fused projection is checked against exactly the same
+  // textbook formulation as its constituents. Each chain ends in a
+  // one-row-per-doc CTE (gopher_r / c4_r / entropy_r) whose column names
+  // match the Spark report names.
+  private def sqlGopherCtes(minWords: Int): String =
+    raw"""g_m AS (
+       |  SELECT doc_id, content,
+       |    string_split(content, chr(10)) AS lines,
+       |    list_filter(regexp_split_to_array(content, '\s+'), w -> w <> '') AS words
+       |  FROM src),
+       |g_x AS (
+       |  SELECT doc_id,
+       |    len(words) AS n_words, len(lines) AS n_lines,
+       |    list_aggregate(list_transform(words, w -> length(w)), 'sum') AS sumwl,
+       |    length(content) - length(regexp_replace(content, '#', '', 'g')) AS nhash,
+       |    (length(content) - length(regexp_replace(content, '\.\.\.', '', 'g'))) / 3
+       |      + (length(content) - length(regexp_replace(content, '…', '', 'g'))) AS nell,
+       |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS nbullet,
+       |    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS nellline,
+       |    len(list_distinct(lines)) AS ndl,
+       |    list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS charsall,
+       |    list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS charsdistinct,
+       |    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z一-鿿]'))) AS nalpha,
+       |    len(list_intersect(list_distinct(words), ['the','and','of','to','in'])) AS stops
+       |  FROM g_m),
+       |gopher_r AS (
+       |  SELECT doc_id,
+       |    CAST(n_words AS BIGINT) AS n_words,
+       |    CAST(floor(100.0 * sumwl / greatest(n_words, 1)) AS BIGINT) AS mean_word_len_x100,
+       |    CAST(floor(1000.0 * (nhash + nell) / greatest(n_words, 1)) AS BIGINT) AS symbol_ratio_x1000,
+       |    CAST(floor(1000.0 * nbullet / n_lines) AS BIGINT) AS bullet_frac_x1000,
+       |    CAST(floor(1000.0 * nellline / n_lines) AS BIGINT) AS ellipsis_frac_x1000,
+       |    CAST(floor(1000.0 * (n_lines - ndl) / n_lines) AS BIGINT) AS dup_line_frac_x1000,
+       |    CAST(floor(1000.0 * (charsall - charsdistinct) / greatest(charsall, 1)) AS BIGINT) AS dup_char_frac_x1000,
+       |    CAST(floor(1000.0 * nalpha / greatest(n_words, 1)) AS BIGINT) AS alpha_frac_x1000,
+       |    CAST(stops AS BIGINT) AS stop_hits,
+       |    CAST(CASE WHEN n_words >= $minWords AND n_words <= 100000
+       |      AND floor(100.0*sumwl/greatest(n_words,1)) >= 300 AND floor(100.0*sumwl/greatest(n_words,1)) <= 1000
+       |      AND floor(1000.0*(nhash+nell)/greatest(n_words,1)) <= 100 AND floor(1000.0*nbullet/n_lines) <= 900
+       |      AND floor(1000.0*nellline/n_lines) <= 300 AND floor(1000.0*(n_lines-ndl)/n_lines) <= 300
+       |      AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
+       |      AND floor(1000.0*nalpha/greatest(n_words,1)) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+       |  FROM g_x)""".stripMargin
+  private val sqlC4Ctes: String =
+    raw"""c_k AS (SELECT doc_id, content,
+       |  list_filter(list_transform(string_split(content, chr(10)), l -> trim(regexp_replace(l, chr(13) || '$$', ''))), t ->
+       |    length(t) > 0 AND substr(t, length(t), 1) IN ('.', '!', '?', '"')
+       |    AND len(list_filter(string_split(t, ' '), w -> w <> '')) >= 3
+       |    AND NOT contains(lower(t), 'javascript')) AS kept,
+       |  len(string_split(content, chr(10))) AS total_lines FROM src),
+       |c_j AS (SELECT doc_id, content, array_to_string(kept, chr(10)) AS clean_text,
+       |  len(kept) AS kept_lines, total_lines FROM c_k),
+       |c4_r AS (SELECT doc_id, clean_text,
+       |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+       |  CAST(kept_lines AS BIGINT) AS kept_lines,
+       |  CAST(total_lines AS BIGINT) AS total_lines,
+       |  CAST(CASE WHEN len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+       |    AND NOT contains(lower(content), 'lorem ipsum')
+       |    AND NOT contains(content, '{')
+       |    AND NOT regexp_matches(lower(content), '\b(casino|viagra|jackpot)\b')
+       |    THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
+       |  FROM c_j)""".stripMargin
+  private val sqlEntropyCtes: String =
+    """e_ch AS (SELECT doc_id, ascii(substr(content, CAST(i AS INTEGER), 1)) % 256 AS b
+      |       FROM (SELECT doc_id, content, unnest(range(1, length(content)+1)) AS i FROM src)),
+      |e_k AS (SELECT doc_id, b, count(*) AS k FROM e_ch GROUP BY doc_id, b),
+      |e_n AS (SELECT doc_id, CAST(length(content) AS BIGINT) AS n FROM src),
+      |e_terms AS (
+      |  SELECT e_k.doc_id, e_k.k * (
+      |    CAST(floor(log2(CAST(least(e_n.n+1,131072)*least(e_n.n+1,131072)*least(e_n.n+1,131072) AS DOUBLE))) AS BIGINT) -
+      |    CAST(floor(log2(CAST(least(e_k.k+1,131072)*least(e_k.k+1,131072)*least(e_k.k+1,131072) AS DOUBLE))) AS BIGINT)) AS term
+      |  FROM e_k JOIN e_n ON e_k.doc_id = e_n.doc_id),
+      |e_s AS (SELECT doc_id, sum(term) AS ent_sum FROM e_terms GROUP BY doc_id),
+      |entropy_r AS (
+      |  SELECT e_n.doc_id AS doc_id, CAST(e_n.n AS BIGINT) AS n_chars,
+      |    CAST(coalesce(e_s.ent_sum, 0) AS BIGINT) AS ent_sum,
+      |    CAST(coalesce(e_s.ent_sum, 0) // greatest(e_n.n, 1) AS BIGINT) AS ent_mean_x3
+      |  FROM e_n LEFT JOIN e_s ON e_n.doc_id = e_s.doc_id)""".stripMargin
 
   // ======================= DuckDB oracles =======================
 
@@ -2430,26 +2548,14 @@ object SparkEntry {
     "t_entropy" ->
       // replays the codepoint mod-256 buckets, the shared flog2cube
       // (⅓-bit log) surprise, and the truncating mean bit-exactly
-      """WITH src AS (
+      s"""WITH src AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 97 = 0 THEN repeat('a', 200)
         |         WHEN doc_id % 97 = 1 THEN (SELECT string_agg(chr(CAST(i AS INTEGER)), '' ORDER BY i) FROM range(33, 97) t(i))
-        |         ELSE text END AS c
+        |         ELSE text END AS content
         |  FROM documents),
-        |ch AS (SELECT doc_id, ascii(substr(c, CAST(i AS INTEGER), 1)) % 256 AS b
-        |       FROM (SELECT doc_id, c, unnest(range(1, length(c)+1)) AS i FROM src)),
-        |k AS (SELECT doc_id, b, count(*) AS k FROM ch GROUP BY doc_id, b),
-        |n AS (SELECT doc_id, CAST(length(c) AS BIGINT) AS n FROM src),
-        |terms AS (
-        |  SELECT k.doc_id, k.k * (
-        |    CAST(floor(log2(CAST(least(n.n+1,131072)*least(n.n+1,131072)*least(n.n+1,131072) AS DOUBLE))) AS BIGINT) -
-        |    CAST(floor(log2(CAST(least(k.k+1,131072)*least(k.k+1,131072)*least(k.k+1,131072) AS DOUBLE))) AS BIGINT)) AS term
-        |  FROM k JOIN n USING (doc_id)),
-        |s AS (SELECT doc_id, sum(term) AS ent_sum FROM terms GROUP BY doc_id)
-        |SELECT n.doc_id AS doc_id, CAST(n.n AS BIGINT) AS n_chars,
-        |  CAST(coalesce(s.ent_sum, 0) AS BIGINT) AS ent_sum,
-        |  CAST(coalesce(s.ent_sum, 0) // greatest(n.n, 1) AS BIGINT) AS ent_mean_x3
-        |FROM n LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |$sqlEntropyCtes
+        |SELECT doc_id, n_chars, ent_sum, ent_mean_x3 FROM entropy_r ORDER BY doc_id""".stripMargin,
     "t_normalize" ->
       // replays NormalizeKernel's chain: nfc_normalize, CRLF/CR folding,
       // the CharMap replaces (generated from the kernel's own table),
@@ -2466,52 +2572,20 @@ object SparkEntry {
          |FROM c ORDER BY doc_id""".stripMargin,
     "t_gopher" ->
       raw"""WITH d AS (SELECT doc_id, text, lang, $sqlStop AS stop FROM documents),
-         |c AS (
+         |src AS (
          |  SELECT doc_id,
          |    'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || stop || chr(10) || text
          |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || stop ELSE '' END
          |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two' ELSE '' END
          |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS content
          |  FROM d),
-         |m AS (
-         |  SELECT doc_id, content,
-         |    string_split(content, chr(10)) AS lines,
-         |    list_filter(regexp_split_to_array(content, '\s+'), w -> w <> '') AS words
-         |  FROM c),
-         |x AS (
-         |  SELECT doc_id,
-         |    len(words) AS n_words, len(lines) AS n_lines,
-         |    list_aggregate(list_transform(words, w -> length(w)), 'sum') AS sumwl,
-         |    length(content) - length(regexp_replace(content, '#', '', 'g')) AS nhash,
-         |    (length(content) - length(regexp_replace(content, '\.\.\.', '', 'g'))) / 3
-         |      + (length(content) - length(regexp_replace(content, '…', '', 'g'))) AS nell,
-         |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS nbullet,
-         |    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS nellline,
-         |    len(list_distinct(lines)) AS ndl,
-         |    list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS charsall,
-         |    list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS charsdistinct,
-         |    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z一-鿿]'))) AS nalpha,
-         |    len(list_intersect(list_distinct(words), ['the','and','of','to','in'])) AS stops
-         |  FROM m)
-         |SELECT doc_id,
-         |  CAST(n_words AS BIGINT) AS n_words,
-         |  CAST(floor(100.0 * sumwl / greatest(n_words, 1)) AS BIGINT) AS mean_word_len_x100,
-         |  CAST(floor(1000.0 * (nhash + nell) / greatest(n_words, 1)) AS BIGINT) AS symbol_ratio_x1000,
-         |  CAST(floor(1000.0 * nbullet / n_lines) AS BIGINT) AS bullet_frac_x1000,
-         |  CAST(floor(1000.0 * nellline / n_lines) AS BIGINT) AS ellipsis_frac_x1000,
-         |  CAST(floor(1000.0 * (n_lines - ndl) / n_lines) AS BIGINT) AS dup_line_frac_x1000,
-         |  CAST(floor(1000.0 * (charsall - charsdistinct) / greatest(charsall, 1)) AS BIGINT) AS dup_char_frac_x1000,
-         |  CAST(floor(1000.0 * nalpha / greatest(n_words, 1)) AS BIGINT) AS alpha_frac_x1000,
-         |  CAST(stops AS BIGINT) AS stop_hits,
-         |  CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
-         |    AND floor(100.0*sumwl/greatest(n_words,1)) >= 300 AND floor(100.0*sumwl/greatest(n_words,1)) <= 1000
-         |    AND floor(1000.0*(nhash+nell)/greatest(n_words,1)) <= 100 AND floor(1000.0*nbullet/n_lines) <= 900
-         |    AND floor(1000.0*nellline/n_lines) <= 300 AND floor(1000.0*(n_lines-ndl)/n_lines) <= 300
-         |    AND floor(1000.0*(charsall-charsdistinct)/greatest(charsall,1)) <= 200
-         |    AND floor(1000.0*nalpha/greatest(n_words,1)) >= 800 AND stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
-         |FROM x ORDER BY doc_id""".stripMargin,
+         |${sqlGopherCtes(10)}
+         |SELECT doc_id, n_words, mean_word_len_x100, symbol_ratio_x1000, bullet_frac_x1000,
+         |  ellipsis_frac_x1000, dup_line_frac_x1000, dup_char_frac_x1000, alpha_frac_x1000,
+         |  stop_hits, gopher_pass
+         |FROM gopher_r ORDER BY doc_id""".stripMargin,
     "t_c4" ->
-      raw"""WITH c AS (SELECT doc_id,
+      raw"""WITH src AS (SELECT doc_id,
          |  'Title ' || CAST(doc_id AS VARCHAR)
          |  || chr(10) || text || '.'
          |  || chr(10) || 'Too short.'
@@ -2523,26 +2597,26 @@ object SparkEntry {
          |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
          |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Win big at the casino tonight.' ELSE '' END AS content
          |  FROM documents),
-         |k AS (SELECT doc_id, content,
-         |  list_filter(list_transform(string_split(content, chr(10)), l -> trim(regexp_replace(l, chr(13) || '$$', ''))), t ->
-         |    length(t) > 0 AND substr(t, length(t), 1) IN ('.', '!', '?', '"')
-         |    AND len(list_filter(string_split(t, ' '), w -> w <> '')) >= 3
-         |    AND NOT contains(lower(t), 'javascript')) AS kept,
-         |  len(string_split(content, chr(10))) AS total_lines FROM c),
-         |j AS (SELECT doc_id, content, array_to_string(kept, chr(10)) AS clean_text,
-         |  len(kept) AS kept_lines, total_lines FROM k),
-         |x AS (SELECT doc_id, content, clean_text, kept_lines, total_lines,
-         |  len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences FROM j)
-         |SELECT doc_id, clean_text,
-         |  CAST(n_sentences AS BIGINT) AS n_sentences,
-         |  CAST(kept_lines AS BIGINT) AS kept_lines,
-         |  CAST(total_lines AS BIGINT) AS total_lines,
-         |  CAST(CASE WHEN n_sentences >= 5
-         |    AND NOT contains(lower(content), 'lorem ipsum')
-         |    AND NOT contains(content, '{')
-         |    AND NOT regexp_matches(lower(content), '\b(casino|viagra|jackpot)\b')
-         |    THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
-         |FROM x ORDER BY doc_id""".stripMargin,
+         |$sqlC4Ctes
+         |SELECT doc_id, clean_text, n_sentences, kept_lines, total_lines, c4_pass
+         |FROM c4_r ORDER BY doc_id""".stripMargin,
+    "t_quality_fused" ->
+      // the fused one-scan projection, verified against the SAME shared CTE
+      // chains as the standalone gopher/c4/entropy oracles plus the
+      // id-arithmetic language truth (statistical recovery, like t_langid)
+      raw"""WITH src AS (SELECT doc_id, $sqlFusedContent AS content FROM documents),
+         |${sqlGopherCtes(10)},
+         |$sqlC4Ctes,
+         |$sqlEntropyCtes
+         |SELECT doc_id, $sqlFusedLang AS pred_lang,
+         |  n_words, mean_word_len_x100, symbol_ratio_x1000, bullet_frac_x1000,
+         |  ellipsis_frac_x1000, dup_line_frac_x1000, dup_char_frac_x1000, alpha_frac_x1000,
+         |  stop_hits, gopher_pass,
+         |  clean_text, n_sentences, kept_lines, total_lines, c4_pass,
+         |  n_chars, ent_sum, ent_mean_x3
+         |FROM src
+         |JOIN gopher_r USING (doc_id) JOIN c4_r USING (doc_id) JOIN entropy_r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       raw"""WITH c AS (
          |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ' buy now buy now buy now buy now' ELSE '' END AS content

@@ -82,4 +82,25 @@ class SparkPlanSpec extends AnyFunSuite {
       .select("url", "text", "status").orderBy("url").collect()
     assert(typed.sameElements(expr))
   }
+
+  test("fused quality projection: langid + gopher + c4 + entropy in ONE scan, one codegen span") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fused = docs.select(org.apache.spark.sql.functions.col("doc_id") +:
+      extractous.pipeline.TextStats.fusedQualityReport(
+        org.apache.spark.sql.functions.col("text")).map { case (n, c) => c.as(n) }: _*)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused quality report must be narrow:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size max "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"k signals must share ONE corpus scan, found $scans:\n$plan")
+    // `*(k)` marks operators inside whole-stage codegen span k: the fused
+    // projection must be codegen'd (one HOF column here would knock the
+    // whole Project out of codegen) and everything must share span 1
+    assert(plan.trim.startsWith("*(1) Project"),
+      s"the fused projection must be inside whole-stage codegen:\n$plan")
+    assert("\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet == Set("1"),
+      s"all codegen'd operators must share ONE span:\n$plan")
+    // and it actually computes: every constituent column non-null on a row
+    val row = fused.limit(1).collect()(0)
+    assert((0 until row.length).forall(!row.isNullAt(_)))
+  }
 }
