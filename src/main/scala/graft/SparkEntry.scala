@@ -139,6 +139,13 @@ object SparkEntry {
     s.table(qn)
   }
 
+  // x_wet / x_wet_ingest: deterministic url + ISO date per doc — the Scala
+  // twins of $sqlUrl and the oracle's lpad date arithmetic
+  private def wetUrl(id: Long): String =
+    s"https://host-${if (id % 2 == 0) 0 else 1 + id % 9}.example/doc-$id"
+  private def wetDate(id: Long): String =
+    f"2025-03-${id % 28 + 1}%02dT${id % 24}%02d:${id * 7 % 60}%02d:${id * 13 % 60}%02dZ"
+
   private def binDs(s: SparkSession, dir: String, f: Long => Array[Byte]) = {
     import s.implicits._
     docs(s, dir).select(col("doc_id")).as[Long].map(id => (id, f(id)))
@@ -590,6 +597,45 @@ object SparkEntry {
         .select(col("rec.url").as("url"), xf.extract_doc(col("rec.payload")).as("r"))
         .select(col("url"), col("r.text").as("text"), col("r.content_type").as("content_type"))
         .orderBy(col("url"))
+    }),
+    "x_wet" -> ((s, dir) => {
+      // WET sidecar framing (Common Crawl's text companion format): the
+      // conversion record emitted per doc by the codegen'd wet_record kernel
+      // (ONE implementation with the file sink, extractous.core.Wet). Record
+      // ids are name-based md5-UUIDs — deterministic, so the oracle replays
+      // the ENTIRE record string including Content-Length, which counts
+      // OCTETS: the %7 rung plants multi-byte UTF-8 so bytes ≠ chars.
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, wetUrl(id), wetDate(id), text + (if (id % 7 == 0) " café—résumé №42" else ""))
+        }.toDF("doc_id", "url", "date", "text")
+      ds.select(col("doc_id"), col("url"),
+          extractous.spark.wet.wet_record(col("url"), col("date"), col("text")).as("wet"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_wet_ingest" -> ((s, dir) => {
+      // WET round trip: the emitted `.warc.wet.gz` bytes (gzip members:
+      // warcinfo + conversion record) re-enter the extractor unchanged —
+      // gunzip all members → WARC walk → conversion dispatch — and must
+      // yield the sidecar'd text back. Closes the loop: ingest WARC →
+      // extract → emit WET → re-ingest WET.
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val name = f"doc-$id%05d.warc.wet.gz"
+          val bytes = extractous.core.Wet.gzMember(
+              extractous.core.Wet.warcinfo(name, "2025-03-01T00:00:00Z")) ++
+            extractous.core.Wet.gzMember(
+              extractous.core.Wet.recordBytes(wetUrl(id), wetDate(id), text))
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      ds.select(col("doc_id"), xf.extract_doc(col("payload")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          col("r.content_type").as("content_type"), col("r.status").cast("long").as("status"))
+        .orderBy(col("doc_id"))
     }),
     "x_msg" -> ((s, dir) => {
       // Outlook .msg (MS-OXMSG property streams over CFB): variant alternates
@@ -1939,6 +1985,35 @@ object SparkEntry {
          |         'Crawl note ' || $sqlId,
          |         'text/plain' FROM documents
          |) ORDER BY url""".stripMargin,
+    "x_wet" ->
+      // full closed-form replay of the WET conversion-record framing:
+      // CRLF header block, name-based md5-UUID record id, OCTET
+      // Content-Length (strlen, not length — the %7 rung is multi-byte)
+      s"""WITH src AS (
+         |  SELECT doc_id, $sqlUrl AS url,
+         |    '2025-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T' ||
+         |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+         |    lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || ':' ||
+         |    lpad(CAST(doc_id * 13 % 60 AS VARCHAR), 2, '0') || 'Z' AS d,
+         |    text || CASE WHEN doc_id % 7 = 0 THEN ' café—résumé №42' ELSE '' END AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id, url, d, t, md5(url || chr(10) || d) AS h,
+         |      chr(13) || chr(10) AS crlf FROM src)
+         |SELECT doc_id, url,
+         |  'WARC/1.0' || crlf ||
+         |  'WARC-Type: conversion' || crlf ||
+         |  'WARC-Target-URI: ' || url || crlf ||
+         |  'WARC-Date: ' || d || crlf ||
+         |  'WARC-Record-ID: <urn:uuid:' || substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+         |    substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12) || '>' || crlf ||
+         |  'Content-Type: text/plain' || crlf ||
+         |  'Content-Length: ' || CAST(strlen(t) AS VARCHAR) || crlf || crlf ||
+         |  t || crlf || crlf AS wet
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "x_wet_ingest" ->
+      s"""SELECT doc_id, text, 'application/warc' AS content_type,
+         |CAST(0 AS BIGINT) AS status
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_msg" ->
       s"""SELECT doc_id,
          |'Document ' || $sqlId || chr(10) || 'Sender ' || $sqlId || chr(10) ||
