@@ -40,7 +40,15 @@ final case class PdfConfig(
     extractInlineImages: Boolean = false,
     extractUniqueInlineImagesOnly: Boolean = true,
     extractMarkedContent: Boolean = false,
-    extractAnnotationText: Boolean = true)
+    extractAnnotationText: Boolean = true,
+    /** Credential for password-protected standard-security documents: tried
+      * as the USER password, then as the OWNER password (PDF 32000-1
+      * Algorithms 7 / 12). Empty = only the openable-by-anyone stratum
+      * (empty user password) decrypts; wrong passwords refuse with a typed
+      * status, never garbage. Beyond the reference (it has no password
+      * surface — /root/reference/errors.go:98 just classifies the failure).
+      */
+    password: String = "")
 
 final case class OfficeConfig(
     extractMacros: Boolean = true,

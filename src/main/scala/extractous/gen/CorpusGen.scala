@@ -341,6 +341,25 @@ object CorpusGen {
       title = titleOf(id, "en"),
       rev = Array(2, 3, 4, 6)((id % 4).toInt))
 
+  /** Fixed credentials for the password-protected stratum (x_pdf_password):
+    * constants because PdfConfig.password is plan-level, not per-row —
+    * per-row variation comes from the handler-generation rotation.
+    */
+  val PdfUserPwd = "user-secret-42"
+  val PdfOwnerPwd = "owner-secret-42"
+
+  /** Genuinely password-protected PDF (non-empty USER password, so nothing
+    * opens without a credential), rotating the same four handler
+    * generations as [[encryptedPdfPayload]].
+    */
+  def passwordPdfPayload(id: Long, text: String): Array[Byte] =
+    PdfEncWriter.encryptedTextPdf(
+      lines = Seq(s"Document $id", text),
+      title = titleOf(id, "en"),
+      rev = Array(2, 3, 4, 6)((id % 4).toInt),
+      userPwd = PdfUserPwd,
+      ownerPwd = PdfOwnerPwd)
+
   /** DOCX carrying a vbaProject.bin with one printable macro line on even ids
     * (x_office_macros).
     */

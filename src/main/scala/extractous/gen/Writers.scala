@@ -319,11 +319,14 @@ object PdfEncWriter {
     *            AES-128-CBC crypt filter; 6 → V5/R6 /AESV3 AES-256 (the
     *            PDF-2.0 handler)
     * @param userPwd the user password baked into the key ("" = the openable
-    *                stratum; non-empty = a fixture the extractor must REJECT
-    *                with a status, since it only tries the empty password)
+    *                stratum; non-empty = opens only when PdfConfig.password
+    *                supplies it — as the user password or, via `ownerPwd`,
+    *                the owner one — otherwise the extractor must REJECT
+    *                with a status)
+    * @param ownerPwd the owner password behind /O (and /OE for R6)
     */
   def encryptedTextPdf(lines: Seq[String], title: String, rev: Int, userPwd: String = "",
-      xrefStream: Boolean = false): Array[Byte] = {
+      xrefStream: Boolean = false, ownerPwd: String = "owner-secret"): Array[Byte] = {
     require(Set(2, 3, 4, 6).contains(rev), s"standard handler revision 2/3/4/6, got $rev")
     val keyLen = rev match { case 2 => 5; case 6 => 32; case _ => 16 }
     val perms = -4 // all permission bits granted; still a valid encrypted doc
@@ -335,7 +338,7 @@ object PdfEncWriter {
     // ---- legacy key schedule (R2/R3/R4 share Algorithms 2/3/4/5) ----
     lazy val (legacyKey, legacyO, legacyU) = {
       // Algorithm 3: /O from the owner password (full-digest 50x rehash for R≥3)
-      val ownerDigest0 = md5(padPwd("owner-secret".getBytes("UTF-8")))
+      val ownerDigest0 = md5(padPwd(ownerPwd.getBytes("UTF-8")))
       val ownerDigest = if (rev >= 3) (1 to 50).foldLeft(ownerDigest0)((d, _) => md5(d)) else ownerDigest0
       val ownerKey = ownerDigest.take(keyLen)
       var o = rc4(ownerKey, padPwd(userPwd.getBytes("UTF-8")))
@@ -364,7 +367,7 @@ object PdfEncWriter {
       val u48 = hash2b6(pwd, uvSalt, Array.emptyByteArray) ++ uvSalt ++ ukSalt
       val ue = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
         hash2b6(pwd, ukSalt, Array.emptyByteArray), new Array[Byte](16), fileKey)
-      val opwd = "owner-secret".getBytes("UTF-8")
+      val opwd = ownerPwd.getBytes("UTF-8")
       val ovSalt = md5("ov".getBytes ++ id0).take(8)
       val okSalt = md5("ok".getBytes ++ id0).take(8)
       val o48 = hash2b6(opwd, ovSalt, u48) ++ ovSalt ++ okSalt

@@ -569,19 +569,23 @@ object PdfExtractor {
     }
   }
 
-  /** Decrypt every string and stream of a standard-security document
-    * (empty user password): RC4 (V1/V2), V4 crypt filters (/V2 RC4 or
-    * /AESV2 AES-128-CBC), and V5 /AESV3 AES-256 (R5/R6). Returns
-    * Left(failure) for handlers we don't speak — unknown crypt-filter
-    * methods, split StmF/StrF, non-empty user passwords — never
-    * mojibake text. The /Encrypt dictionary's own strings (O/U) and the
+  /** Decrypt every string and stream of a standard-security document:
+    * RC4 (V1/V2), V4 crypt filters (/V2 RC4 or /AESV2 AES-128-CBC), and V5
+    * /AESV3 AES-256 (R5/R6). The empty user password is tried first (the
+    * openable-by-anyone stratum); when `password` is non-empty it is then
+    * tried as the USER password and as the OWNER password (Algorithm 7 /
+    * V5 Algorithm 12) — the caller-supplied credential path a corpus with
+    * known passwords needs. Returns Left(failure) for handlers we don't
+    * speak — unknown crypt-filter methods, split StmF/StrF, passwords that
+    * open nothing — never mojibake text. The /Encrypt dictionary's own strings (O/U) and the
     * trailer /ID are NOT encrypted per spec and are skipped by object
     * number. Generation numbers are 0 throughout recovery-scan parsing
     * (matching real-world gen-0 dominance); objects inside /ObjStm of an
     * encrypted file stay unreadable (the ObjStm expansion ran over
     * ciphertext) — a documented scope bound, not a crash.
     */
-  private def decryptIfNeeded(objs: Map[Int, V], trailer: Option[Dict]): Either[ExtractResult, Map[Int, V]] = {
+  private def decryptIfNeeded(objs: Map[Int, V], trailer: Option[Dict],
+      password: String = ""): Either[ExtractResult, Map[Int, V]] = {
     val encRef = trailer.flatMap(_.m.get("Encrypt"))
     if (encRef.isEmpty) return Right(objs)
     val encNum = encRef match { case Some(Ref(n, _)) => Some(n); case _ => None }
@@ -663,25 +667,47 @@ object PdfExtractor {
       return Left(ExtractResult.fail(ExtractStatus.UnsupportedFormat,
         "pdf: V5 encryption requires an /AESV3 crypt filter", "application/pdf"))
     // Password check + per-object byte cipher, by handler generation
+    val pwdBytes = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val wrongPwdMsg =
+      if (password.isEmpty) "pdf: document requires a user password"
+      else "pdf: supplied password opens neither user nor owner slot"
     val decBytes: (Int, Array[Byte]) => Array[Byte] =
       if (v == 5) {
-        if (!PdfCrypt.v5EmptyUserPasswordMatches(r, u))
-          return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
-            "pdf: document requires a user password", "application/pdf"))
         val ue = encDict.m.get("UE") match {
           case Some(Str(b)) if b.length >= 32 => b
           case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
             "pdf: V5 /Encrypt missing /UE", "application/pdf"))
         }
-        val key = PdfCrypt.v5FileKey(r, u, ue)
+        // password attempts, cheapest viable first: empty user → supplied
+        // user → supplied owner (needs the 48-byte /O and /OE)
+        val key: Array[Byte] =
+          if (PdfCrypt.v5UserPasswordMatches(r, u)) PdfCrypt.v5FileKey(r, u, ue)
+          else if (pwdBytes.nonEmpty && PdfCrypt.v5UserPasswordMatches(r, u, pwdBytes))
+            PdfCrypt.v5FileKey(r, u, ue, pwdBytes)
+          else if (pwdBytes.nonEmpty && o.length >= 48 &&
+              PdfCrypt.v5OwnerPasswordMatches(r, o, u, pwdBytes)) {
+            val oe = encDict.m.get("OE") match {
+              case Some(Str(b)) if b.length >= 32 => b
+              case _ => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+                "pdf: owner password matches but /OE is missing", "application/pdf"))
+            }
+            PdfCrypt.v5FileKeyFromOwner(r, o, u, oe, pwdBytes)
+          } else return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+            wrongPwdMsg, "application/pdf"))
         // V5 uses the FILE key directly for every object (§7.6.2 note)
         (_, b) => PdfCrypt.aesCbcDecrypt(key, b)
       } else {
         val sec = PdfCrypt.StdSecurity(v, r, keyLenBits, o, u, num("P", -1), id0, encryptMetadata)
-        val key = PdfCrypt.fileKey(sec)
-        if (!PdfCrypt.emptyUserPasswordMatches(sec, key))
-          return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
-            "pdf: document requires a user password", "application/pdf"))
+        val candidates = Iterator(
+          () => Some(PdfCrypt.fileKey(sec)),
+          () => if (pwdBytes.nonEmpty) Some(PdfCrypt.fileKey(sec, pwdBytes)) else None,
+          () => if (pwdBytes.nonEmpty) Some(PdfCrypt.fileKeyFromOwner(sec, pwdBytes)) else None)
+        val key = candidates.flatMap(_.apply())
+          .find(PdfCrypt.userPasswordMatches(sec, _)) match {
+          case Some(k) => k
+          case None => return Left(ExtractResult.fail(ExtractStatus.ExtractionFailed,
+            wrongPwdMsg, "application/pdf"))
+        }
         cfm match {
           case CfmAes2 => (n, b) => PdfCrypt.aesCbcDecrypt(PdfCrypt.objKeyAes(key, n, 0), b)
           case _       => (n, b) => PdfCrypt.rc4(PdfCrypt.objKey(key, n, 0), b)
@@ -710,7 +736,7 @@ object PdfExtractor {
   def extract(bytes: Array[Byte], cfg: ExtractorConfig, ocr: Ocr): ExtractResult = {
     val (objs0, trailer) = scanObjects(bytes)
     if (objs0.isEmpty) return ExtractResult.fail(ExtractStatus.ExtractionFailed, "pdf: no objects parsed", "application/pdf")
-    val objs = decryptIfNeeded(objs0, trailer) match {
+    val objs = decryptIfNeeded(objs0, trailer, cfg.pdf.password) match {
       case Left(fail)      => return fail
       case Right(decrypted) => decrypted
     }

@@ -1,16 +1,19 @@
 package extractous.pdf
 
-/** Standard security handler (PDF 32000-1:2008 §7.6.3) for
-  * encrypted-with-EMPTY-USER-PASSWORD documents — the stratum a crawl
-  * actually recovers. Several percent of a real crawl's PDFs are encrypted
-  * this way (viewable by anyone, encrypted only to assert permissions); the
-  * reference extracts them through Tika/PDFBox
-  * (/root/reference/README.md:269-273 format claim, PDF config surface
-  * /root/reference/config.go:58-60). Scope: /Filter /Standard with
-  * V=1/R=2 (RC4-40), V=2/R=3 (RC4 up to 128-bit), V=4/R=4 crypt filters
-  * (/CFM /V2 RC4 or /AESV2 AES-128-CBC, §7.6.5) and V=5/R=5,6 (/AESV3
-  * AES-256-CBC, §7.6.4.3.3/4 — the PDF-2.0 handler Acrobat 9/X write).
-  * Non-empty user passwords and unknown crypt-filter methods are rejected
+/** Standard security handler (PDF 32000-1:2008 §7.6.3). Two strata:
+  * encrypted-with-EMPTY-USER-PASSWORD documents — viewable by anyone,
+  * encrypted only to assert permissions, the stratum a crawl recovers by
+  * default (the reference gets these through Tika/PDFBox,
+  * /root/reference/README.md:269-273 format claim, PDF config surface
+  * /root/reference/config.go:58-60) — and, when the caller supplies
+  * `PdfConfig.password`, genuinely password-protected documents: the
+  * password is tried as the USER password (Algorithms 2/4/5/6, V5
+  * Algorithm 11) and as the OWNER password (Algorithm 7 legacy /O
+  * recovery, V5 Algorithm 12 + /OE key unwrap). Scope: /Filter /Standard
+  * with V=1/R=2 (RC4-40), V=2/R=3 (RC4 up to 128-bit), V=4/R=4 crypt
+  * filters (/CFM /V2 RC4 or /AESV2 AES-128-CBC, §7.6.5) and V=5/R=5,6
+  * (/AESV3 AES-256-CBC, §7.6.4.3.3/4 — the PDF-2.0 handler Acrobat 9/X
+  * write). Wrong passwords and unknown crypt-filter methods are rejected
   * with an honest status upstream, never garbage text.
   *
   * All algorithm numbers below cite the published spec; the 32-byte padding
@@ -66,14 +69,16 @@ object PdfCrypt {
     def keyLen: Int = if (v == 1) 5 else lengthBits / 8
   }
 
-  /** Algorithm 2: file encryption key from the (empty) user password. R4
-    * with /EncryptMetadata false additionally hashes 0xFFFFFFFF (step f).
+  /** Algorithm 2: file encryption key from the user password (empty by
+    * default — the openable-by-anyone stratum; non-empty when the caller
+    * supplies one via PdfConfig.password). R4 with /EncryptMetadata false
+    * additionally hashes 0xFFFFFFFF (step f).
     */
-  def fileKey(sec: StdSecurity): Array[Byte] = {
+  def fileKey(sec: StdSecurity, pwd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val n = sec.keyLen
     val noMetaTail: Array[Byte] =
       if (sec.r >= 4 && !sec.encryptMetadata) Array.fill(4)(0xff.toByte) else Array.emptyByteArray
-    var d = md5(padPwd(Array.emptyByteArray), sec.o, intLE(sec.p), sec.id0, noMetaTail)
+    var d = md5(padPwd(pwd), sec.o, intLE(sec.p), sec.id0, noMetaTail)
     if (sec.r >= 3) {
       var it = 0
       while (it < 50) { d = md5(d.take(n)); it += 1 }
@@ -81,8 +86,44 @@ object PdfCrypt {
     d.take(n)
   }
 
-  /** Algorithms 4/5 + 6: does the EMPTY user password open this document? */
-  def emptyUserPasswordMatches(sec: StdSecurity, key: Array[Byte]): Boolean =
+  /** Algorithm 3 steps a–d: the RC4 key derived from the OWNER password
+    * that encrypts /O.
+    */
+  private def ownerRc4Key(sec: StdSecurity, ownerPwd: Array[Byte]): Array[Byte] = {
+    var d = md5(padPwd(ownerPwd))
+    if (sec.r >= 3) {
+      var it = 0
+      while (it < 50) { d = md5(d); it += 1 }
+    }
+    d.take(sec.keyLen)
+  }
+
+  /** Algorithm 7 (owner-password open): decrypt /O with the owner key to
+    * recover the PADDED user password, then run Algorithm 2 on it. The
+    * caller validates the resulting key against /U as usual — a wrong owner
+    * password just yields a key that fails the /U check, never garbage text.
+    */
+  def fileKeyFromOwner(sec: StdSecurity, ownerPwd: Array[Byte]): Array[Byte] = {
+    val ok = ownerRc4Key(sec, ownerPwd)
+    var up = sec.o.take(32)
+    if (sec.r == 2) up = rc4(ok, up)
+    else {
+      var i = 19
+      while (i >= 0) {
+        val xi = i
+        up = rc4(ok.map(b => (b ^ xi).toByte), up)
+        i -= 1
+      }
+    }
+    // `up` is the user password already padded to 32 bytes; padPwd is the
+    // identity on it, so Algorithm 2 applies unchanged.
+    fileKey(sec, up)
+  }
+
+  /** Algorithms 4/5 + 6: does this candidate file key (derived from some
+    * password attempt) open the document — i.e. reproduce /U?
+    */
+  def userPasswordMatches(sec: StdSecurity, key: Array[Byte]): Boolean =
     if (sec.r == 2) java.util.Arrays.equals(rc4(key, Pad), sec.u)
     else {
       var u = md5(Pad, sec.id0)
@@ -187,26 +228,52 @@ object PdfCrypt {
     java.util.Arrays.copyOfRange(k, 0, 32)
   }
 
-  /** §7.6.4.4.10/11 (Algorithm 11 + 8a): does the EMPTY user password open
-    * this V5 document? /U = hash(32) ‖ validationSalt(8) ‖ keySalt(8).
+  /** §7.6.4.4.10/11 (Algorithm 11 + 8a): does this user password (empty or
+    * caller-supplied UTF-8 bytes; full SASLprep is out of scope — identity
+    * for the ASCII passwords a pipeline config carries) open this V5
+    * document? /U = hash(32) ‖ validationSalt(8) ‖ keySalt(8).
     */
-  def v5EmptyUserPasswordMatches(r: Int, u48: Array[Byte]): Boolean = {
+  def v5UserPasswordMatches(r: Int, u48: Array[Byte], pwd: Array[Byte] = Array.emptyByteArray): Boolean = {
     if (u48.length < 48) return false
-    val hash = hash2b(r, Array.emptyByteArray,
+    val hash = hash2b(r, pwd,
       java.util.Arrays.copyOfRange(u48, 32, 40), Array.emptyByteArray)
     java.util.Arrays.equals(hash, java.util.Arrays.copyOfRange(u48, 0, 32))
   }
 
-  /** §7.6.4.3.3 Algorithm 8b: recover the 32-byte file key from /UE with the
-    * empty user password — AES-256-CBC decrypt, zero IV, no padding.
+  /** §7.6.4.4.12 (Algorithm 12): does this OWNER password open the V5
+    * document? /O = hash(32) ‖ validationSalt(8) ‖ keySalt(8), with the full
+    * 48-byte /U as the extra hash input.
     */
-  def v5FileKey(r: Int, u48: Array[Byte], ue: Array[Byte]): Array[Byte] = {
-    val ikey = hash2b(r, Array.emptyByteArray,
+  def v5OwnerPasswordMatches(r: Int, o48: Array[Byte], u48: Array[Byte], pwd: Array[Byte]): Boolean = {
+    if (o48.length < 48 || u48.length < 48) return false
+    val hash = hash2b(r, pwd,
+      java.util.Arrays.copyOfRange(o48, 32, 40), java.util.Arrays.copyOfRange(u48, 0, 48))
+    java.util.Arrays.equals(hash, java.util.Arrays.copyOfRange(o48, 0, 32))
+  }
+
+  /** §7.6.4.3.3 Algorithm 8b: recover the 32-byte file key from /UE with the
+    * user password — AES-256-CBC decrypt, zero IV, no padding.
+    */
+  def v5FileKey(r: Int, u48: Array[Byte], ue: Array[Byte], pwd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val ikey = hash2b(r, pwd,
       java.util.Arrays.copyOfRange(u48, 40, 48), Array.emptyByteArray)
     val aes = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
     aes.init(javax.crypto.Cipher.DECRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
       new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
     aes.doFinal(ue, 0, 32)
+  }
+
+  /** §7.6.4.3.3 Algorithm 9b analog: recover the file key from /OE with the
+    * OWNER password (key salt = /O bytes 40..48, /U as extra hash input).
+    */
+  def v5FileKeyFromOwner(r: Int, o48: Array[Byte], u48: Array[Byte], oe: Array[Byte], pwd: Array[Byte]): Array[Byte] = {
+    val ikey = hash2b(r, pwd,
+      java.util.Arrays.copyOfRange(o48, 40, 48), java.util.Arrays.copyOfRange(u48, 0, 48))
+    val aes = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    aes.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    aes.doFinal(oe, 0, 32)
   }
 }

@@ -838,6 +838,36 @@ object SparkEntry {
             (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("enc_rev"))
         .orderBy(col("doc_id"))
     }),
+    "x_pdf_password" -> ((s, dir) => {
+      // genuinely PASSWORD-PROTECTED PDFs (non-empty user password — nothing
+      // opens without a credential), same four handler generations by id%4
+      // as x_pdf_encrypted. Three credential postures per row: the USER
+      // password opens (Algorithms 2/11), the OWNER password opens via /O
+      // recovery (Algorithm 7) / the /OE unwrap (Algorithm 12), and a wrong
+      // password refuses with the typed status and leaks NO text. Beyond
+      // the reference: it has no password surface at all
+      // (/root/reference/errors.go:98 just classifies the failure).
+      import s.implicits._
+      val ds = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, CorpusGen.passwordPdfPayload(id, text)) }
+        .toDF("doc_id", "payload")
+      def cfg(pwd: String) =
+        CorpusGen.flagshipConfig.copy(pdf = PdfConfig(ocrStrategy = PdfOcrStrategy.Auto, password = pwd))
+      ds.select(col("doc_id"),
+          xf.extract_doc(col("payload"), cfg(CorpusGen.PdfUserPwd)).as("u"),
+          xf.extract_doc(col("payload"), cfg(CorpusGen.PdfOwnerPwd)).as("o"),
+          xf.extract_doc(col("payload"), cfg("not-the-password")).as("w"))
+        .select(col("doc_id"),
+          col("u.text").as("text_user"),
+          col("o.text").as("text_owner"),
+          col("u.status").cast("long").as("status_user"),
+          col("w.status").cast("long").as("status_wrong"),
+          col("w.text").as("text_wrong"),
+          element_at(array(lit(2L), lit(3L), lit(4L), lit(6L)),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("enc_rev"))
+        .orderBy(col("doc_id"))
+    }),
     "x_office_macros" -> ((s, dir) => {
       // VBA macros (#22): presence flag + strings-scan source recovery, and
       // the extractMacros=false negative
@@ -2107,6 +2137,19 @@ object SparkEntry {
          |'Document ' || $sqlId || chr(10) || text AS text,
          |CAST(0 AS BIGINT) AS status,
          |'Document ' || $sqlId || ' (en)' AS title,
+         |CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 6 END AS BIGINT) AS enc_rev
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pdf_password" ->
+      // user and owner credentials both recover the full plaintext (any key
+      // -schedule drift on either side yields garbage and mismatches every
+      // row); the wrong password yields status -4 and an EMPTY text — the
+      // no-leak contract
+      s"""SELECT doc_id,
+         |'Document ' || $sqlId || chr(10) || text AS text_user,
+         |'Document ' || $sqlId || chr(10) || text AS text_owner,
+         |CAST(0 AS BIGINT) AS status_user,
+         |CAST(-4 AS BIGINT) AS status_wrong,
+         |'' AS text_wrong,
          |CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 6 END AS BIGINT) AS enc_rev
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x_office_macros" ->

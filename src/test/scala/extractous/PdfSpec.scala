@@ -239,6 +239,54 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("password-protected pdf opens with the USER password via PdfConfig.password (all four generations)") {
+    for (rev <- Seq(2, 3, 4, 6)) {
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+        Seq("credentialed body", "line two"), s"PwTitle$rev", rev = rev,
+        userPwd = "hunter2", ownerPwd = "root-cred")
+      val c = cfg.copy(pdf = PdfConfig(password = "hunter2"))
+      val r = PdfExtractor.extract(pdf, c, GlyphTemplateOcr)
+      assert(r.status == 0, s"rev=$rev: ${r.error}")
+      assert(r.text == "credentialed body\nline two", s"rev=$rev")
+      assert(r.metadata.get("dc:title").contains(Seq(s"PwTitle$rev")))
+    }
+  }
+
+  test("password-protected pdf opens with the OWNER password (Algorithm 7 legacy, Algorithm 12 V5)") {
+    for (rev <- Seq(2, 3, 4, 6)) {
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+        Seq("owner-side open"), s"OwTitle$rev", rev = rev,
+        userPwd = "hunter2", ownerPwd = "root-cred")
+      val c = cfg.copy(pdf = PdfConfig(password = "root-cred"))
+      val r = PdfExtractor.extract(pdf, c, GlyphTemplateOcr)
+      assert(r.status == 0, s"rev=$rev: ${r.error}")
+      assert(r.text == "owner-side open", s"rev=$rev")
+    }
+  }
+
+  test("WRONG password still refuses with -4 and an honest message, never garbage") {
+    for (rev <- Seq(2, 3, 4, 6)) {
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+        Seq("locked away"), "T", rev = rev, userPwd = "hunter2", ownerPwd = "root-cred")
+      val c = cfg.copy(pdf = PdfConfig(password = "hunter3"))
+      val r = PdfExtractor.extract(pdf, c, GlyphTemplateOcr)
+      assert(r.status == ExtractStatus.ExtractionFailed, s"rev=$rev must fail")
+      assert(r.text == "")
+      assert(r.error.contains("password"))
+    }
+  }
+
+  test("a supplied password does not break the EMPTY-user-password stratum (tried first)") {
+    for (rev <- Seq(2, 3, 4, 6)) {
+      val pdf = extractous.gen.PdfEncWriter.encryptedTextPdf(
+        Seq("open to anyone"), "ETitle", rev = rev)
+      val c = cfg.copy(pdf = PdfConfig(password = "irrelevant-cred"))
+      val r = PdfExtractor.extract(pdf, c, GlyphTemplateOcr)
+      assert(r.status == 0, s"rev=$rev: ${r.error}")
+      assert(r.text == "open to anyone", s"rev=$rev")
+    }
+  }
+
   test("unknown crypt-filter method (/CFM /AESV9) is refused with -8 unsupported format") {
     val r = PdfExtractor.extract(extractous.gen.PdfEncWriter.unknownCfmEncryptedPdf(), cfg, GlyphTemplateOcr)
     assert(r.status == ExtractStatus.UnsupportedFormat)
