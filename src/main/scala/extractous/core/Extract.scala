@@ -150,6 +150,46 @@ object Extract {
             case e: UnsupportedArchiveException =>
               ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Zstd)
           }
+      case MimeSniffer.Lz4 =>
+        // lz4-wrapped payload (.lz4/.tar.lz4 frame or legacy format): decode
+        // and re-dispatch on the inner bytes; shares the wrapper depth cap
+        if (depth >= 3)
+          ExtractResult.fail(ExtractStatus.UnsupportedFormat, "lz4 nesting too deep", MimeSniffer.Lz4)
+        else
+          try {
+            val inner = Lz4.decode(bytes)
+            val r = dispatch(inner, cfg, ocr, depth + 1)
+            val chained =
+              if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+                r.copy(error = s"${r.error} <- lz4 layer ${depth + 1}")
+              else r
+            chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("lz4")))
+          } catch {
+            // valid-but-out-of-scope frames (dictionary IDs) refuse with -8
+            // (honest), while structural damage falls through to -4
+            case e: UnsupportedArchiveException =>
+              ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Lz4)
+          }
+      case MimeSniffer.Snappy =>
+        // framed-snappy payload (.sz): decode and re-dispatch on the inner
+        // bytes; shares the wrapper depth cap
+        if (depth >= 3)
+          ExtractResult.fail(ExtractStatus.UnsupportedFormat, "snappy nesting too deep", MimeSniffer.Snappy)
+        else
+          try {
+            val inner = Snappy.decodeFramed(bytes)
+            val r = dispatch(inner, cfg, ocr, depth + 1)
+            val chained =
+              if (r.status != ExtractStatus.Ok && r.error.nonEmpty)
+                r.copy(error = s"${r.error} <- snappy layer ${depth + 1}")
+              else r
+            chained.copy(metadata = chained.metadata + ("Content-Encoding" -> Seq("snappy")))
+          } catch {
+            // unskippable reserved chunks refuse with -8 (honest), while
+            // structural damage falls through to -4
+            case e: UnsupportedArchiveException =>
+              ExtractResult.fail(ExtractStatus.UnsupportedFormat, trim(e.getMessage), MimeSniffer.Snappy)
+          }
       case MimeSniffer.Plain => plain(bytes, cfg)
       case MimeSniffer.Pdf => PdfExtractor.extract(bytes, cfg, ocr)
       case m @ (MimeSniffer.Docx | MimeSniffer.Xlsx | MimeSniffer.Pptx |

@@ -420,16 +420,19 @@ object CorpusGen {
       case 0 => DocxWriter.zip(members)
       case 1 =>
         // the tar stratum rotates plain / .tar.xz (check types rotating
-        // through all four spec variants) / .tar.bz2 / .tar.zst — extracted
-        // text and reported content type are wrapper-invariant (every rung
-        // re-dispatches on the inner tar), so the closed-form oracle is
-        // unchanged while all four containers flow through the corpus
+        // through all four spec variants) / .tar.bz2 / .tar.zst / .tar.lz4 /
+        // .tar.sz — extracted text and reported content type are
+        // wrapper-invariant (every rung re-dispatches on the inner tar), so
+        // the closed-form oracle is unchanged while all six containers flow
+        // through the corpus
         val tar = TarWriter.tar(members)
-        (id % 4) match {
+        (id % 6) match {
           case 0 => tar
           case 1 => XzWriter.xz(tar, checkType = Seq(1, 4, 10, 0)(((id / 3) % 4).toInt))
           case 2 => BzipWriter.bz2(tar, level = 1 + (id % 9).toInt)
-          case _ => ZstdWriter.zst(tar)
+          case 3 => ZstdWriter.zst(tar)
+          case 4 => Lz4Writer.lz4(tar)
+          case _ => SnappyWriter.sz(tar)
         }
       case 2 =>
         // rotate the 7z stratum through its coder/layout variants — the

@@ -36,6 +36,8 @@ object MimeSniffer {
   val Xz = "application/x-xz"
   val Bzip2 = "application/x-bzip2"
   val Zstd = "application/zstd"
+  val Lz4 = "application/x-lz4"
+  val Snappy = "application/x-snappy-framed"
   val Plain = "text/plain"
   val Xls = "application/vnd.ms-excel"
   val Ppt = "application/vnd.ms-powerpoint"
@@ -260,6 +262,8 @@ object MimeSniffer {
     if (extractous.core.Xz.looksLikeXz(bytes)) return Xz
     if (extractous.core.Bzip2.looksLikeBzip2(bytes)) return Bzip2
     if (extractous.core.Zstd.looksLikeZstd(bytes)) return Zstd
+    if (extractous.core.Lz4.looksLikeLz4(bytes)) return Lz4
+    if (extractous.core.Snappy.looksLikeFramedSnappy(bytes)) return Snappy
     if (startsWith(bytes, 0, "BM")) return Bmp
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && startsWith(bytes, 1, "PNG")) return Png
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) return Jpeg

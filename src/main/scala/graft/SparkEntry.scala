@@ -462,7 +462,9 @@ object SparkEntry {
       // archive recursion (Tika-style): ZIP / ustar TAR / 7z / store-mode
       // RAR5 members re-enter the full sniff→dispatch pipeline in archive
       // order; the 3rd member is a gzip-wrapped text (nested wrapper,
-      // recursion depth 2). Container rotates by (id/100) mod 4.
+      // recursion depth 2). Container rotates by (id/100) mod 4; the tar
+      // stratum further rotates plain/xz/bz2/zst/lz4/framed-snappy wrappers
+      // by id mod 6 (all from-scratch decoders, oracle wrapper-invariant).
       import s.implicits._
       val ds = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
