@@ -1265,6 +1265,19 @@ object SparkEntry {
         extractous.pipeline.Bpe.countTokens(content).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "d_bpe_train" -> ((s, dir) => {
+      // distributed BPE tokenizer TRAINING (Sennrich 2016): word counting is
+      // the only corpus-scale stage (map-side combined, exchange = distinct
+      // words); the weighted greedy merge loop runs on model-sized driver
+      // state (the ship-the-model posture of the IVF centroids). The oracle
+      // replays the ENTIRE loop in DuckDB — counts, weighted pair counts,
+      // argmax + lexicographic tie-break, and overlap-correct left-to-right
+      // merge application as one recursive CTE per iteration — so any drift
+      // anywhere in training mismatches the merge table bit-for-bit.
+      extractous.pipeline.BpeTrain.train(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), numMerges = 12)
+        .orderBy(col("rank"))
+    }),
     "t_langid" -> ((s, dir) => {
       // char-n-gram language ID (Cavnar–Trenkle 1994, 12 languages / 5
       // scripts): profiles trained offline from embedded seed lexicons and
@@ -1772,6 +1785,49 @@ object SparkEntry {
   private val sqlShingles =
     """list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin.replace("\n", "")
+
+  /** Full-replay oracle for `d_bpe_train`: K greedy merge iterations, each
+    * as (weighted pair counts → argmax with lexicographic tie-break → one
+    * recursive CTE applying the merge left-to-right with overlap
+    * semantics). CTEs are MATERIALIZED — as plain views every iteration
+    * would re-expand the whole chain (and re-open the parquet scan)
+    * exponentially.
+    */
+  private def sqlBpeTrainSql(k: Int): String = {
+    val ctes = new StringBuilder
+    ctes.append(
+      raw"""seg0 AS MATERIALIZED (
+           |  SELECT word, cnt, list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+           |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+           |        WHERE word <> '' GROUP BY word))""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      ctes.append(",\n")
+      ctes.append(
+        s"""best$i AS MATERIALIZED (
+           |  SELECT a, b, CAST(c AS BIGINT) AS c FROM (
+           |    SELECT s.syms[i.i] AS a, s.syms[i.i+1] AS b, SUM(s.cnt) AS c
+           |    FROM seg$p s, unnest(range(1, len(s.syms))) AS i(i)
+           |    GROUP BY 1, 2)
+           |  ORDER BY c DESC, a, b LIMIT 1),
+           |step$i AS MATERIALIZED (
+           |  SELECT word, cnt, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS acc FROM seg$p
+           |  UNION ALL
+           |  SELECT word, cnt, syms,
+           |    CASE WHEN pos < len(syms) AND syms[pos]=(SELECT a FROM best$i) AND syms[pos+1]=(SELECT b FROM best$i)
+           |         THEN pos+2 ELSE pos+1 END,
+           |    CASE WHEN pos < len(syms) AND syms[pos]=(SELECT a FROM best$i) AND syms[pos+1]=(SELECT b FROM best$i)
+           |         THEN list_append(acc, syms[pos] || syms[pos+1]) ELSE list_append(acc, syms[pos]) END
+           |  FROM step$i WHERE pos <= len(syms)),
+           |seg$i AS MATERIALIZED (
+           |  SELECT word, cnt, acc AS syms FROM step$i WHERE pos = len(syms)+1)""".stripMargin)
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, a AS left_sym, b AS right_sym, c AS pair_count FROM best$i")
+      .mkString(" UNION ALL ")
+    s"WITH RECURSIVE ${ctes.result()}\nSELECT * FROM ($sel) ORDER BY rank"
+  }
 
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("x_job" -> oracleSqlBase("x_extract")) +
@@ -2652,6 +2708,7 @@ object SparkEntry {
          |CAST(len(string_split_regex(trim(text), '\s+')) + 2
          |  + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_bpe_train" -> sqlBpeTrainSql(12),
     "t_langid" ->
       // the oracle derives the true language purely from id arithmetic —
       // the classifier must recover it from the character statistics alone
