@@ -1265,6 +1265,18 @@ object SparkEntry {
         extractous.pipeline.Bpe.countTokens(content).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "d_shuffle" -> ((s, dir) => {
+      // deterministic training-order shuffle: a 4-round Feistel bijection
+      // over [0, 2^62) maps doc_id → unique skey; ORDER BY skey is a full
+      // reproducible pseudorandom permutation, no rand(), no permutation
+      // table, no global sort (writing uses repartitionByRange). The oracle
+      // replays every Feistel round in BIGINT arithmetic; uniqueness is
+      // asserted in ShuffleSpec (bijection ⇒ distinct skey count = N).
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          extractous.pipeline.Shuffle.feistelKey(col("doc_id"), seed = 42L))
+        .orderBy(col("doc_id"))
+    }),
     "d_bpe_train" -> ((s, dir) => {
       // distributed BPE tokenizer TRAINING (Sennrich 2016): word counting is
       // the only corpus-scale stage (map-side combined, exchange = distinct
@@ -2708,6 +2720,22 @@ object SparkEntry {
          |CAST(len(string_split_regex(trim(text), '\s+')) + 2
          |  + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_shuffle" -> {
+      // unrolled 4-round Feistel replay: F(r,i) = (((r·C1 + seed + i·C3)
+      // mod 2^32) · C2 >> 15) & mask — pure BIGINT ops, every intermediate
+      // < 2^63, no float anywhere
+      def f(r: String, i: Int): String =
+        s"((((($r * 2654435761 + ${42L + i * 40503L}) % 4294967296) * 668265263) >> 15) & 2147483647)"
+      val rounds = (1 to 4).foldLeft(("l0", "r0", "")) { case ((l, r, ctes), i) =>
+        (s"l$i", s"r$i",
+          ctes + s", s$i AS (SELECT doc_id, $r AS l$i, xor($l, ${f(r, i)}) AS r$i FROM s${i - 1})\n")
+      }
+      s"""WITH s0 AS (
+         |  SELECT doc_id, (doc_id >> 31) & 2147483647 AS l0, doc_id & 2147483647 AS r0
+         |  FROM documents)
+         |${rounds._3}SELECT doc_id, (${rounds._1} << 31) + ${rounds._2} AS skey
+         |FROM s4 ORDER BY doc_id""".stripMargin
+    },
     "d_bpe_train" -> sqlBpeTrainSql(12),
     "t_langid" ->
       // the oracle derives the true language purely from id arithmetic —
