@@ -1265,6 +1265,30 @@ object SparkEntry {
         extractous.pipeline.Bpe.countTokens(content).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "d_quality_train" -> ((s, dir) => {
+      // corpus-TRAINED quality classifier (the fastText-style gate of
+      // LLaMA/CCNet): batch perceptron over integer features (words, digit
+      // chars, length, 'the' occurrences), labels from a planted junk
+      // stratum (id%5==0 → digit spam). Exact 64-bit arithmetic end to end;
+      // each iteration is one model-sized gradient aggregation. The oracle
+      // replays features, every unrolled iteration's misclassified-set
+      // gradient, the weight updates, and the final per-doc margins.
+      import extractous.pipeline.QualityTrain
+      val content = when(pmod(col("doc_id"), lit(5)) === 0,
+        repeat(concat(col("doc_id").cast("string"), lit("99 ")), 8)).otherwise(col("text"))
+      val label = when(pmod(col("doc_id"), lit(5)) === 0, lit(-1L)).otherwise(lit(1L))
+      val feat = s.read.parquet(s"$dir/documents.parquet")
+        .select(Seq(col("doc_id"), label.as("y")) ++
+          QualityTrain.features(content).map { case (n, c) => c.as(n) }: _*)
+        .cache()
+      val w = QualityTrain.train(feat, iters = 8)
+      val score = QualityTrain.scoreCol(w)
+      val out = feat.select(col("doc_id"), col("y").as("label"),
+          score.as("score"),
+          when(score > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+        .orderBy(col("doc_id"))
+      out
+    }),
     "d_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: a 4-round Feistel bijection
       // over [0, 2^62) maps doc_id → unique skey; ORDER BY skey is a full
@@ -1839,6 +1863,52 @@ object SparkEntry {
       s"SELECT CAST($i AS BIGINT) AS rank, a AS left_sym, b AS right_sym, c AS pair_count FROM best$i")
       .mkString(" UNION ALL ")
     s"WITH RECURSIVE ${ctes.result()}\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** Full-replay oracle for `d_quality_train`: integer features, then K
+    * unrolled batch-perceptron iterations — each iteration's gradient is
+    * the Σ y·x over rows the PREVIOUS weights misclassify (margin ≤ 0),
+    * added componentwise. Pure BIGINT arithmetic start to finish.
+    */
+  private def sqlQualityTrainSql(k: Int): String = {
+    def score(i: Int): String =
+      if (i == 0) "0"
+      else s"((SELECT b FROM w$i) + (SELECT c1 FROM w$i)*x1 + (SELECT c2 FROM w$i)*x2 + " +
+        s"(SELECT c3 FROM w$i)*x3)"
+    val iters = (1 to k).map { i =>
+      val prev = (c: String) => if (i == 1) "0" else s"(SELECT $c FROM w${i - 1})"
+      val m = s"y * ${score(i - 1)} <= 0"
+      s"""w$i AS MATERIALIZED (
+         |  SELECT ${prev("b")} + SUM(CASE WHEN $m THEN y ELSE 0 END) AS b,
+         |         ${prev("c1")} + SUM(CASE WHEN $m THEN y*x1 ELSE 0 END) AS c1,
+         |         ${prev("c2")} + SUM(CASE WHEN $m THEN y*x2 ELSE 0 END) AS c2,
+         |         ${prev("c3")} + SUM(CASE WHEN $m THEN y*x3 ELSE 0 END) AS c3
+         |  FROM f)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN repeat(CAST(doc_id AS VARCHAR) || '99 ', 8)
+         |         ELSE text END AS content,
+         |    CAST(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS BIGINT) AS y
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id, y,
+         |    CAST(len(string_split_regex(trim(content), '\s+')) AS BIGINT) AS words,
+         |    CAST(length(content) - length(regexp_replace(content, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         |    CAST(length(content) AS BIGINT) AS chars,
+         |    CAST((length(content) - length(replace(content, 'the', ''))) // 3 AS BIGINT) AS the
+         |  FROM src),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    (digits * 256) // chars AS x1,
+         |    chars // words AS x2,
+         |    (the * 256) // words AS x3
+         |  FROM raw),
+         |$iters
+         |SELECT doc_id, y AS label,
+         |  CAST(${score(k)} AS BIGINT) AS score,
+         |  CAST(CASE WHEN ${score(k)} > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM f ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] =
@@ -2720,6 +2790,7 @@ object SparkEntry {
          |CAST(len(string_split_regex(trim(text), '\s+')) + 2
          |  + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_quality_train" -> sqlQualityTrainSql(8),
     "d_shuffle" -> {
       // unrolled 4-round Feistel replay: F(r,i) = (((r·C1 + seed + i·C3)
       // mod 2^32) · C2 >> 15) & mask — pure BIGINT ops, every intermediate

@@ -499,11 +499,11 @@ class ZstdSpec extends AnyFunSuite {
     import extractous.core.Extract
     import extractous.gen.CorpusGen
     val t = "the quick brown fox jumps over the lazy dog"
-    // (103/100)%4 == 1 → tar stratum; 103%4 == 3 → .tar.zst
-    val r = Extract(CorpusGen.archivePayload(103, t, "en"))
+    // (105/100)%4 == 1 → tar stratum; 105%6 == 3 → .tar.zst
+    val r = Extract(CorpusGen.archivePayload(105, t, "en"))
     assert(r.status == extractous.model.ExtractStatus.Ok)
     val stop = CorpusGen.stopLine("en")
-    assert(r.text == s"Document 103\n$stop\n$t\n$t\n$t")
+    assert(r.text == s"Document 105\n$stop\n$t\n$t\n$t")
     assert(r.contentType == extractous.sniff.MimeSniffer.Tar)
     assert(r.metadata("Content-Encoding") == Seq("zstd"))
   }
