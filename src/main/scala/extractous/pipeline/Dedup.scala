@@ -248,6 +248,62 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** EXACT n-gram Jaccard near-dup pairs via a gram inverted index — the
+    * deterministic sibling of [[minhashNearDups]] (which trades exactness for
+    * a 64-long signature). Reference behavior this generalizes: the reference
+    * dedups extracted text only by full-digest equality; n-gram Jaccard is the
+    * standard corpus-dedup extension (Lee et al. 2022 §4.1 use it as the
+    * ground truth MinHash approximates).
+    *
+    * Plan shape: shingle (narrow, one pass) → explode to (id, gramHash:long)
+    * → self-join on the 8-byte gram hash (the ONLY data exchange; text never
+    * shuffles) → pair-count aggregate gives |A∩B|; |A∪B| = |A|+|B|−|A∩B| from
+    * the per-doc gram counts carried on each side. The ≥-threshold filter is
+    * exact integer arithmetic (inter·denom ≥ union·numer) — no float
+    * round-trip. Equal grams always hash equal, so collisions can only ADD
+    * phantom intersections; with xxhash64 over ≤10⁶ distinct grams per corpus
+    * shard P(any collision) < 10⁻⁷ (at 10¹² docs you would widen to the
+    * 128-bit pair (xxhash64(g,0), xxhash64(g,1)) — same plan shape).
+    *
+    * Scale hazard + knob: a gram shared by k docs contributes k(k−1)/2 join
+    * rows — corpus-hot grams (boilerplate) explode the fanout quadratically.
+    * `maxDocFreq` (off by default: 0) drops grams with document frequency
+    * above the cap BEFORE the self-join. A true near-dup pair survives the
+    * cap unless EVERY shared gram is corpus-hot — but then ≥maxDocFreq docs
+    * are mutually near-dup and pair enumeration is Ω(k²) regardless; such
+    * degenerate mass-duplicate strata are exactly what exact-hash dedup
+    * removes first. Oracle (`d_jaccard`) runs cap-off so the output equals
+    * brute force bit-for-bit.
+    */
+  def jaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, maxDocFreq: Long = 0L): DataFrame = {
+    // exact rational threshold: 0.8 → 4/5 avoids double rounding in the
+    // integer filter; arbitrary thresholds use a 1e6 fixed-point denominator
+    val (num, den) =
+      if (threshold == 0.8) (4L, 5L)
+      else ((threshold * 1000000L).round, 1000000L)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val grams0 = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+      .select(col("id"), col("n"), xxhash64(col("g")).as("gh"))
+    val grams =
+      if (maxDocFreq <= 0L) grams0
+      else {
+        // df-cap: one extra (gh → count) aggregate, still longs-only
+        val hot = grams0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("gh"))
+        grams0.join(broadcast(hot), Seq("gh"), "left_anti")
+      }
+    grams.as("a").join(grams.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate →
     * exact-verify. Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.
     */

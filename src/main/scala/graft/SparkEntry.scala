@@ -1061,6 +1061,16 @@ object SparkEntry {
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "d_jaccard" -> ((s, dir) => {
+      // EXACT n-gram Jaccard near-dups (no MinHash approximation): gram
+      // inverted index self-joined on 8-byte gram hashes — the only exchange
+      // carries (id:long, gh:long); text never shuffles. Emits the exact
+      // integer intersection/union so the oracle compare is float-free.
+      Dedup.jaccardNearDups(docs(s, dir), "doc_id", "text", threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "d_simhash" -> ((s, dir) => {
       // token hash is SQL-expressible by design, so the ORACLE recomputes the
       // whole simhash + brute-force Hamming pair set in DuckDB; banding recall
@@ -2443,6 +2453,14 @@ object SparkEntry {
          |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+         |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |  CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS uni
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(a.sh || b.sh)) * 4
          |ORDER BY id_a, id_b""".stripMargin,
     "d_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),

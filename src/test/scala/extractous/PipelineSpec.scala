@@ -43,6 +43,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(truth.nonEmpty) // the seed corpus has natural near-dups
   }
 
+  test("exact n-gram jaccard: inverted-index pairs equal brute force, cap on/off") {
+    import spark.implicits._
+    val out = Dedup.jaccardNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b", "inter", "uni").as[(Long, Long, Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text")).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(t => t._3 * 5 >= t._4 * 4)
+    assert(out == truth)
+    assert(truth.nonEmpty)
+    // a generous df-cap keeps every true pair (no gram in this corpus is hot
+    // enough that ALL of a near-dup pair's shared grams get dropped)
+    val capped = Dedup.jaccardNearDups(docs, "doc_id", "text", threshold = 0.8,
+      maxDocFreq = 400L)
+      .select("id_a", "id_b", "inter", "uni").as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == truth)
+  }
+
+  test("jaccard plan: only long-keyed exchanges, text never shuffles") {
+    val plan = Dedup.jaccardNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"text column in a shuffle key:\n$l")
+    }
+  }
+
   test("simhash near-dups: EXACTLY the brute-force pair set at the configured radius") {
     import spark.implicits._
     val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
