@@ -108,6 +108,21 @@ object ExplainDump {
       SparkEntry.queries("d_corpus")(spark, sf))
     dump("22. anchor-text aggregation (narrow anchor kernel -> short-key partial count)",
       extractous.pipeline.LinkGraph.anchorTexts(pages, "url", "html"))
+
+    // round-5 additions (EXPLAIN.md §14)
+    dump("23. exact n-gram jaccard (gram inverted index, long-keyed join, no text shuffle)",
+      Dedup.jaccardNearDups(docs, "doc_id", "text", threshold = 0.8))
+    dump("24. sharded bloom probe (narrow zero-exchange projection, shard = f(own key))",
+      SparkEntry.queries("d_dedup_bloom_sharded")(spark, sf))
+    dump("25. fused quality projection (langid+gopher+c4+entropy, ONE FileScan, zero exchange)",
+      docs.select(col("doc_id") +:
+        extractous.pipeline.TextStats.fusedQualityReport(col("text")).map { case (n, c) => c.as(n) }: _*))
+    dump("26. Feistel corpus shuffle (narrow bijection key, one balanced range exchange)",
+      SparkEntry.queries("d_shuffle")(spark, sf))
+    dump("27. BPE train word-count stage (map-side combined, corpus-scale only here)",
+      SparkEntry.queries("d_bpe_train")(spark, sf))
+    dump("28. quality-classifier margins (model embedded, narrow scoring projection)",
+      SparkEntry.queries("d_quality_train")(spark, sf))
     spark.stop()
   }
 }
