@@ -79,4 +79,48 @@ object CorpusStats {
     import spark.implicits._
     rows.toDF("q_mille", "len", "n_docs")
   }
+
+  /** EXACT corpus heavy hitters — every whitespace token whose frequency
+    * strictly exceeds N/`fraction` (N = total token count), with its exact
+    * count. The stopword/boilerplate-vocabulary report of a crawl pipeline
+    * (CCNet prunes them; Gopher's stopword gate needs them).
+    *
+    * Two bounded passes, no vocabulary-sized exchange (a crawl vocabulary is
+    * 10⁹⁺ tokens with the junk tail — the textbook `groupBy(token)` shuffles
+    * one row per distinct token):
+    *  1. candidates: one [[extractous.spark.MisraGriesTokens]] aggregation —
+    *     each map partition reduces to a ≤2·`fraction`-entry summary, merged
+    *     on the driver side of a SinglePartition exchange (summary-sized,
+    *     like the CMS/LM model builds). MG guarantees every token with
+    *     frequency > N/(2·fraction+1) survives, a superset of the answer.
+    *  2. verify: exact counts of ONLY the candidate tokens (literal-array
+    *     `isin` filter pushed to the scan side, then a map-side-combined
+    *     count whose key space is ≤ the candidate count). Tokens below the
+    *     exact threshold drop here, so the output is deterministic at any
+    *     parallelism even though the sketch state is not.
+    *
+    * N rides pass 1 as a plain `count(1)` in the same aggregate — the corpus
+    * is touched exactly twice, both passes narrow until a bounded exchange.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, fraction: Int = 100): DataFrame = {
+    require(fraction >= 2, "fraction must be >= 2")
+    val toks = df
+      .select(explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val first = toks.agg(
+      extractous.spark.mg.mg_tokens(col("tok"), cap = 2 * fraction).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands: Seq[String] = first.getSeq[String](0)
+    val n = first.getLong(1)
+    if (cands.isEmpty) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)].toDF("tok", "cnt", "n_tokens")
+    }
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      // strict > N/fraction in exact integer arithmetic
+      .filter(col("cnt") * fraction > n)
+      .withColumn("n_tokens", lit(n))
+  }
 }

@@ -1206,6 +1206,18 @@ object SparkEntry {
         docs(s, dir).select(col("text")), "text", Seq(500, 900, 990))
         .orderBy(col("q_mille"))
     }),
+    "s_heavyhitters" -> ((s, dir) => {
+      // EXACT corpus heavy hitters (freq > N/100) via Misra–Gries candidate
+      // summaries + an exact verify pass over only the candidates: the
+      // exchange carries bounded summaries and then ≤200 candidate tokens —
+      // never the 10⁹⁺-entry crawl vocabulary of the textbook groupBy(token).
+      // The MG sketch state is partitioning-dependent; the OUTPUT is exact
+      // and deterministic because the verify pass recounts precisely.
+      extractous.pipeline.CorpusStats.heavyHitters(docs(s, dir), "text", fraction = 100)
+        .select(col("tok"), col("cnt").cast("long").as("cnt"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
     "s_cms" -> ((s, dir) => {
       // Count–Min phrase-frequency sketch (Cormode & Muthukrishnan 2005):
       // corpus-wide bigram counts answered from a 4×1024-counter sketch
@@ -2701,6 +2713,18 @@ object SparkEntry {
         |  CAST((SELECT min(len) FROM cum WHERE cum >= (q.q_mille * n.n + 999) // 1000) AS BIGINT) AS len,
         |  CAST(n.n AS BIGINT) AS n_docs
         |FROM q, n ORDER BY q_mille""".stripMargin,
+    "s_heavyhitters" ->
+      // the obvious formulation — full vocabulary histogram + threshold —
+      // verifying that the bounded MG-candidates + exact-verify plan returns
+      // precisely the true heavy-hitter set with exact counts
+      raw"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+         |), t AS (SELECT tok FROM toks WHERE tok <> ''),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+         |SELECT c.tok AS tok, c.cnt AS cnt, n.n AS n_tokens
+         |FROM c, n WHERE c.cnt * 100 > n.n
+         |ORDER BY cnt DESC, tok""".stripMargin,
     "s_cms" ->
       // full replay of the Count–Min sketch: token poly-hashes, bigram
       // combine, the four affine row positions, the bounded counter table,

@@ -720,6 +720,45 @@ class QualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"the one-row stats join must broadcast:\n$plan")
   }
 
+  test("heavy hitters: exact answer equals brute force, candidates superset holds under repartition") {
+    import spark.implicits._
+    // 1000 hot "the" + 500 warm "of" + 2000 unique junk tokens: N=3500,
+    // fraction=10 ⇒ threshold 350 ⇒ exactly {the, of}
+    val rows = (Seq.fill(1000)("the") ++ Seq.fill(500)("of") ++
+      (1 to 2000).map(i => s"junk$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("doc_id", "text").repartition(parts)
+      val got = extractous.pipeline.CorpusStats.heavyHitters(df, "text", fraction = 10)
+        .orderBy(col("cnt").desc).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("the", 1000L, 3500L), ("of", 500L, 3500L)), s"parts=$parts")
+    }
+    // empty corpus: empty frame, no crash
+    assert(extractous.pipeline.CorpusStats.heavyHitters(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text").count() == 0)
+    // multi-token docs tokenize on whitespace like the oracle
+    val multi = Seq((1L, "a a a b"), (2L, " a  c ")).toDF("doc_id", "text")
+    val m = extractous.pipeline.CorpusStats.heavyHitters(multi, "text", fraction = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(m == Seq(("a", 4L))) // N=7, threshold 7/3 → cnt>2.33: only "a"
+  }
+
+  test("heavy hitters match the corpus brute force at sf0.001") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = extractous.pipeline.CorpusStats.heavyHitters(docs, "text", fraction = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val n = toks.count()
+    val brute = toks.groupBy("tok").count()
+      .filter(col("count") * 100 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // per-language stopword lines make real heavy hitters
+  }
+
   test("length quantiles: type-1 inverse CDF on a hand histogram, empty-safe") {
     import spark.implicits._
     // lengths: 1×"a", 3×"bb", 6×"ccc" → N=10; p50 rank=5 → len 3 (cum 1,4,10)
