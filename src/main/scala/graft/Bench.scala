@@ -335,7 +335,10 @@ object Bench {
       "t_normalize" -> (() => force(docsDf.select(col("doc_id") +:
         TextStats.normalizeReport(col("text")).map { case (n, c) => c.as(n) }: _*))),
       "s_bm25" -> (() => force(extractous.pipeline.Retrieval.bm25(
-        docsDf, "text", "doc_id", Seq("query", "vector", "stream"))))
+        docsDf, "text", "doc_id", Seq("query", "vector", "stream")))),
+      "d_jaccard" -> (() => force(Dedup.jaccardNearDups(docsDf, "doc_id", "text", 0.8))),
+      "s_heavyhitters" -> (() => force(
+        extractous.pipeline.CorpusStats.heavyHitters(docsDf, "text", fraction = 100)))
     ).map { case (name, f) =>
       // min of 2 reps: one transient noisy window (writeback, neighbor VM)
       // must not be recorded as the operator's cost
