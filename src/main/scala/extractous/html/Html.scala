@@ -210,7 +210,20 @@ object HtmlDom {
 /** One emitted candidate block with the features the classifier needs. */
 final case class Block(tag: String, text: String, linkChars: Int, totalChars: Int,
     inBoilerplateScope: Boolean, inContentScope: Boolean) {
-  def words: Int = if (text.isEmpty) 0 else text.split(" ").length
+  /** `text` is Normalize.line output (single spaces, trimmed), so the word
+    * count is space-count + 1 — same value as `text.split(" ").length`
+    * without allocating a String per word (isContent reads this twice per
+    * block on the extraction hot path).
+    */
+  lazy val words: Int = {
+    if (text.isEmpty) 0
+    else {
+      var n = 1
+      var i = 0
+      while (i < text.length) { if (text.charAt(i) == ' ') n += 1; i += 1 }
+      n
+    }
+  }
   def linkDensity: Double = if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars
 }
 

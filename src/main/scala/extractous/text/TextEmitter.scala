@@ -11,8 +11,30 @@ import extractous.config.CharSet
   *   - blocks are joined with a single '\n'; no trailing newline.
   */
 object Normalize {
-  /** Collapse internal whitespace runs to one space and trim. */
+  /** Collapse internal whitespace runs to one space and trim.
+    *
+    * Fast path: a string already in canonical form (no leading/trailing
+    * whitespace, every whitespace char a single ' ') is returned as-is —
+    * the extraction hot path normalizes each block at least twice (the
+    * parser's flush and the emitter's defensive re-normalize), and the
+    * second pass would otherwise copy the full document again.
+    */
   def line(s: String): String = {
+    var i = 0
+    var prevSpace = true // true at index 0 ⇒ a leading ' ' needs the slow path
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (prevSpace) return lineSlow(s)
+        prevSpace = true
+      } else if (Character.isWhitespace(c)) return lineSlow(s)
+      else prevSpace = false
+      i += 1
+    }
+    if (prevSpace && s.nonEmpty) lineSlow(s) else s
+  }
+
+  private def lineSlow(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingSpace = false
