@@ -28,7 +28,7 @@ import extractous.text.{TextEmitter, XmlEmitter}
   */
 private[core] final class MemberEmitter(cfg: ExtractorConfig) {
   val emitter = new TextEmitter(cfg.maxStringLength)
-  val xe = new XmlEmitter(cfg.maxStringLength)
+  val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
   private var okCount = 0
   private var firstErrMsg = ""
 

@@ -301,7 +301,7 @@ object Extract {
 
   private def plainDecoded(s: String, charset: String, cfg: ExtractorConfig): ExtractResult = {
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     s.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { line =>
       emitter.addBlock(line)
       if (cfg.xmlOutput) xe.addElement("p", line)
@@ -316,7 +316,7 @@ object Extract {
   private def xmlDoc(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
     val root = extractous.html.HtmlDom.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     def walk(n: extractous.html.HNode): Unit = n match {
       case extractous.html.HText(t) =>
         if (!emitter.isFull && Normalize.line(t).nonEmpty) { emitter.addBlock(t); xe.addElement("p", t) }
@@ -334,7 +334,7 @@ object Extract {
     try {
       val text = ocr.recognize(bytes, cfg.ocr)
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       text.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { line =>
         emitter.addBlock(line)
         if (cfg.xmlOutput) xe.addElement("p", line)

@@ -55,7 +55,7 @@ object EpubExtractor {
       val title = findAll(opf, "title").headOption.map(t => Normalize.line(textOf(t)))
 
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       spine.iterator.takeWhile(_ => !emitter.isFull).foreach { idref =>
         val href = hrefById.getOrElse(idref,
           throw new IllegalArgumentException(s"spine idref '$idref' not in manifest"))

@@ -342,7 +342,7 @@ object HtmlExtractor {
     val xml =
       if (!cfg.xmlOutput) ""
       else {
-        val xe = new XmlEmitter(cfg.maxStringLength)
+        val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
         title.foreach(t => xe.addElement("title", t))
         kept.iterator.takeWhile(_ => !xe.isFull).foreach(b => xe.addElement(if (b.tag.startsWith("h") && b.tag.length == 2) b.tag else "p", b.text))
         xe.result()

@@ -47,7 +47,7 @@ object IworkExtractor {
         return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
           "iwork: index.xml root is not a Pages sl:document", Iwork)
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       var nPara = 0
       findAll(dom, "p").iterator
         .filter(_.name.equalsIgnoreCase("sf:p"))

@@ -78,7 +78,7 @@ object CalendarExtractor {
     // per-component emission order: group lines into BEGIN..END components,
     // emit wanted properties in the fixed order within each component
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     var emitted = 0
     var comp = List.empty[(String, String)]
     var inComponent = false

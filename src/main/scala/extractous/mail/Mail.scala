@@ -132,7 +132,7 @@ object MailExtractor {
       val (headers, body) = splitHeadersBody(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       val text = bestBody(headers, body)
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       headers.get("subject").foreach { s =>
         emitter.addBlock(s)
         if (cfg.xmlOutput) xe.addElement("h1", s)
@@ -171,7 +171,7 @@ object MarkdownExtractor {
   def extract(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     var inFence = false
     s.split("\n", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { raw =>
       val line = raw.stripLineEnd

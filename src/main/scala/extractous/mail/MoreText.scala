@@ -105,7 +105,7 @@ object CsvExtractor {
         return ExtractResult.fail(ExtractStatus.ExtractionFailed, "csv: no uniform delimiter", Mime))
       val rows = parse(s, delim)
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       rows.iterator.takeWhile(_ => !emitter.isFull).foreach { cells =>
         val line = cells.mkString(" ")
         emitter.addBlock(line)
@@ -161,7 +161,7 @@ object MboxExtractor {
       if (msgs.isEmpty)
         return ExtractResult.fail(ExtractStatus.ExtractionFailed, "mbox: no messages", Mime)
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       var ok = 0
       var firstErr = ""
       msgs.iterator.takeWhile(_ => !emitter.isFull).zipWithIndex.foreach { case (m, k) =>

@@ -247,7 +247,7 @@ object DocExtractor {
           return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
             "doc: 16-bit (unicode-piece) text area unsupported without piece table", Mime)
         val emitter = new TextEmitter(cfg.maxStringLength)
-        val xe = new XmlEmitter(cfg.maxStringLength)
+        val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
         // \r is the Word paragraph mark; 0x07 ends table cells/rows
         raw.split("[\r\u0007]", -1).iterator.takeWhile(_ => !emitter.isFull).foreach { p =>
           emitter.addBlock(p)

@@ -71,7 +71,7 @@ object MsgExtractor {
         return ExtractResult.fail(ExtractStatus.UnsupportedFormat,
           "msg: no subject/sender/body property streams", Mime)
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       parts.iterator.takeWhile(_ => !emitter.isFull).foreach { p =>
         emitter.addBlock(p)
         if (cfg.xmlOutput) xe.addElement("p", p)
@@ -139,7 +139,7 @@ object XlsExtractor {
       }
       val strings = sst.result()
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       refs.result().iterator.takeWhile(_ => !emitter.isFull).foreach { i =>
         if (i < 0 || i >= strings.length)
           throw new IllegalArgumentException(s"xls: LABELSST index $i out of SST range")
@@ -167,7 +167,7 @@ object PptExtractor {
     val st = container.stream("PowerPoint Document").get
     try {
       val emitter = new TextEmitter(cfg.maxStringLength)
-      val xe = new XmlEmitter(cfg.maxStringLength)
+      val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
       def u16(p: Int): Int = (st(p) & 0xff) | ((st(p + 1) & 0xff) << 8)
       def i32(p: Int): Int = u16(p) | (u16(p + 2) << 16)
       def walk(from: Int, to: Int): Unit = {

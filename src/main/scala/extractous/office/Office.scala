@@ -123,7 +123,7 @@ object OfficeExtractor {
       return ExtractResult.fail(ExtractStatus.ExtractionFailed, "odf: missing content.xml", mime))
     val root = xml(content)
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
 
     // all descendant character data of one paragraph-ish node, ODF whitespace
     // elements (text:tab, text:s, text:line-break) folded to spaces
@@ -184,7 +184,7 @@ object OfficeExtractor {
       return ExtractResult.fail(ExtractStatus.ExtractionFailed, "docx: missing word/document.xml", MimeSniffer.Docx))
     val root = xml(doc)
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     val o = cfg.office
 
     // Collect text of one w:p paragraph honoring the include/skip predicates.
@@ -250,7 +250,7 @@ object OfficeExtractor {
     }.getOrElse(Vector.empty)
 
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     // numeric order: lexicographic would put sheet10 before sheet2 (pptx idiom)
     val sheets = entries.keys.filter(k => k.startsWith("xl/worksheets/sheet") && k.endsWith(".xml")).toSeq
       .sortBy(k => k.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toIntOption.getOrElse(0))
@@ -277,7 +277,7 @@ object OfficeExtractor {
 
   private def pptx(entries: Map[String, Array[Byte]], cfg: ExtractorConfig): ExtractResult = {
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     val slides = entries.keys.filter(k => k.startsWith("ppt/slides/slide") && k.endsWith(".xml")).toSeq
       .sortBy(k => k.stripPrefix("ppt/slides/slide").stripSuffix(".xml").toIntOption.getOrElse(0))
     slides.foreach { name =>

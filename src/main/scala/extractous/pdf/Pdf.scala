@@ -745,7 +745,7 @@ object PdfExtractor {
 
     val strategy = cfg.pdf.ocrStrategy
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     val seenImageDigests = scala.collection.mutable.HashSet.empty[String]
     var imageCount = 0
     var ocrFailure: Option[String] = None

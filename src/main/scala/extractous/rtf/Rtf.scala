@@ -16,7 +16,7 @@ object RtfExtractor {
   def extract(bytes: Array[Byte], cfg: ExtractorConfig): ExtractResult = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val emitter = new TextEmitter(cfg.maxStringLength)
-    val xe = new XmlEmitter(cfg.maxStringLength)
+    val xe = new XmlEmitter(cfg.maxStringLength, cfg.xmlOutput)
     val cur = new java.lang.StringBuilder
     def flush(): Unit = {
       if (cur.length() > 0) { emitter.addBlock(cur.toString); xe.addElement("p", cur.toString); cur.setLength(0) }

@@ -139,7 +139,7 @@ final class TextEmitter(maxLen: Int) {
   * `<doc>` root, `<title>`, `<h1>`..`<h6>`, `<p>`, one element per block,
   * separated by '\n'.
   */
-final class XmlEmitter(maxLen: Int) {
+final class XmlEmitter(maxLen: Int, enabled: Boolean = true) {
   private val sb = new java.lang.StringBuilder("<doc>")
   private var full = false
 
@@ -161,7 +161,10 @@ final class XmlEmitter(maxLen: Int) {
   }
 
   def addElement(tag: String, raw: String): Unit = {
-    if (full) return
+    // disabled emitters (xmlOutput=false callers) skip the normalize/escape/
+    // append work entirely — the result is discarded, so assembling it was
+    // pure per-document overhead on the flagship path
+    if (full || !enabled) return
     var t = Normalize.line(raw)
     if (t.nonEmpty) {
       // enforce the cap DURING emission, like TextEmitter.addBlock: a single
