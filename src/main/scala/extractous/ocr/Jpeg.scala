@@ -233,17 +233,23 @@ object Jpeg {
   // ======================= decoder =======================
 
   private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
-    // canonical codes, decoded bit-by-bit (tiny images — simplicity wins)
-    private val codes = {
-      val m = scala.collection.mutable.HashMap.empty[(Int, Int), Int] // (len, code) -> symbol
+    // canonical-code decode via the T.81 §F.2.2.3 min/max-code arrays —
+    // per-bit work is two integer compares (the previous (len, code) boxed
+    // HashMap lookup per BIT dominated the decoder's profile)
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17) // -1 = no codes of this length
+    private val valPtr = new Array[Int](17)
+    locally {
       var code = 0
       var k = 0
-      for (len <- 1 to 16) {
-        var i = 0
-        while (i < bits(len - 1)) { m((len, code)) = vals(k); code += 1; k += 1; i += 1 }
+      var len = 1
+      while (len <= 16) {
+        val n = bits(len - 1)
+        if (n == 0) { minCode(len) = 0; maxCode(len) = -1; valPtr(len) = k }
+        else { minCode(len) = code; maxCode(len) = code + n - 1; valPtr(len) = k; code += n; k += n }
         code <<= 1
+        len += 1
       }
-      m.toMap
     }
     def decode(br: BitReader): Int = {
       var code = 0
@@ -251,10 +257,8 @@ object Jpeg {
       while (len < 16) {
         code = (code << 1) | br.readBit()
         len += 1
-        codes.get((len, code)) match {
-          case Some(sym) => return sym
-          case None      =>
-        }
+        if (maxCode(len) >= minCode(len) && code >= minCode(len) && code <= maxCode(len))
+          return vals(valPtr(len) + (code - minCode(len)))
       }
       throw new IllegalArgumentException("jpeg: bad Huffman code")
     }
@@ -407,6 +411,7 @@ object Jpeg {
           val br = new BitReader(bytes, pos)
           val lumaComp = comps.head
           val block = new Array[Int](64)
+          val tmp = new Array[Double](64) // IDCT scratch, hoisted out of the block loop
           var mcuCount = 0
           var rstIdx = 0
           var my = 0
@@ -444,14 +449,20 @@ object Jpeg {
                       // separable IDCT (basis tables), then place into the luma plane
                       val ox = (mx * c.h + bh) * 8
                       val oy = (my * c.v + bv) * 8
-                      val tmp = new Array[Double](64)
                       var u0 = 0
                       while (u0 < 8) {
                         var x1 = 0
                         while (x1 < 8) {
                           var s = 0.0
                           var v1 = 0
-                          while (v1 < 8) { s += cc(v1) * block(u0 * 8 + v1) * Basis(v1)(x1); v1 += 1 }
+                          // skipping zero coefficients adds/removes only ±0.0
+                          // terms, so the double sum is bit-identical — and
+                          // sparse blocks (early EOB) are the common case
+                          while (v1 < 8) {
+                            val b = block(u0 * 8 + v1)
+                            if (b != 0) s += cc(v1) * b * Basis(v1)(x1)
+                            v1 += 1
+                          }
                           tmp(u0 * 8 + x1) = s
                           x1 += 1
                         }
