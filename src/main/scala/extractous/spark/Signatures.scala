@@ -469,6 +469,8 @@ object signatures {
     ColumnBridge.column(Top2GramExpr(ColumnBridge.expression(c)))
   def langid(c: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c)))
+  def lang_sample_text(id: Column, n: Int): Column =
+    ColumnBridge.column(LangSampleExpr(ColumnBridge.expression(id), n))
   def bpe_count(c: Column): Column =
     ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(c)))
   def ngram_keys(c: Column, n: Int): Column =

@@ -1344,16 +1344,17 @@ object SparkEntry {
       // training stream, so a correct pred_lang is genuine statistical
       // recovery, not stopword-list lookup or training-text replay. The
       // oracle knows the true language only from the id arithmetic.
-      import s.implicits._
+      // sample generation + prediction as codegen'd narrow expressions — the
+      // previous Dataset.map closure forced a per-row deserialize/serialize
+      // round trip and broke whole-stage codegen; values are identical
+      // (LangSampleExpr replays the same (lang, id, 60) sampleText call)
       import extractous.pipeline.LangData
-      s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long]
-        .map { id =>
-          val lang = LangData.langs((id % 12).toInt)
-          (id, lang, LangData.sampleText(lang, id, 60))
-        }
-        .toDF("doc_id", "true_lang", "content")
-        .select(col("doc_id"), col("true_lang"),
-          extractous.pipeline.LangId.predict(col("content")).as("pred_lang"))
+      val langArr = array(LangData.langs.map(lit): _*)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          element_at(langArr, (col("doc_id") % 12).cast("int") + 1).as("true_lang"),
+          extractous.pipeline.LangId.predict(
+            extractous.spark.signatures.lang_sample_text(col("doc_id"), 60)).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
     "t_entropy" -> ((s, dir) => {

@@ -426,6 +426,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("langid packed fast path is per-row identical to the legacy string path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import extractous.pipeline.LangData
+    import extractous.spark.LangIdModel
+    // every language and script, held-out streams, mixed-language splices,
+    // degenerate inputs, and a NUL-bearing text (forces the legacy path via
+    // the packable guard — the two paths must still agree through predict)
+    val cases = Seq.newBuilder[String]
+    for (li <- LangData.langs.indices; seed <- Seq(7L, 991L))
+      cases += LangData.sampleText(LangData.langs(li), seed * 31 + li, 60)
+    cases += ""
+    cases += "   "
+    cases += "12345 !!! ???"
+    cases += LangData.sampleText("en", 3L, 30) + " " + LangData.sampleText("ru", 4L, 30)
+    cases += LangData.sampleText("zh", 5L, 10) + " " + LangData.sampleText("fr", 6L, 50)
+    cases += "mix\u0000nul " + LangData.sampleText("sv", 8L, 40)
+    cases.result().foreach { s =>
+      val fast = LangIdModel.predict(UTF8String.fromString(s)).toString
+      val legacy = LangIdModel.predictLegacy(
+        { val u = UTF8String.fromString(s)
+          (if (u.numChars() > LangIdModel.MaxChars) u.substringSQL(1, LangIdModel.MaxChars) else u).toString }).toString
+      assert(fast == legacy, s"fast/legacy divergence on: ${s.take(60)}")
+    }
+  }
+
   test("langid is deterministic on degenerate input (empty / punctuation-only)") {
     import org.apache.spark.unsafe.types.UTF8String
     import extractous.spark.LangIdModel
