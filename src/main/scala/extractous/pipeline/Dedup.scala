@@ -237,7 +237,11 @@ object Dedup {
       bands: Int = 16, rows: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("id"),
       posexplode(bandKeys(col(sigCol), bands, rows)).as(Seq("band", "bucket")))
-    b.as("a").join(b.as("b"),
+    // shuffle_hash: the planner's size estimate for the exploded band table
+    // tracks the tiny parquet input and picks a broadcast — collecting the
+    // |docs|×bands table to the driver, which is both slower here and the
+    // wrong shape at corpus scale (the band join must stay partitioned)
+    b.as("a").join(b.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -294,7 +298,7 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select(col("gh"))
         grams0.join(broadcast(hot), Seq("gh"), "left_anti")
       }
-    grams.as("a").join(grams.as("b"),
+    grams.as("a").join(grams.as("b").hint("shuffle_hash"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -510,7 +514,9 @@ object Dedup {
     }
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
-    chunks.as("a").join(chunks.as("b"),
+    // shuffle_hash: same rationale as lshCandidates — keep the chunk-keyed
+    // self-join partitioned instead of broadcasting the exploded chunk table
+    chunks.as("a").join(chunks.as("b").hint("shuffle_hash"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
