@@ -139,11 +139,16 @@ object DomainBalance {
     val withKeys = df
       .withColumn("host", UrlFilter.host(col(urlCol)))
       .withColumn("_tr_fpm", pmod(TextStats.fingerprint(col(urlCol)), lit(ResampleMod)))
+    // localCheckpoint: the host-stats table is metadata-sized but feeds BOTH
+    // the Σw scalar and the join side — without it the per-host count
+    // aggregation scans the corpus twice (eager, per-invocation; nothing
+    // persists across runs)
     val stats = withKeys
       .filter(col("host") =!= "")
       .groupBy("host")
       .agg(count(lit(1)).as("_tr_n"))
       .withColumn("_tr_w", isqrt(col("_tr_n")))
+      .localCheckpoint(true)
     // Σw is ONE scalar over the metadata-sized host table — a driver-side
     // reduce, not a corpus collect
     val sumW = Option(stats.agg(sum(col("_tr_w"))).first().get(0))

@@ -94,7 +94,11 @@ object Dsir {
       b: Int = DefaultBuckets): DataFrame = {
     require(k > 0, "k must be positive")
     val (src, tgt) = profiles(df, textCol, targetPred, b)
-    val sc = scored(df, idCol, textCol, lambdaTable(src, tgt))
+    // (id, score) pairs are 16 bytes/doc; materializing them once means the
+    // gram tokenize+hash scoring scan runs ONCE instead of twice (the
+    // threshold aggregate and the final projection both consume sc). Eager
+    // + per-invocation: every run still computes from the parquet inputs.
+    val sc = scored(df, idCol, textCol, lambdaTable(src, tgt)).localCheckpoint(true)
     val thr = sc.agg(extractous.spark.topk.kth_smallest_pair(
       negate(col("score")), col(idCol), k).as("_th"))
     sc.crossJoin(broadcast(thr))
