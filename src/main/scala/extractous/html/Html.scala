@@ -338,7 +338,8 @@ object HtmlExtractor {
     val emitter = new TextEmitter(cfg.maxStringLength)
     val title = headMeta.getOrElse("dc:title", Seq.empty).headOption
     if (cfg.htmlMode == HtmlMode.AllText) title.foreach(emitter.addBlock)
-    kept.iterator.takeWhile(_ => !emitter.isFull).foreach(b => emitter.addBlock(b.text))
+    // block text is Normalize.line output (flush) — skip the re-normalize
+    kept.iterator.takeWhile(_ => !emitter.isFull).foreach(b => emitter.addNormalizedBlock(b.text))
     val xml =
       if (!cfg.xmlOutput) ""
       else {

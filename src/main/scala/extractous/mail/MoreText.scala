@@ -21,8 +21,14 @@ object CsvExtractor {
 
   def detectDelim(s: String): Option[Char] =
     Delims.find { d =>
-      val counts = rowDelimCounts(s, d, maxRows = 20)
-      counts.length >= 2 && counts.head > 0 && counts.forall(_ == counts.head)
+      // a text with NO occurrence of d yields all-zero row counts, which the
+      // uniformity test rejects regardless of quoting — so the quote-aware
+      // state machine only needs to run when d appears at all (indexOf is an
+      // intrinsified scan; prose without delimiters skips 3 full passes)
+      s.indexOf(d) >= 0 && {
+        val counts = rowDelimCounts(s, d, maxRows = 20)
+        counts.length >= 2 && counts.head > 0 && counts.forall(_ == counts.head)
+      }
     }
 
   /** Per-LOGICAL-row out-of-quote delimiter counts — same state machine as

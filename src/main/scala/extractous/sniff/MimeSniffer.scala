@@ -284,9 +284,21 @@ object MimeSniffer {
     if (looksLikeMarkdown(bytes)) return Markdown
     if (isValidUtf8(bytes)) {
       // delimited-text subtype of plain (Tika's TextAndCSVParser shape):
-      // uniform out-of-quote delimiter count across sampled lines
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      if (extractous.mail.CsvExtractor.looksLikeDelimited(s)) return Csv
+      // uniform out-of-quote delimiter count across sampled lines. Decode
+      // only when a delimiter byte exists at all — ASCII bytes never occur
+      // inside UTF-8 multibyte sequences, so the byte scan is exact, and a
+      // delimiter-free text can never pass the uniform-count test.
+      var hasDelim = false
+      var di = 0
+      while (!hasDelim && di < bytes.length) {
+        val b = bytes(di)
+        if (b == '\t' || b == ',' || b == ';') hasDelim = true
+        di += 1
+      }
+      if (hasDelim) {
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        if (extractous.mail.CsvExtractor.looksLikeDelimited(s)) return Csv
+      }
       return Plain
     }
     if (looksLikeShiftJis(bytes)) return Plain

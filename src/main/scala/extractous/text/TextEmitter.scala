@@ -24,7 +24,9 @@ object Normalize {
     var prevSpace = true // true at index 0 ⇒ a leading ' ' needs the slow path
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == ' ') {
+      // ASCII printable (the overwhelmingly common case) is never whitespace
+      if (c > ' ' && c < 127) prevSpace = false
+      else if (c == ' ') {
         if (prevSpace) return lineSlow(s)
         prevSpace = true
       } else if (Character.isWhitespace(c)) return lineSlow(s)
@@ -33,6 +35,7 @@ object Normalize {
     }
     if (prevSpace && s.nonEmpty) lineSlow(s) else s
   }
+
 
   private def lineSlow(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -110,7 +113,21 @@ final class TextEmitter(maxLen: Int) {
   /** Add one block (normalized internally). Returns false once the limit is hit. */
   def addBlock(raw: String): Boolean = {
     if (full) return false
-    val t = Normalize.line(raw)
+    appendNormalized(Normalize.line(raw))
+  }
+
+  /** Add a block the CALLER guarantees is already in [[Normalize.line]]
+    * canonical form (e.g. the HTML extractor's blocks, normalized at flush) —
+    * skips the defensive re-normalize scan. Passing a non-canonical string
+    * here would corrupt the one-policy output; only use where the invariant
+    * is structural.
+    */
+  def addNormalizedBlock(t: String): Boolean = {
+    if (full) return false
+    appendNormalized(t)
+  }
+
+  private def appendNormalized(t: String): Boolean = {
     if (t.nonEmpty) {
       if (sb.length() > 0) sb.append('\n')
       if (sb.length() + t.length > maxLen) {

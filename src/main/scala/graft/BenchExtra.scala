@@ -133,6 +133,15 @@ object BenchExtra {
       name -> samples.min
     }
 
+    if (sys.env.get("SPARK_GRAFT_JOB").contains("1")) {
+      val docs = corpus.count()
+      (1 to math.max(1, reps - 1)).foreach { i =>
+        val tableDir = java.nio.file.Files.createTempDirectory("benchextratable").toString
+        val secs = time(extractous.jobs.ExtractJob.run(spark, corpusDir, tableDir, groupSize = 30))._2
+        System.err.println(f"[benchextra] job rep$i secs=$secs%.2f tput=${docs / secs}%.0f docs/s")
+      }
+    }
+
     val cachedTput = if (doCached) {
       val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val n = cached.count()

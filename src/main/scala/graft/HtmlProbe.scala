@@ -35,5 +35,32 @@ object HtmlProbe {
       e.result()
     }
     bench("sniff", 2000)(extractous.sniff.MimeSniffer.sniff(payload))
+    // sub-stage decomposition of blocks-shaped work on the big text node
+    val big = text
+    bench("norm.line(big)", 5000)(extractous.text.Normalize.line(big))
+    bench("sb append+toString", 5000) {
+      val sb = new java.lang.StringBuilder
+      sb.append(big)
+      sb.toString
+    }
+    bench("count spaces", 5000) {
+      var n = 1; var i = 0
+      while (i < big.length) { if (big.charAt(i) == ' ') n += 1; i += 1 }
+      n
+    }
+    bench("tokenize only", 2000) {
+      val it = extractous.html.HtmlTokenizer.tokenize(html)
+      var n = 0
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    bench("decodeEntities(big)", 5000)(extractous.html.HtmlTokenizer.decodeEntities(big))
+    // plain-path decomposition
+    val plainPayload = CorpusGen.payload(55, text, "en")
+    bench("plain Extract", 2000)(Extract(plainPayload, CorpusGen.flagshipConfig))
+    bench("plain sniff", 2000)(extractous.sniff.MimeSniffer.sniff(plainPayload))
+    bench("isValidUtf8", 5000)(extractous.sniff.MimeSniffer.isValidUtf8(plainPayload))
+    bench("looksLikeDelimited", 2000)(extractous.mail.CsvExtractor.looksLikeDelimited(big))
+    bench("pdf Extract", 2000)(Extract(CorpusGen.payload(70, text, "en"), CorpusGen.flagshipConfig))
   }
 }
