@@ -62,5 +62,14 @@ object HtmlProbe {
     bench("isValidUtf8", 5000)(extractous.sniff.MimeSniffer.isValidUtf8(plainPayload))
     bench("looksLikeDelimited", 2000)(extractous.mail.CsvExtractor.looksLikeDelimited(big))
     bench("pdf Extract", 2000)(Extract(CorpusGen.payload(70, text, "en"), CorpusGen.flagshipConfig))
+    locally {
+      import extractous.pdf.PdfExtractor
+      val pdfPayload = CorpusGen.payload(70, text, "en")
+      bench("pdf scanObjects", 2000)(PdfExtractor.scanObjects(pdfPayload))
+      val (objs, trailer) = PdfExtractor.scanObjects(pdfPayload)
+      bench("pdf pages", 2000)(PdfExtractor.pages(objs, trailer))
+      val pgs = PdfExtractor.pages(objs, trailer)
+      bench("pdf assemble", 2000)(pgs.map(p => PdfExtractor.assembleTagged(p.runs)))
+    }
   }
 }
