@@ -46,8 +46,13 @@ object Retrieval {
   def bm25(docs: DataFrame, textCol: String, idCol: String,
            terms: Seq[String], k: Int = 10): DataFrame = {
     val tf = extractous.spark.retrieval.term_freqs(coalesce(col(textCol), lit("")), terms)
+    // localCheckpoint: both passes consume the same ~(8+8+8·|terms|)-byte
+    // per-doc projection; materializing it once means the term_freqs text
+    // scan runs ONCE instead of twice (eager, per-invocation — nothing
+    // persists across runs)
     val base = docs.select(col(idCol),
       tf.getField("dl").as("dl"), tf.getField("tfs").as("tfs"))
+      .localCheckpoint(true)
 
     // pass 1: one stats row — N, total tokens, per-term document frequency
     val dfAggs = terms.indices.map(i =>
