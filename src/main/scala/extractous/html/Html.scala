@@ -240,8 +240,17 @@ object HtmlExtractor {
   private val contentHints = Seq("content", "article", "main", "post", "story", "body-text", "entry")
 
   private def classHint(attrs: Map[String, String], hints: Seq[String]): Boolean = {
-    val cls = Normalize.lowerAscii(attrs.getOrElse("class", "") + " " + attrs.getOrElse("id", ""))
-    cls.nonEmpty && hints.exists(cls.contains)
+    // the old `class + " " + id` join was never empty (the separator), so
+    // every element — most have neither attribute — paid the lowercase
+    // allocation and all |hints| substring scans; no hint contains a space,
+    // so the attribute-absent verdict is identical
+    val c0 = attrs.getOrElse("class", "")
+    val i0 = attrs.getOrElse("id", "")
+    if (c0.isEmpty && i0.isEmpty) false
+    else {
+      val cls = Normalize.lowerAscii(c0 + " " + i0)
+      hints.exists(cls.contains)
+    }
   }
 
   /** Flatten DOM into candidate blocks, tracking anchor-text chars and
