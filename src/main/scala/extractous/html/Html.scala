@@ -260,14 +260,29 @@ object HtmlExtractor {
     val out = Vector.newBuilder[Block]
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     val cur = new java.lang.StringBuilder
+    // single-text-node fast path: most blocks are exactly one HText (the
+    // dominant page shape is one big <p>), and routing that one string
+    // through the StringBuilder costs two full-document char copies
+    // (append + toString). `single` holds the sole appended string until a
+    // second append forces the builder; flush sees identical characters.
+    var single: String = null
     var curLink = 0
     var curTag = "p"
     var anchorDepth = 0
 
+    def appendText(t: String): Unit = {
+      if (single == null && cur.length() == 0) single = t
+      else {
+        if (single != null) { cur.append(single); single = null }
+        cur.append(t)
+      }
+    }
+
     def flush(scopeBoiler: Boolean, scopeContent: Boolean): Unit = {
-      val text = Normalize.line(cur.toString)
-      if (text.nonEmpty) out += Block(curTag, text, math.min(curLink, cur.length()), cur.length(), scopeBoiler, scopeContent)
-      cur.setLength(0); curLink = 0; curTag = "p"
+      val raw = if (single != null) single else cur.toString
+      val text = Normalize.line(raw)
+      if (text.nonEmpty) out += Block(curTag, text, math.min(curLink, raw.length), raw.length, scopeBoiler, scopeContent)
+      cur.setLength(0); single = null; curLink = 0; curTag = "p"
     }
 
     def headingTag(n: String): String = if (n.length == 2 && n.charAt(0) == 'h' && n.charAt(1).isDigit) n else "p"
@@ -275,7 +290,7 @@ object HtmlExtractor {
     def walk(el: HElem, inBoiler: Boolean, inContent: Boolean): Unit = {
       el.children.foreach {
         case HText(t) =>
-          cur.append(t)
+          appendText(t)
           if (anchorDepth > 0) curLink += t.count(!Character.isWhitespace(_))
         case e: HElem if skipTags(e.name) =>
           if (e.name == "head") collectHead(e, meta)
