@@ -173,8 +173,8 @@ object Similarity {
   def semDedup(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
-    val spark = corpus.sparkSession
-    val centRows = centroids(corpus, cellCol, vecCol).orderBy(col("cell")).collect()
+    val centDf = centroids(corpus, cellCol, vecCol)
+    val centRows = centDf.orderBy(col("cell")).collect()
     val cells: Array[Int] = centRows.map(r => r.get(0) match {
       case i: Int => i
       case l: Long => l.toInt
@@ -185,33 +185,10 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("id"), vd.as("v"),
         element_at(extractous.spark.vectors.nearest_cells(vd, cells, cents, 1), 1).as("cell"))
       .withColumn("vn", norm(col("v")))
-    // the centroid table is already on the driver (model-sized, just
-    // collected) — re-ship it as a broadcast LocalRelation instead of
-    // re-running the centroid aggregation a second time for the join side
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        centRows.headOption.map(_.schema("cell").dataType)
-          .getOrElse(org.apache.spark.sql.types.IntegerType)),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
-    val centSide = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(centRows: _*), centSchema)
-      .withColumn("cn0", norm(col("centroid"))))
-    // prio feeds three plan subtrees (both pairwise sides + the final
-    // anti-join back); localCheckpoint materializes the embedding-sized
-    // table ONCE per invocation instead of recomputing the assignment and
-    // centroid join three times. Eager + per-query: nothing persists across
-    // invocations, every run still computes from the parquet inputs.
-    // prio feeds three plan subtrees (both pairwise sides + the final join
-    // back); localCheckpoint materializes the embedding-sized table ONCE per
-    // invocation instead of recomputing the nearest-cell assignment three
-    // times — at corpus scale the assignment (|corpus| × cells × dim dot
-    // products) is the dominant cost. Eager + per-query: nothing persists
-    // across invocations; every run still computes from the parquet inputs.
+    val centSide = broadcast(centDf.withColumn("cn0", norm(col("centroid"))))
     val prio = assigned.join(centSide, Seq("cell"))
       .withColumn("csim", cosineWithNorms(col("v"), col("vn"), col("centroid"), col("cn0")))
       .select(col("cell"), col("id"), col("v"), col("vn"), col("csim"))
-      .localCheckpoint(true)
     val lhs = prio.select(col("cell"), col("id").as("id_a"), col("v").as("va"),
       col("vn").as("na"), col("csim").as("ca"))
     val rhs = prio.select(col("cell"), col("id").as("id_b"), col("v").as("vb"),

@@ -105,7 +105,13 @@ object Normalize {
   * Parsers should stop feeding once `isFull`.
   */
 final class TextEmitter(maxLen: Int) {
-  private val sb = new java.lang.StringBuilder()
+  // blocks are accumulated by REFERENCE and joined once in result(): the
+  // StringBuilder formulation copied every block's chars twice (append +
+  // toString), which at web-page sizes was the emitter's whole cost. `len`
+  // tracks exactly what the builder's length() used to be (blocks +
+  // '\n' separators), so the truncation arithmetic is unchanged.
+  private val parts = new java.util.ArrayList[String]()
+  private var len = 0
   private var full = false
 
   def isFull: Boolean = full
@@ -129,25 +135,45 @@ final class TextEmitter(maxLen: Int) {
 
   private def appendNormalized(t: String): Boolean = {
     if (t.nonEmpty) {
-      if (sb.length() > 0) sb.append('\n')
-      if (sb.length() + t.length > maxLen) {
-        var room = maxLen - sb.length()
+      val sep = if (len > 0) 1 else 0
+      if (len + sep + t.length > maxLen) {
+        var room = maxLen - len - sep
         // never cut between the halves of a surrogate pair: a dangling high
         // surrogate would turn into U+FFFD/'?' at every downstream UTF-8
         // encode (parquet write, stream getBytes), corrupting the output and
         // desynchronizing byte-count columns from the closed-form oracles
         if (room > 0 && room < t.length && Character.isHighSurrogate(t.charAt(room - 1))) room -= 1
-        if (room > 0) sb.append(t, 0, room)
-        // never end on the separator we just added
-        if (sb.length() > 0 && sb.charAt(sb.length() - 1) == '\n')
-          sb.setLength(sb.length() - 1)
+        // a room <= 0 cut would have stranded the separator: the builder
+        // path stripped a trailing '\n' — here the separator is implicit,
+        // so simply don't add the block
+        if (room > 0) {
+          parts.add(t.substring(0, room))
+          len += sep + room
+        }
         full = true
-      } else sb.append(t)
+      } else {
+        parts.add(t)
+        len += sep + t.length
+      }
     }
     !full
   }
 
-  def result(): String = sb.toString
+  def result(): String = {
+    val n = parts.size
+    if (n == 0) ""
+    else if (n == 1) parts.get(0)
+    else {
+      val out = new java.lang.StringBuilder(len)
+      var i = 0
+      while (i < n) {
+        if (i > 0) out.append('\n')
+        out.append(parts.get(i))
+        i += 1
+      }
+      out.toString
+    }
+  }
 }
 
 /** Structured-XML-mode emitter (reference SetXmlOutput,

@@ -133,6 +133,72 @@ object BenchExtra {
       name -> samples.min
     }
 
+    // exec-scaling pairs replica (same worker protocol as Bench.launchWorkers)
+    // for fast efficiency iteration without the full 20-minute harness
+    sys.env.get("SPARK_GRAFT_PAIRS_EXTRA").map(_.toInt).filter(_ > 0).foreach { pairCount =>
+      import scala.jdk.CollectionConverters._
+      val smallCpus = math.max(1, cpus / 8)
+      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(corpusDir)).iterator().asScala
+        .map(_.toString).filter(_.contains("warc_day=")).toSeq.sorted
+      def dirSize(d: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).map(java.nio.file.Files.size).sum
+      val bySize = dirs.map(d => (d, dirSize(d))).sortBy(-_._2)
+      val sliceBuf = Array.fill(4)(Vector.newBuilder[String])
+      val sliceLoad = new Array[Long](4)
+      bySize.foreach { case (d, sz) =>
+        val w = sliceLoad.indices.minBy(sliceLoad)
+        sliceBuf(w) += d
+        sliceLoad(w) += sz
+      }
+      val slices = sliceBuf.toSeq.map(_.result())
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val moduleArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .asScala.toSeq.sliding(2).collect { case Seq("--add-opens", v) => Seq("--add-opens", v) }
+        .flatten.toSeq
+      def spawn(sliceArg: String): (Process, java.io.BufferedReader) = {
+        val cmd = Seq(javaBin, "-Xms6g", "-Xmx6g", "-XX:+AlwaysPreTouch",
+          "-XX:+UseParallelGC", s"-XX:ActiveProcessorCount=$smallCpus") ++ moduleArgs ++
+          Seq("-cp", cp, "graft.BenchWorker", smallCpus.toString, sliceArg, "2")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectError(ProcessBuilder.Redirect.to(java.io.File.createTempFile("bx-worker-", ".stderr")))
+        val p = pb.start()
+        (p, new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream, "UTF-8")))
+      }
+      def awaitReady(pr: (Process, java.io.BufferedReader)): Unit = {
+        var line = pr._2.readLine()
+        while (line != null && !line.contains("[worker] ready")) line = pr._2.readLine()
+      }
+      def release(pr: (Process, java.io.BufferedReader)): Unit = {
+        pr._1.getOutputStream.write('\n'); pr._1.getOutputStream.flush()
+      }
+      def harvest(pr: (Process, java.io.BufferedReader)): Double = {
+        val sb = new StringBuilder
+        var line = pr._2.readLine()
+        while (line != null) { sb.append(line).append('\n'); line = pr._2.readLine() }
+        pr._1.waitFor()
+        "\\[worker\\] docs=(\\d+) secs=([0-9.]+)".r.findFirstMatchIn(sb.toString)
+          .map(_.group(2).toDouble).getOrElse(Double.MaxValue)
+      }
+      def seqLeg(): Double = {
+        val pr = spawn(slices.map(_.mkString(",")).mkString(";"))
+        awaitReady(pr); release(pr); harvest(pr)
+      }
+      def parLeg(): Double = {
+        val prs = slices.map(s => spawn(s.mkString(",")))
+        prs.foreach(awaitReady); prs.foreach(release)
+        val ts = prs.map(harvest)
+        System.err.println(f"[benchextra]   par workers: ${ts.map(t => f"$t%.2f").mkString(" ")}")
+        ts.max
+      }
+      (1 to pairCount).foreach { i =>
+        val (s, p) = if (i % 2 == 1) { val a = seqLeg(); val b = parLeg(); (a, b) }
+                     else { val b = parLeg(); val a = seqLeg(); (a, b) }
+        System.err.println(f"[benchextra] pair$i seq=$s%.2f par=$p%.2f eff=${s / (4 * p)}%.3f")
+      }
+    }
+
     if (sys.env.get("SPARK_GRAFT_JOB").contains("1")) {
       val docs = corpus.count()
       (1 to math.max(1, reps - 1)).foreach { i =>
