@@ -14,8 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns (codegen'd HOFs, no UDF). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two numeric array columns — imperative kernel
+    * ([[extractous.spark.DotProductExpr]]), bit-identical to the HOF
+    * formulation `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` it replaced
+    * (same summation order, same null semantics; equivalence property-tested
+    * in SimilaritySpec). The HOF pair is interpreted per ELEMENT and the kNN/
+    * SemDeDup verify paths evaluate millions of pairs.
+    */
+  def dot(a: Column, b: Column): Column = extractous.spark.vectors.vec_dot(a, b)
+
+  /** The original HOF formulation — spec-side reference for the kernel's
+    * equivalence property test; not on any wired query path.
+    */
+  private[extractous] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -184,9 +184,48 @@ final case class HyperplaneBandsExpr(
     copy(child = newChild)
 }
 
+/** Imperative dot product of two `array<double>` columns — the pairwise
+  * scoring kernel of the similarity family. Replicates EXACTLY the HOF
+  * formulation `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (s, v) => s + v)`
+  * it replaces (same left-to-right summation order, so the doubles are
+  * bit-identical; mismatched lengths or a null element yield NULL, matching
+  * zip_with's null padding flowing through the fold) — but as one tight
+  * loop instead of two interpreted lambda evaluations per element. The kNN
+  * and SemDeDup paths evaluate this |Q|·|C| / Σ|cell|² times per query.
+  */
+final case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input).asInstanceOf[ArrayData]
+    if (a == null) return null
+    val b = right.eval(input).asInstanceOf[ArrayData]
+    if (b == null) return null
+    val n = a.numElements()
+    // zip_with pads the shorter side with null, a null product nullifies the
+    // whole fold — so unequal lengths are NULL, exactly like the HOF
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object vectors {
   def nearest_cells(vec: Column, cells: Array[Int], cents: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(vec), cells, cents, n))
   def hyperplane_bands(vec: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
     ColumnBridge.column(HyperplaneBandsExpr(ColumnBridge.expression(vec), bands, bitsPerBand, dim))
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

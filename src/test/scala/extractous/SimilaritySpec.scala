@@ -13,6 +13,42 @@ class SimilaritySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("imperative dot kernel is bit-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    // corpus vectors (all pairs of a sample), plus adversarial shapes: empty,
+    // length mismatch (must be NULL like zip_with's null padding), zeros,
+    // negative/subnormal-ish values — compared with === on the DOUBLE BITS
+    val e = embs.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("fast"),
+        Similarity.dotHof(col("a.v"), col("b.v")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    val edge = Seq(
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.0, -2.5, 3e-200), Seq(4.0, 5.5, -1e200)),
+      (Seq(0.0, -0.0), Seq(-0.0, 0.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // length mismatch: both must be NULL
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotHof(col("a"), col("b")).as("hof")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("int8 quantization: bounds, max-element saturation, dequant error ≤ scale/2") {
     import spark.implicits._
     val rows = Similarity.quantizeInt8(embs)
