@@ -151,13 +151,14 @@ object Dedup {
       .filter(col("mn") =!= col("mx"))
       .select(col("gh"))
     val flagged = grams.join(crossDoc, Seq("gh"), "left_semi")
+    // span_coverage = the former HOF fold k + Σ min(k, gap) as one imperative
+    // pass (exact int arithmetic, values identical; the interpreted
+    // aggregate(sequence(...)) lambda pair cost ~2 evaluations per flagged
+    // gram per doc)
     val perDoc = flagged.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
       .select(col("id"), size(col("ps")).as("nf"),
-        when(size(col("ps")) === 1, lit(k))
-          .otherwise(aggregate(sequence(lit(1), size(col("ps")) - 1), lit(k),
-            (acc, i) => acc + least(lit(k), element_at(col("ps"), i + 1) - element_at(col("ps"), i))))
-          .as("cov"))
+        extractous.spark.signatures.span_coverage(col("ps"), k).as("cov"))
     docs.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),

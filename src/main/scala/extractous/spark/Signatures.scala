@@ -458,9 +458,45 @@ final case class CutSpansExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Covered-token count of the union of length-k spans starting at the SORTED
+  * positions `ps` — the reporting step of substring dedup. Replicates exactly
+  * the HOF `when(size(ps)===1, k).otherwise(aggregate(sequence(1, size-1), k,
+  * (acc, i) => acc + least(k, ps[i+1] - ps[i])))`: cov = k + Σ min(k, gap),
+  * pure int arithmetic so equality is trivial; the HOF was interpreted per
+  * flagged gram. size(ps)==0 is unreachable from the wired plans (the
+  * aggregate only emits groups with ≥1 position) and returns 0.
+  */
+final case class SpanCoverageExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "span_coverage"
+  override protected def nullSafeEval(input: Any): Any =
+    SpanCoverage.compute(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"extractous.spark.SpanCoverage.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): SpanCoverageExpr =
+    copy(child = newChild)
+}
+
+object SpanCoverage {
+  def compute(ps: ArrayData, k: Int): Int = {
+    val n = ps.numElements()
+    if (n == 0) return 0
+    var acc = k
+    var j = 1
+    while (j < n) {
+      val d = ps.getInt(j) - ps.getInt(j - 1)
+      acc += (if (d < k) d else k)
+      j += 1
+    }
+    acc
+  }
+}
+
 object signatures {
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+  def span_coverage(ps: Column, k: Int): Column =
+    ColumnBridge.column(SpanCoverageExpr(ColumnBridge.expression(ps), k))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
   def poly_fingerprint(c: Column): Column =
