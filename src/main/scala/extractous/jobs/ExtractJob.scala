@@ -161,11 +161,26 @@ object CorpusWriter {
       else base.crossJoin(spark.range(replicate).select(col("id").as("replica")))
         .withColumn("url", concat(col("url"), lit("#r"), col("replica")))
         .drop("replica")
-    // one chunky file per day partition (writer-side shuffle, NOT the hot
-    // path): real corpora have day-sized files; hundreds of KB-sized files
-    // would turn the downstream extraction into task-scheduling overhead
-    corpus.repartition(col("warc_day"))
-      .write.mode("overwrite").partitionBy("warc_day").parquet(outDir)
+    // File layout (guide §6): the replicated bench corpus is split into
+    // several files per day so the downstream scan has ≥ 2 waves of tasks per
+    // core — one file per day yields exactly `days` splits, which under-fills
+    // any cluster with more cores than days and lets the largest day gate the
+    // stage. The per-day file count derives from the cluster's parallelism
+    // (scale-adaptive, not a local-mode constant); the salt is deterministic
+    // (url hash, never rand() — see SPARK-38388). The unreplicated corpus
+    // (oracle/Verify scale) keeps the one-file-per-day layout of a real
+    // day-partitioned crawl table.
+    if (replicate <= 1) {
+      corpus.repartition(col("warc_day"))
+        .write.mode("overwrite").partitionBy("warc_day").parquet(outDir)
+    } else {
+      val days = math.max(1L, base.select("warc_day").distinct().count())
+      val filesPerDay = math.max(1L, math.min(32L,
+        (6L * spark.sparkContext.defaultParallelism + days - 1) / days))
+      corpus.repartition((days * filesPerDay).toInt, col("warc_day"),
+          pmod(xxhash64(col("url")), lit(filesPerDay)))
+        .write.mode("overwrite").partitionBy("warc_day").parquet(outDir)
+    }
     spark.read.parquet(outDir).count()
   }
 
