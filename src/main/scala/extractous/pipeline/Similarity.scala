@@ -196,7 +196,13 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("id"), vd.as("v"),
         element_at(extractous.spark.vectors.nearest_cells(vd, cells, cents, 1), 1).as("cell"))
       .withColumn("vn", norm(col("v")))
-    val centSide = broadcast(centDf.withColumn("cn0", norm(col("centroid"))))
+    // the centroid table is already on the driver (model-sized, just
+    // collected for the assignment expression) — re-ship it as a broadcast
+    // LocalRelation instead of running the corpus-wide centroid aggregation
+    // a second time for the join side; values (hence csim) are identical
+    val centSide = broadcast(corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), centDf.schema)
+      .withColumn("cn0", norm(col("centroid"))))
     val prio = assigned.join(centSide, Seq("cell"))
       .withColumn("csim", cosineWithNorms(col("v"), col("vn"), col("centroid"), col("cn0")))
       .select(col("cell"), col("id"), col("v"), col("vn"), col("csim"))
