@@ -282,11 +282,11 @@ object Dedup {
     */
   def jaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, maxDocFreq: Long = 0L): DataFrame = {
-    // exact rational threshold: 0.8 → 4/5 avoids double rounding in the
-    // integer filter; arbitrary thresholds use a 1e6 fixed-point denominator
-    val (num, den) =
-      if (threshold == 0.8) (4L, 5L)
-      else ((threshold * 1000000L).round, 1000000L)
+    // exact integer filter over a 1e6 fixed-point threshold: inter·den ≥
+    // uni·num. Thresholds not representable in 1e6 fixed point (e.g. 1/3)
+    // quantize to the nearest 1e-6 — callers needing an exact rational
+    // should pass a representable threshold.
+    val (num, den) = ((threshold * 1000000L).round, 1000000L)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val grams0 = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
