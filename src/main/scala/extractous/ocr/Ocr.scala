@@ -410,6 +410,11 @@ object GlyphTemplateOcr extends Ocr {
     val g = if (cfg.enableImagePreprocessing) despeckle(g0) else g0
     val allowed = langCharsets.getOrElse(cfg.language,
       (FirstChar to LastChar).map(_.toChar).toSet)
+    // hoist the charset filter out of the per-cell loop: the boxed Char set
+    // lookup ran templates×cells times; the candidate list is fixed per call.
+    // Same ascending template order and strict-< tie-break as before.
+    val candidates: Array[Int] =
+      Array.range(0, templates.length).filter(t => allowed.contains((t + FirstChar).toChar))
     val cols = (g.width - Margin * 2) / GlyphW
     val rows = (g.height - Margin * 2) / GlyphH
     if (cols <= 0 || rows <= 0) return ""
@@ -419,16 +424,23 @@ object GlyphTemplateOcr extends Ocr {
       val line = new StringBuilder
       var c = 0
       while (c < cols) {
-        // extract 96-bit cell
+        // extract 96-bit cell (row-major bit order i = dy*GlyphW+dx, as before)
         var cell0 = 0L; var cell1 = 0L
+        val x0 = Margin + c * GlyphW
+        val y0 = Margin + r * GlyphH
         var i = 0
-        while (i < GlyphW * GlyphH) {
-          val x = Margin + c * GlyphW + (i % GlyphW)
-          val y = Margin + r * GlyphH + (i / GlyphW)
-          if (x < g.width && y < g.height && g(x, y) != 0) {
-            if (i < 64) cell0 |= (1L << i) else cell1 |= (1L << (i - 64))
+        var dy = 0
+        while (dy < GlyphH) {
+          val y = y0 + dy
+          var dx = 0
+          while (dx < GlyphW) {
+            val x = x0 + dx
+            if (x < g.width && y < g.height && g(x, y) != 0) {
+              if (i < 64) cell0 |= (1L << i) else cell1 |= (1L << (i - 64))
+            }
+            dx += 1; i += 1
           }
-          i += 1
+          dy += 1
         }
         // nearest template among the language's charset; cells too far from
         // every candidate reject to '?' (the confidence floor real OCR engines
@@ -436,13 +448,12 @@ object GlyphTemplateOcr extends Ocr {
         // so the threshold never fires on legible glyphs)
         var best = ' '
         var bestDist = Integer.MAX_VALUE
-        var t = 0
-        while (t < templates.length) {
-          if (allowed.contains((t + FirstChar).toChar)) {
-            val d = java.lang.Long.bitCount(cell0 ^ templates(t)(0)) + java.lang.Long.bitCount(cell1 ^ templates(t)(1))
-            if (d < bestDist) { bestDist = d; best = (t + FirstChar).toChar }
-          }
-          t += 1
+        var ti = 0
+        while (ti < candidates.length) {
+          val t = candidates(ti)
+          val d = java.lang.Long.bitCount(cell0 ^ templates(t)(0)) + java.lang.Long.bitCount(cell1 ^ templates(t)(1))
+          if (d < bestDist) { bestDist = d; best = (t + FirstChar).toChar }
+          ti += 1
         }
         line.append(if (bestDist > RejectDist) '?' else best)
         c += 1

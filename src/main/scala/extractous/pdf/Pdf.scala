@@ -53,14 +53,26 @@ final class CosLexer(buf: Array[Byte], var pos: Int, val end: Int) {
     c match {
       case '/' =>
         pos += 1
-        val sb = new StringBuilder
+        // names without '#' escapes (the universal case) decode as one
+        // ASCII String; the escaped loop only runs when a '#' is present
+        val st = pos
+        var hasHash = false
         while (pos < end && !isWs(peek) && !isDelim(peek)) {
-          if (peek == '#' && pos + 2 < end) {
-            val h = Integer.parseInt(new String(buf, pos + 1, 2, "US-ASCII"), 16)
-            sb.append(h.toChar); pos += 3
-          } else { sb.append(peek.toChar); pos += 1 }
+          if (peek == '#') hasHash = true
+          pos += 1
         }
-        Name(sb.toString)
+        if (!hasHash) Name(new String(buf, st, pos - st, "US-ASCII"))
+        else {
+          pos = st
+          val sb = new StringBuilder
+          while (pos < end && !isWs(peek) && !isDelim(peek)) {
+            if (peek == '#' && pos + 2 < end) {
+              val h = Integer.parseInt(new String(buf, pos + 1, 2, "US-ASCII"), 16)
+              sb.append(h.toChar); pos += 3
+            } else { sb.append(peek.toChar); pos += 1 }
+          }
+          Name(sb.toString)
+        }
       case '(' => readLiteralString()
       case '<' =>
         if (pos + 1 < end && buf(pos + 1) == '<') { pos += 2; readDict() }
@@ -82,7 +94,7 @@ final class CosLexer(buf: Array[Byte], var pos: Int, val end: Int) {
         val st = pos
         pos += 1
         while (pos < end && ((peek >= '0' && peek <= '9') || peek == '.' || peek == '-' || peek == '+')) pos += 1
-        Num(java.lang.Double.parseDouble(new String(buf, st, pos - st, "US-ASCII")))
+        Num(parseNum(st, pos))
       case _ =>
         val st = pos
         while (pos < end && !isWs(peek) && !isDelim(peek)) pos += 1
@@ -95,6 +107,36 @@ final class CosLexer(buf: Array[Byte], var pos: Int, val end: Int) {
           case other   => Op(other)
         }
     }
+  }
+
+  /** Exact fast path for the plain `[sign] digits [. digits]` numbers that
+    * fill content streams: a ≤15-digit mantissa fits a long exactly and
+    * 10^frac (frac ≤ 15) is an exact double, so mant/10^frac is the
+    * correctly-rounded value — bit-identical to Double.parseDouble. Any other
+    * shape (second sign/dot, >15 digits, no digits) falls back to parseDouble,
+    * including its exception behavior on malformed input like `1-2`.
+    */
+  private def parseNum(st: Int, en: Int): Double = {
+    var i = st
+    var neg = false
+    if (i < en && (buf(i) == '+' || buf(i) == '-')) { neg = buf(i) == '-'; i += 1 }
+    var mant = 0L
+    var digits = 0
+    var frac = -1
+    var bad = false
+    while (!bad && i < en) {
+      val c = buf(i)
+      if (c >= '0' && c <= '9') {
+        mant = mant * 10 + (c - '0'); digits += 1
+        if (frac >= 0) frac += 1
+        i += 1
+      } else if (c == '.' && frac < 0) { frac = 0; i += 1 }
+      else bad = true
+    }
+    if (!bad && digits > 0 && digits <= 15) {
+      val v = if (frac <= 0) mant.toDouble else mant / CosLexer.Pow10(frac)
+      if (neg) -v else v
+    } else java.lang.Double.parseDouble(new String(buf, st, en - st, "US-ASCII"))
   }
 
   /** Rewrites trailing `Num Num Op(R)` triples inside arrays into Ref. */
@@ -147,6 +189,16 @@ final class CosLexer(buf: Array[Byte], var pos: Int, val end: Int) {
 
   private def readLiteralString(): V = {
     pos += 1
+    // fast path: a string with no escapes and no nested parens is the raw
+    // bytes up to the next ')' — one bounds-checked copy, no per-byte
+    // synchronized stream writes
+    var p = pos
+    while (p < end && { val c = buf(p); c != '\\' && c != '(' && c != ')' }) p += 1
+    if (p < end && buf(p) == ')') {
+      val s = Str(java.util.Arrays.copyOfRange(buf, pos, p))
+      pos = p + 1
+      return s
+    }
     val out = new java.io.ByteArrayOutputStream()
     var depth = 1
     while (pos < end && depth > 0) {
@@ -203,6 +255,19 @@ final class CosLexer(buf: Array[Byte], var pos: Int, val end: Int) {
   }
 }
 
+object CosLexer {
+  /** 10^0..10^15, all exactly representable; built by repeated multiplication
+    * (each product of exact values < 2^53 is exact).
+    */
+  private[pdf] val Pow10: Array[Double] = {
+    val a = new Array[Double](16)
+    a(0) = 1.0
+    var i = 1
+    while (i < a.length) { a(i) = a(i - 1) * 10.0; i += 1 }
+    a
+  }
+}
+
 final case class GlyphRun(x: Double, y: Double, text: String, mcTag: Option[String])
 
 object PdfExtractor {
@@ -216,8 +281,11 @@ object PdfExtractor {
     0xF6 -> 'ö', 0xE4 -> 'ä', 0xDF -> 'ß', 0xE7 -> 'ç', 0xF1 -> 'ñ')
 
   private def decodeWinAnsi(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(b.length)
     var i = 0
+    while (i < b.length && (b(i) & 0xff) < 0x80) i += 1
+    if (i == b.length) return new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+    val sb = new java.lang.StringBuilder(b.length)
+    i = 0
     while (i < b.length) {
       val c = b(i) & 0xff
       if (c < 0x80) sb.append(c.toChar)
@@ -556,10 +624,25 @@ object PdfExtractor {
       case None    => Vector(runs)
     }
     columns.flatMap { col =>
-      // group by y with tolerance 2
+      // group by y with tolerance 2. Equivalent to scanning byLine.keys in
+      // insertion order for the first key within ±2 of round(y) — but O(1)
+      // per run: only keys in [round(y)-2, round(y)+2] can match, so probe
+      // those five and take the earliest-inserted (insertIdx ties the order).
       val byLine = scala.collection.mutable.LinkedHashMap.empty[Long, ArrayBuffer[GlyphRun]]
+      val insertIdx = scala.collection.mutable.HashMap.empty[Long, Int]
       col.sortBy(r => (-r.y, r.x)).foreach { r =>
-        val key = byLine.keys.find(k => math.abs(k - math.round(r.y)) <= 2).getOrElse(math.round(r.y))
+        val ry = math.round(r.y)
+        var key = ry
+        var bestIdx = Int.MaxValue
+        var d = -2
+        while (d <= 2) {
+          insertIdx.get(ry + d) match {
+            case Some(ix) if ix < bestIdx => bestIdx = ix; key = ry + d
+            case _ =>
+          }
+          d += 1
+        }
+        if (bestIdx == Int.MaxValue) insertIdx(key) = insertIdx.size
         byLine.getOrElseUpdate(key, ArrayBuffer.empty) += r
       }
       byLine.toVector.sortBy(-_._1).map { case (_, rs) =>
@@ -762,8 +845,10 @@ object PdfExtractor {
         case PdfOcrStrategy.OcrOnly | PdfOcrStrategy.OcrAndText => true
         case PdfOcrStrategy.Auto => !hasText
       }
+      // assembleTagged lines are already Normalize.line canonical (applied at
+      // line build) — skip the emitter's defensive re-normalize scan
       if (useText) assembleTagged(page.runs).foreach { case (line, mcTag) =>
-        emitter.addBlock(line)
+        emitter.addNormalizedBlock(line)
         val tag = mcTag.filter(_ => cfg.pdf.extractMarkedContent)
           .map(Normalize.lowerAscii).filter(t => t.matches("h[1-6]|p")).getOrElse("p")
         xe.addElement(tag, line)

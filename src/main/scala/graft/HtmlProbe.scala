@@ -70,6 +70,26 @@ object HtmlProbe {
       bench("pdf pages", 2000)(PdfExtractor.pages(objs, trailer))
       val pgs = PdfExtractor.pages(objs, trailer)
       bench("pdf assemble", 2000)(pgs.map(p => PdfExtractor.assembleTagged(p.runs)))
+      // sub-stage: inflate vs content-stream lexing (pages = inflate + parse + walk)
+      val content = objs.values.collectFirst {
+        case so: extractous.pdf.Cos.StreamObj
+            if !so.dict.m.contains("Type") => so.data
+      }.getOrElse(Array.emptyByteArray)
+      bench("pdf inflate", 2000)(PdfExtractor.inflate(content))
+      val raw = PdfExtractor.inflate(content)
+      bench("pdf parseContent", 2000)(
+        PdfExtractor.parseContent(raw, extractous.pdf.Cos.Dict(Map.empty), objs))
+      bench("pdf extract direct", 2000)(
+        PdfExtractor.extract(pdfPayload, CorpusGen.flagshipConfig, extractous.ocr.GlyphTemplateOcr))
+      // same stages extract runs, chained in one loop — isolates whether the
+      // sum-of-parts gap is real work or a combined-loop cache/GC artifact
+      bench("pdf pipeline sim", 2000) {
+        val (o2, t2) = PdfExtractor.scanObjects(pdfPayload)
+        val pgs2 = PdfExtractor.pages(o2, t2)
+        val em = new extractous.text.TextEmitter(Int.MaxValue)
+        pgs2.foreach(p => PdfExtractor.assembleTagged(p.runs).foreach { case (l, _) => em.addBlock(l) })
+        em.result()
+      }
     }
   }
 }
