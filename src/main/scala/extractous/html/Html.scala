@@ -30,46 +30,26 @@ object HtmlTokenizer {
     // EPUB packaging attributes (container.xml rootfile + OPF manifest/spine)
     "full-path", "idref")
 
-  def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
-    private var i = 0
-    private var pending: Tok = null
-    private var lowerCache: String = null
-    def lower(src: String): String = {
-      // ASCII-only: locale-independent AND length-preserving, so indices in
-      // the lowered shadow stay aligned with `src` (String.toLowerCase can
-      // change length for some Unicode points and is locale-sensitive)
-      if (lowerCache == null) lowerCache = Normalize.lowerAscii(src)
+  /** Callback form of the tokenizer — THE single tokenization implementation
+    * (the Iterator API below is an eager adapter over it). The extraction hot
+    * path ([[HtmlDom.parse]]) consumes this directly, so a document tokenizes
+    * without allocating a Tok wrapper per token. Token order and boundaries
+    * are identical to the former Iterator implementation.
+    */
+  def foreachTok(s: String)(onText: String => Unit,
+      onStart: (String, Map[String, String], Boolean) => Unit,
+      onEnd: String => Unit): Unit = {
+    var i = 0
+    var lowerCache: String = null
+    // ASCII-only: locale-independent AND length-preserving, so indices in
+    // the lowered shadow stay aligned with `s` (String.toLowerCase can
+    // change length for some Unicode points and is locale-sensitive)
+    def lower(): String = {
+      if (lowerCache == null) lowerCache = Normalize.lowerAscii(s)
       lowerCache
     }
-    advance()
 
-    private def advance(): Unit = {
-      pending = null
-      while (pending == null && i < s.length) {
-        if (s.charAt(i) == '<') {
-          if (s.startsWith("<!--", i)) {
-            val end = s.indexOf("-->", i + 4)
-            i = if (end < 0) s.length else end + 3
-          } else if (i + 1 < s.length && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
-            val end = s.indexOf('>', i)
-            i = if (end < 0) s.length else end + 1
-          } else if (i + 1 < s.length && (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
-            pending = readTag()
-          } else {
-            // stray '<' — treat as text up to next '<'
-            val next = s.indexOf('<', i + 1)
-            val end = if (next < 0) s.length else next
-            pending = Text(s.substring(i, end)); i = end
-          }
-        } else {
-          val next = s.indexOf('<', i)
-          val end = if (next < 0) s.length else next
-          pending = Text(s.substring(i, end)); i = end
-        }
-      }
-    }
-
-    private def readTag(): Tok = {
+    def readTag(): Unit = {
       val closing = s.charAt(i + 1) == '/'
       var j = i + (if (closing) 2 else 1)
       val nameStart = j
@@ -114,23 +94,56 @@ object HtmlTokenizer {
         }
       }
       i = j
-      if (closing) EndTag(name)
+      if (closing) onEnd(name)
       else if (!selfClosing && rawTextTags(name)) {
         // consume raw text through the matching close tag (case-insensitive) and
         // emit as self-closing so the DOM never keeps a raw-text element open
         val close = "</" + name
-        val idx = lower(s).indexOf(close, i)
+        val idx = lower().indexOf(close, i)
         i = if (idx < 0) s.length
         else {
           val gt = s.indexOf('>', idx)
           if (gt < 0) s.length else gt + 1
         }
-        StartTag(name, attrs, selfClosing = true)
-      } else StartTag(name, attrs, selfClosing)
+        onStart(name, attrs, true)
+      } else onStart(name, attrs, selfClosing)
     }
 
-    override def hasNext: Boolean = pending != null
-    override def next(): Tok = { val t = pending; advance(); t }
+    while (i < s.length) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (i + 1 < s.length && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val end = s.indexOf('>', i)
+          i = if (end < 0) s.length else end + 1
+        } else if (i + 1 < s.length && (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
+          readTag()
+        } else {
+          // stray '<' — treat as text up to next '<'
+          val next = s.indexOf('<', i + 1)
+          val end = if (next < 0) s.length else next
+          onText(s.substring(i, end)); i = end
+        }
+      } else {
+        val next = s.indexOf('<', i)
+        val end = if (next < 0) s.length else next
+        onText(s.substring(i, end)); i = end
+      }
+    }
+  }
+
+  /** Materialized token stream (cold-path API: link graph, probes). The hot
+    * path uses [[foreachTok]]; every known caller consumes all tokens, so the
+    * eager adapter changes only laziness, not the sequence.
+    */
+  def tokenize(s: String): Iterator[Tok] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    foreachTok(s)(
+      raw => buf += Text(raw),
+      (name, attrs, selfClosing) => buf += StartTag(name, attrs, selfClosing),
+      name => buf += EndTag(name))
+    buf.iterator
   }
 
   private val named = Map(
@@ -183,10 +196,9 @@ object HtmlDom {
   def parse(html: String): HElem = {
     val root = HElem("#root", Map.empty, ArrayBuffer.empty)
     var stack = List(root)
-    HtmlTokenizer.tokenize(html).foreach {
-      case Text(raw) =>
-        if (raw.nonEmpty) stack.head.children += HText(decodeEntities(raw))
-      case StartTag(name, attrs, selfClosing) =>
+    HtmlTokenizer.foreachTok(html)(
+      raw => if (raw.nonEmpty) stack.head.children += HText(decodeEntities(raw)),
+      (name, attrs, selfClosing) => {
         impliedClose.get(name).foreach { closes =>
           // pop WHILE the head matches, not once: a new <tr> after an open
           // <td> must close the td AND the enclosing tr, or the new row
@@ -196,13 +208,13 @@ object HtmlDom {
         val el = HElem(name, attrs, ArrayBuffer.empty)
         stack.head.children += el
         if (!selfClosing && !voidTags(name)) stack = el :: stack
-      case EndTag(name) =>
+      },
+      name =>
         // pop to the matching open tag if present anywhere on the stack
         if (stack.exists(_.name == name)) {
           while (stack.head.name != name) stack = stack.tail
           if (stack.head.name != "#root") stack = stack.tail
-        }
-    }
+        })
     root
   }
 }
